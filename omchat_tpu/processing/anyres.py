@@ -1,0 +1,209 @@
+"""anyres high-resolution tiling geometry.
+
+Behavioral contract of the reference's host-side tiling
+(/root/reference/omchat/mm_utils.py:12-158 and
+/root/reference/omchat/hf/image_processing_omchat.py:424-528):
+
+1. pick the best grid resolution from ``grid_pinpoints`` (maximize effective
+   resolution, then minimize waste),
+2. aspect-preserving resize + black center-pad to that resolution,
+3. cut into raster-order ``tile_size`` (448) squares,
+4. prepend a square thumbnail of the full image.
+
+Pure Python/PIL/numpy — this is the bit-parity path.  The fused on-device
+pipeline (:mod:`omchat_tpu.ops.image_ops`) is the perf path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+from PIL import Image
+
+
+def select_best_resolution(
+    original_size: Tuple[int, int], possible_resolutions: Sequence[Sequence[int]]
+) -> Tuple[int, int]:
+    """Pick the pinpoint resolution that best fits ``original_size`` (width, height).
+
+    Maximizes effective (non-wasted) resolution after aspect-preserving downscale,
+    breaking ties by minimum wasted area — including the reference's exact
+    ``int()`` truncation and strict-inequality tie-breaking
+    (reference: mm_utils.py:12-39).
+    """
+    original_width, original_height = original_size
+    best_fit: Tuple[int, int] = None  # type: ignore[assignment]
+    max_effective_resolution = 0
+    min_wasted_resolution = float("inf")
+
+    for width, height in possible_resolutions:
+        scale = min(width / original_width, height / original_height)
+        downscaled_width = int(original_width * scale)
+        downscaled_height = int(original_height * scale)
+        effective_resolution = min(downscaled_width * downscaled_height, original_width * original_height)
+        wasted_resolution = (width * height) - effective_resolution
+
+        if effective_resolution > max_effective_resolution or (
+            effective_resolution == max_effective_resolution and wasted_resolution < min_wasted_resolution
+        ):
+            max_effective_resolution = effective_resolution
+            min_wasted_resolution = wasted_resolution
+            best_fit = (width, height)
+
+    return best_fit
+
+
+def compute_resize_shape(
+    original_size: Tuple[int, int], target_resolution: Tuple[int, int]
+) -> Tuple[int, int]:
+    """Aspect-preserving (new_width, new_height) inside ``target_resolution``.
+
+    Matches the reference's ``math.ceil`` + ``min`` clamping exactly
+    (reference: mm_utils.py:53-64).
+    """
+    original_width, original_height = original_size
+    target_width, target_height = target_resolution
+
+    scale_w = target_width / original_width
+    scale_h = target_height / original_height
+
+    if scale_w < scale_h:
+        new_width = target_width
+        new_height = min(math.ceil(original_height * scale_w), target_height)
+    else:
+        new_height = target_height
+        new_width = min(math.ceil(original_width * scale_h), target_width)
+    return new_width, new_height
+
+
+def resize_and_pad_image(image: Image.Image, target_resolution: Tuple[int, int]) -> Image.Image:
+    """Aspect-preserving resize then black center-pad (reference: mm_utils.py:42-74)."""
+    new_width, new_height = compute_resize_shape(image.size, target_resolution)
+    target_width, target_height = target_resolution
+
+    resized_image = image.resize((new_width, new_height))  # PIL default = bicubic for RGB
+
+    new_image = Image.new("RGB", (target_width, target_height), (0, 0, 0))
+    paste_x = (target_width - new_width) // 2
+    paste_y = (target_height - new_height) // 2
+    new_image.paste(resized_image, (paste_x, paste_y))
+    return new_image
+
+
+def divide_to_patches(image: Image.Image, patch_size: int) -> List[Image.Image]:
+    """Raster-order ``patch_size`` square crops (reference: mm_utils.py:77-96)."""
+    patches = []
+    width, height = image.size
+    for i in range(0, height, patch_size):
+        for j in range(0, width, patch_size):
+            patches.append(image.crop((j, i, j + patch_size, i + patch_size)))
+    return patches
+
+
+def get_anyres_image_grid_shape(
+    image_size: Tuple[int, int], grid_pinpoints: Sequence[Sequence[int]], patch_size: int
+) -> Tuple[int, int]:
+    """(grid_w, grid_h) in tiles for an input image (reference: mm_utils.py:99-116)."""
+    width, height = select_best_resolution(image_size, grid_pinpoints)
+    return width // patch_size, height // patch_size
+
+
+def num_anyres_tiles(
+    image_size: Tuple[int, int], grid_pinpoints: Sequence[Sequence[int]], tile_size: int
+) -> int:
+    """Total tiles produced for an image: thumbnail + grid tiles."""
+    gw, gh = get_anyres_image_grid_shape(image_size, grid_pinpoints, tile_size)
+    return 1 + gw * gh
+
+
+def anyres_tile_images(
+    image: Image.Image,
+    grid_pinpoints: Sequence[Sequence[int]],
+    tile_size: int,
+) -> Tuple[List[Image.Image], Tuple[int, int]]:
+    """Produce [thumbnail] + raster tiles as PIL images, plus the best resolution.
+
+    Thumbnail-first ordering is the reference's live behavior
+    (mm_utils.py:151 ``[image_original_resize] + patches``).
+    The thumbnail is a plain square resize of the *original* image
+    (mm_utils.py:143-146).
+    """
+    best_resolution = select_best_resolution(image.size, grid_pinpoints)
+    image_padded = resize_and_pad_image(image, best_resolution)
+    patches = divide_to_patches(image_padded, tile_size)
+    thumbnail = image.resize((tile_size, tile_size))
+    return [thumbnail] + patches, best_resolution
+
+
+def dynamic_tile_images(
+    image: Image.Image,
+    min_num: int = 1,
+    max_num: int = 6,
+    image_size: int = 448,
+    use_thumbnail: bool = True,
+) -> List[Image.Image]:
+    """InternVL-style aspect-ratio-bucketed dynamic tiling.
+
+    This is the OmChat-2.1 multi-image/video preprocessing
+    (reference: mm_utils.py:276-338 ``dynamic_preprocess`` +
+    ``find_closest_aspect_ratio``); thumbnail inserted at index 0
+    (mm_utils.py:312).
+    """
+    orig_width, orig_height = image.size
+    aspect_ratio = orig_width / orig_height
+
+    target_ratios = set(
+        (i, j)
+        for n in range(min_num, max_num + 1)
+        for i in range(1, n + 1)
+        for j in range(1, n + 1)
+        if min_num <= i * j <= max_num
+    )
+    target_ratios = sorted(target_ratios, key=lambda x: x[0] * x[1])
+
+    best_ratio_diff = float("inf")
+    best_ratio = (1, 1)
+    area = orig_width * orig_height
+    for ratio in target_ratios:
+        target_aspect_ratio = ratio[0] / ratio[1]
+        ratio_diff = abs(aspect_ratio - target_aspect_ratio)
+        if ratio_diff < best_ratio_diff:
+            best_ratio_diff = ratio_diff
+            best_ratio = ratio
+        elif ratio_diff == best_ratio_diff:
+            if area > 0.5 * image_size * image_size * ratio[0] * ratio[1]:
+                best_ratio = ratio
+
+    target_width = image_size * best_ratio[0]
+    target_height = image_size * best_ratio[1]
+    blocks = best_ratio[0] * best_ratio[1]
+
+    resized_img = image.resize((target_width, target_height))
+    processed_images = []
+    cols = target_width // image_size
+    for i in range(blocks):
+        box = (
+            (i % cols) * image_size,
+            (i // cols) * image_size,
+            ((i % cols) + 1) * image_size,
+            ((i // cols) + 1) * image_size,
+        )
+        processed_images.append(resized_img.crop(box))
+    if use_thumbnail and len(processed_images) != 1:
+        processed_images.insert(0, image.resize((image_size, image_size)))
+    return processed_images
+
+
+def expand2square(pil_img: Image.Image, background_color) -> Image.Image:
+    """Pad to square with a background color (reference: mm_utils.py:183-194)."""
+    width, height = pil_img.size
+    if width == height:
+        return pil_img
+    if width > height:
+        result = Image.new(pil_img.mode, (width, width), background_color)
+        result.paste(pil_img, (0, (width - height) // 2))
+        return result
+    result = Image.new(pil_img.mode, (height, height), background_color)
+    result.paste(pil_img, ((height - width) // 2, 0))
+    return result
