@@ -1,0 +1,236 @@
+"""Checkpoint loading: safetensors → JAX param pytree.
+
+Implements the weight-name contract of the reference's converter
+(/root/reference/convert_omchat_to_hf.py:26-59) in both directions:
+
+- HF-bundle layout: ``vision_tower.*``, ``multi_modal_projector.linear_N.*``,
+  ``language_model.model.*``, ``language_model.lm_head.weight``
+- repo-native layout: ``model.vision_tower.vision_tower.*``,
+  ``model.mm_projector.{0,2}.*``, ``model.*``, ``lm_head.weight``
+
+Torch linear weights are [out, in] and transposed to JAX's [in, out]; conv
+patchify kernels go OIHW → HWIO; per-layer tensors are stacked on a leading
+layer axis for ``lax.scan`` execution.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from omchat_tpu.config import OmChatConfig, TextConfig, VisionConfig
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / np array → np array (upcasting bf16 via float32)."""
+    if isinstance(t, np.ndarray):
+        return t
+    t = t.detach().cpu()
+    import torch
+
+    if t.dtype == torch.bfloat16:
+        t = t.float()
+    return t.numpy()
+
+
+def load_safetensors_dir(directory: str) -> Dict[str, np.ndarray]:
+    """Read all ``*.safetensors`` in a directory into one flat dict
+    (reference: convert_omchat_to_hf.py:38-46)."""
+    from safetensors import safe_open
+
+    out: Dict[str, np.ndarray] = {}
+    paths = sorted(glob.glob(os.path.join(directory, "*.safetensors")))
+    if not paths:
+        raise FileNotFoundError(f"no .safetensors under {directory}")
+    for path in paths:
+        with safe_open(path, framework="np") as f:
+            for key in f.keys():
+                out[key] = f.get_tensor(key)
+    return out
+
+
+def normalize_key_layout(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Map repo-native key names onto the HF-bundle layout (the canonical one).
+
+    Mirrors KEYS_TO_MODIFY_MAPPING (convert_omchat_to_hf.py:26-35)."""
+    out = {}
+    for key, val in state.items():
+        if key.endswith(".inv_freq"):
+            continue
+        if key.startswith("model.vision_tower."):
+            key = key[len("model.vision_tower.") :]
+            # repo-native wraps InternVisionModel in a tower: vision_tower.vision_tower.*
+        elif key.startswith("model.mm_projector."):
+            rest = key[len("model.mm_projector.") :]
+            m = re.match(r"^(\d+)\.(.*)$", rest)
+            if m:
+                idx = int(m.group(1))
+                rest = f"linear_{idx // 2 + 1}.{m.group(2)}"
+            else:
+                rest = f"linear_1.{rest}"
+            key = f"multi_modal_projector.{rest}"
+        elif key.startswith("model."):
+            key = "language_model." + key
+        elif key.startswith("lm_head."):
+            key = "language_model." + key
+        out[key] = val
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sub-tree converters (keys relative to each module root)
+# ---------------------------------------------------------------------------
+
+
+def convert_vision_tower(state: Dict[str, np.ndarray], cfg: VisionConfig, dtype=jnp.bfloat16) -> dict:
+    """Keys like ``embeddings.class_embedding``, ``encoder.layers.N...`` → pytree."""
+    g = lambda k: _np(state[k])
+    l = cfg.num_hidden_layers
+
+    def stack(fmt, transform=None):
+        arrs = [g(fmt.format(i)) for i in range(l)]
+        if transform:
+            arrs = [transform(a) for a in arrs]
+        return jnp.asarray(np.stack(arrs), dtype)
+
+    T = lambda a: a.T
+    params = {
+        "class_embedding": jnp.asarray(g("embeddings.class_embedding").reshape(-1), dtype),
+        "position_embedding": jnp.asarray(g("embeddings.position_embedding")[0], dtype),
+        "patch_embedding": {
+            "kernel": jnp.asarray(g("embeddings.patch_embedding.weight").transpose(2, 3, 1, 0), dtype),
+            "bias": jnp.asarray(g("embeddings.patch_embedding.bias"), dtype),
+        },
+        "layers": {
+            "norm1": {"scale": stack("encoder.layers.{}.norm1.weight")},
+            "norm2": {"scale": stack("encoder.layers.{}.norm2.weight")},
+            "ls1": stack("encoder.layers.{}.ls1"),
+            "ls2": stack("encoder.layers.{}.ls2"),
+            "attn": {
+                "qkv": {"kernel": stack("encoder.layers.{}.attn.qkv.weight", T)},
+                "proj": {
+                    "kernel": stack("encoder.layers.{}.attn.proj.weight", T),
+                    "bias": stack("encoder.layers.{}.attn.proj.bias"),
+                },
+            },
+            "mlp": {
+                "fc1": {
+                    "kernel": stack("encoder.layers.{}.mlp.fc1.weight", T),
+                    "bias": stack("encoder.layers.{}.mlp.fc1.bias"),
+                },
+                "fc2": {
+                    "kernel": stack("encoder.layers.{}.mlp.fc2.weight", T),
+                    "bias": stack("encoder.layers.{}.mlp.fc2.bias"),
+                },
+            },
+        },
+    }
+    if "encoder.layers.0.attn.qkv.bias" in state:
+        params["layers"]["attn"]["qkv"]["bias"] = stack("encoder.layers.{}.attn.qkv.bias")
+    if cfg.qk_normalization:
+        params["layers"]["attn"]["q_norm"] = {"scale": stack("encoder.layers.{}.attn.q_norm.weight")}
+        params["layers"]["attn"]["k_norm"] = {"scale": stack("encoder.layers.{}.attn.k_norm.weight")}
+    if cfg.norm_type == "layer_norm":
+        params["layers"]["norm1"]["bias"] = stack("encoder.layers.{}.norm1.bias")
+        params["layers"]["norm2"]["bias"] = stack("encoder.layers.{}.norm2.bias")
+    return params
+
+
+def convert_qwen2(state: Dict[str, np.ndarray], cfg: TextConfig, dtype=jnp.bfloat16) -> dict:
+    """Keys like ``model.embed_tokens.weight``, ``model.layers.N...``,
+    ``lm_head.weight`` → pytree."""
+    g = lambda k: _np(state[k])
+    l = cfg.num_hidden_layers
+    T = lambda a: a.T
+
+    def stack(fmt, transform=None):
+        arrs = [g(fmt.format(i)) for i in range(l)]
+        if transform:
+            arrs = [transform(a) for a in arrs]
+        return jnp.asarray(np.stack(arrs), dtype)
+
+    def proj(name, bias):
+        p = {"kernel": stack("model.layers.{}." + name + ".weight", T)}
+        if bias:
+            p["bias"] = stack("model.layers.{}." + name + ".bias")
+        return p
+
+    params = {
+        "embed_tokens": jnp.asarray(g("model.embed_tokens.weight"), dtype),
+        "layers": {
+            "input_layernorm": {"scale": stack("model.layers.{}.input_layernorm.weight")},
+            "post_attention_layernorm": {"scale": stack("model.layers.{}.post_attention_layernorm.weight")},
+            "self_attn": {
+                "q_proj": proj("self_attn.q_proj", cfg.attention_bias),
+                "k_proj": proj("self_attn.k_proj", cfg.attention_bias),
+                "v_proj": proj("self_attn.v_proj", cfg.attention_bias),
+                "o_proj": proj("self_attn.o_proj", False),
+            },
+            "mlp": {
+                "gate_proj": proj("mlp.gate_proj", False),
+                "up_proj": proj("mlp.up_proj", False),
+                "down_proj": proj("mlp.down_proj", False),
+            },
+        },
+        "norm": {"scale": jnp.asarray(g("model.norm.weight"), dtype)},
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in state:
+        params["lm_head"] = {"kernel": jnp.asarray(g("lm_head.weight").T, dtype)}
+    return params
+
+
+def convert_projector(state: Dict[str, np.ndarray], dtype=jnp.bfloat16) -> dict:
+    """Keys like ``linear_1.weight`` → pytree."""
+    params: dict = {}
+    for key, val in state.items():
+        m = re.match(r"^(linear_\d+)\.(weight|bias)$", key)
+        if not m:
+            continue
+        name, kind = m.group(1), m.group(2)
+        arr = _np(val)
+        params.setdefault(name, {})["kernel" if kind == "weight" else "bias"] = jnp.asarray(
+            arr.T if kind == "weight" else arr, dtype
+        )
+    return params
+
+
+def _subdict(state: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix) :]: v for k, v in state.items() if k.startswith(prefix)}
+
+
+def convert_omchat_state_dict(
+    state: Dict[str, np.ndarray], cfg: OmChatConfig, dtype=jnp.bfloat16
+) -> dict:
+    """Full OmChat checkpoint (HF-bundle or repo-native key layout) → pytree
+    with top-level {vision_tower, projector, language_model}."""
+    if any(k.startswith("model.") for k in state):
+        state = normalize_key_layout(state)
+    # Repo-native wraps InternVisionModel one level deeper.
+    vt_prefix = (
+        "vision_tower.vision_tower." if any(k.startswith("vision_tower.vision_tower.") for k in state) else "vision_tower."
+    )
+    return {
+        "vision_tower": convert_vision_tower(_subdict(state, vt_prefix), cfg.vision, dtype),
+        "projector": convert_projector(_subdict(state, "multi_modal_projector."), dtype),
+        "language_model": convert_qwen2(_subdict(state, "language_model."), cfg.text, dtype),
+    }
+
+
+def load_omchat_checkpoint(
+    model_path: str, dtype=jnp.bfloat16, config: Optional[OmChatConfig] = None
+):
+    """Load config + weights from a checkpoint directory → (cfg, params).
+
+    The delay-load analogue (SURVEY.md §3.5): use ``OmChatConfig.from_json``
+    alone when only shapes are needed (pairs with ``jax.eval_shape``)."""
+    if config is None:
+        config = OmChatConfig.from_json(os.path.join(model_path, "config.json"))
+    state = load_safetensors_dir(model_path)
+    params = convert_omchat_state_dict(state, config, dtype)
+    return config, params

@@ -1,0 +1,239 @@
+"""InternViT vision tower (6B and 300M geometries) — functional JAX.
+
+Re-implements the behavior of the reference torch model
+(/root/reference/omchat/model/multimodal_encoder/intern_vit_6b/modeling_intern_vit.py):
+
+- Conv patchify + CLS token + bicubic-interpolated position embeddings for
+  arbitrary grids (modeling_intern_vit.py:61-102),
+- packed-QKV attention with optional qk-RMSNorm over the flattened head dim
+  (modeling_intern_vit.py:105-176),
+- pre-norm blocks with LayerScale ls1/ls2 (modeling_intern_vit.py:194-222),
+- 300M variant's rms/layer-norm switch (intern_vit_300m/modeling_intern_vit.py:61-65).
+
+TPU-first design: layers are stacked along a leading axis and executed with
+``lax.scan`` (one compiled layer body for all 45 layers), bf16-friendly, with
+fp32 softmax/norm statistics.  There is no final layernorm — the last hidden
+state is the raw block output, as in the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omchat_tpu.config import VisionConfig
+from omchat_tpu.ops.attention import attention
+from omchat_tpu.ops.norms import apply_norm, rms_norm
+
+
+# ---------------------------------------------------------------------------
+# Position embedding interpolation (torch.nn.functional.interpolate parity)
+# ---------------------------------------------------------------------------
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic convolution kernel with A=-0.75 (torch bicubic)."""
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    w = np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0,
+        np.where(ax < 2.0, a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a, 0.0),
+    )
+    return w
+
+
+@functools.lru_cache(maxsize=64)
+def bicubic_interp_matrix(src: int, dst: int) -> np.ndarray:
+    """[dst, src] interpolation matrix matching F.interpolate(mode='bicubic',
+    align_corners=False) with index clamping at the borders."""
+    if src == dst:
+        return np.eye(src, dtype=np.float32)
+    scale = src / dst
+    out = np.zeros((dst, src), dtype=np.float64)
+    for i in range(dst):
+        center = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(center))
+        t = center - x0
+        taps = np.array([x0 - 1, x0, x0 + 1, x0 + 2])
+        weights = _cubic_kernel(np.array([t + 1.0, t, 1.0 - t, 2.0 - t]))
+        for tap, w in zip(taps, weights):
+            out[i, min(max(tap, 0), src - 1)] += w
+    return out.astype(np.float32)
+
+
+def interpolate_pos_embed(pos_embed: jax.Array, src_grid: int, dst_h: int, dst_w: int) -> jax.Array:
+    """Bicubic-resample patch position embeddings [src*src, D] → [dst_h*dst_w, D].
+
+    fp32 math, matching the reference's ``_get_pos_embed``
+    (modeling_intern_vit.py:82-88).
+    """
+    if src_grid == dst_h == dst_w:
+        return pos_embed
+    d = pos_embed.shape[-1]
+    grid = pos_embed.astype(jnp.float32).reshape(src_grid, src_grid, d)
+    mh = jnp.asarray(bicubic_interp_matrix(src_grid, dst_h))
+    mw = jnp.asarray(bicubic_interp_matrix(src_grid, dst_w))
+    grid = jnp.einsum("hs,swd->hwd", mh, grid)
+    grid = jnp.einsum("wt,htd->hwd", mw, grid)
+    return grid.reshape(dst_h * dst_w, d).astype(pos_embed.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def embeddings(params: dict, cfg: VisionConfig, pixel_values: jax.Array) -> jax.Array:
+    """Patchify + CLS + position embeddings.  pixel_values: [B, 3, H, W] → [B, 1+N, D]."""
+    x = jnp.transpose(pixel_values, (0, 2, 3, 1))  # NHWC
+    kernel = params["patch_embedding"]["kernel"]  # [P, P, 3, D]
+    dtype = kernel.dtype
+    x = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel,
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = x + params["patch_embedding"]["bias"].astype(dtype)
+    b, h, w, d = x.shape
+    patch_embeds = x.reshape(b, h * w, d)
+
+    cls = jnp.broadcast_to(params["class_embedding"].astype(dtype), (b, 1, d))
+    embeds = jnp.concatenate([cls, patch_embeds], axis=1)
+
+    pos = params["position_embedding"]  # [1+N_train, D]
+    src_grid = cfg.num_patches_per_side
+    patch_pos = interpolate_pos_embed(pos[1:], src_grid, h, w)
+    pos = jnp.concatenate([pos[:1], patch_pos], axis=0)
+    return embeds + pos[None].astype(dtype)
+
+
+def _layer_forward(cfg: VisionConfig, x: jax.Array, layer: dict, *, attn_impl: Optional[str]) -> jax.Array:
+    """One pre-norm block: x + ls1*attn(norm1(x)); x + ls2*mlp(norm2(x))."""
+    b, n, d = x.shape
+    h = cfg.num_attention_heads
+    hd = cfg.head_dim
+
+    # Attention
+    y = apply_norm(x, layer["norm1"], cfg.layer_norm_eps)
+    qkv = y @ layer["attn"]["qkv"]["kernel"]
+    if "bias" in layer["attn"]["qkv"]:
+        qkv = qkv + layer["attn"]["qkv"]["bias"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, N, D]
+    if cfg.qk_normalization:
+        # qk-RMSNorm over the flattened (head, head_dim) axis
+        # (modeling_intern_vit.py:143-146).
+        q = rms_norm(q, layer["attn"]["q_norm"]["scale"], cfg.layer_norm_eps)
+        k = rms_norm(k, layer["attn"]["k_norm"]["scale"], cfg.layer_norm_eps)
+    q = q.reshape(b, n, h, hd)
+    k = k.reshape(b, n, h, hd)
+    v = v.reshape(b, n, h, hd)
+    attn_out = attention(q, k, v, causal=False, impl=attn_impl).reshape(b, n, d)
+    attn_out = attn_out @ layer["attn"]["proj"]["kernel"] + layer["attn"]["proj"]["bias"]
+    x = x + attn_out * layer["ls1"]
+
+    # MLP (exact GELU, as transformers ACT2FN['gelu'])
+    y = apply_norm(x, layer["norm2"], cfg.layer_norm_eps)
+    y = y @ layer["mlp"]["fc1"]["kernel"] + layer["mlp"]["fc1"]["bias"]
+    y = jax.nn.gelu(y, approximate=False)
+    y = y @ layer["mlp"]["fc2"]["kernel"] + layer["mlp"]["fc2"]["bias"]
+    return x + y * layer["ls2"]
+
+
+def intern_vit_forward(
+    params: dict,
+    cfg: VisionConfig,
+    pixel_values: jax.Array,
+    *,
+    feature_layer: int = -1,
+    attn_impl: Optional[str] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Run the tower; returns hidden states after layer ``feature_layer``.
+
+    ``feature_layer=-1`` reproduces the HF bundle's hardcoded
+    ``hidden_states[-1]`` (modeling_omchat.py:750-753). Negative indices count
+    from the end as in the reference's Python list indexing; CLS is NOT dropped
+    here (see :func:`feature_select`).
+    """
+    x = embeddings(params, cfg, pixel_values)
+
+    num_layers = cfg.num_hidden_layers
+    n_run = num_layers + 1 + feature_layer if feature_layer < 0 else feature_layer
+    n_run = max(0, min(num_layers, n_run))
+
+    layers = params["layers"]
+    if n_run < num_layers:
+        layers = jax.tree.map(lambda a: a[:n_run], layers)
+
+    body = functools.partial(_layer_forward, cfg, attn_impl=attn_impl)
+    if remat:
+        body = jax.checkpoint(body)
+
+    def scan_body(carry, layer):
+        return body(carry, layer), None
+
+    x, _ = jax.lax.scan(scan_body, x, layers)
+    return x
+
+
+def feature_select(hidden: jax.Array, strategy: str = "default") -> jax.Array:
+    """'default' drops the CLS token (reference feature_select, internVIT_encoder.py:35-43)."""
+    if strategy in ("default", "patch"):
+        return hidden[:, 1:]
+    if strategy in ("full", "cls_patch"):
+        return hidden
+    raise ValueError(f"Unknown vision_feature_select_strategy: {strategy}")
+
+
+# ---------------------------------------------------------------------------
+# Init (tests / dryrun; real weights come from the checkpoint loader)
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
+    d, f, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    n_pos = cfg.num_patch_tokens + 1
+    keys = jax.random.split(key, 8)
+
+    def nrm(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    params = {
+        "class_embedding": nrm(keys[0], (d,), 1.0),
+        "position_embedding": nrm(keys[1], (n_pos, d), 0.02),
+        "patch_embedding": {
+            "kernel": nrm(keys[2], (cfg.patch_size, cfg.patch_size, cfg.num_channels, d)),
+            "bias": jnp.zeros((d,), dtype),
+        },
+        "layers": {
+            "norm1": {"scale": jnp.ones((l, d), dtype)},
+            "norm2": {"scale": jnp.ones((l, d), dtype)},
+            "ls1": jnp.full((l, d), cfg.initializer_factor, dtype),
+            "ls2": jnp.full((l, d), cfg.initializer_factor, dtype),
+            "attn": {
+                "qkv": {"kernel": nrm(keys[3], (l, d, 3 * d))},
+                "proj": {"kernel": nrm(keys[4], (l, d, d)), "bias": jnp.zeros((l, d), dtype)},
+            },
+            "mlp": {
+                "fc1": {"kernel": nrm(keys[5], (l, d, f)), "bias": jnp.zeros((l, f), dtype)},
+                "fc2": {"kernel": nrm(keys[6], (l, f, d)), "bias": jnp.zeros((l, d), dtype)},
+            },
+        },
+    }
+    if cfg.qkv_bias:
+        params["layers"]["attn"]["qkv"]["bias"] = jnp.zeros((l, 3 * d), dtype)
+    if cfg.qk_normalization:
+        params["layers"]["attn"]["q_norm"] = {"scale": jnp.ones((l, d), dtype)}
+        params["layers"]["attn"]["k_norm"] = {"scale": jnp.ones((l, d), dtype)}
+    if cfg.norm_type == "layer_norm":
+        params["layers"]["norm1"]["bias"] = jnp.zeros((l, d), dtype)
+        params["layers"]["norm2"]["bias"] = jnp.zeros((l, d), dtype)
+    return params

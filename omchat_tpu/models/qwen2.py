@@ -1,0 +1,230 @@
+"""Qwen2 decoder — functional JAX with an HBM-resident KV cache.
+
+Re-implements the HF Qwen2 architecture the reference drives through
+``OmChatQwen2ForCausalLM`` (/root/reference/omchat/model/language_model/
+omchat_qwen2.py): GQA attention with qkv bias / o-proj without bias, RoPE
+(incl. the reference's linear / dynamic-NTK long-context scaling,
+modeling_llama.py:156-198), RMSNorm, SwiGLU MLP, optional tied lm_head.
+
+TPU-first design decisions:
+- layers stacked on a leading axis, executed with ``lax.scan`` — one compiled
+  layer body; the KV cache rides the scan as per-layer xs/ys so XLA can alias
+  the buffers in place,
+- a single forward covers prefill (S tokens at write offset) and decode
+  (S=1), replacing HF's legacy per-step tuple-cache concat
+  (SURVEY.md §6 "KV cache: legacy tuple cache, per-step concat"),
+- static max-length cache: [L, B, S_max, KVH, Dh].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from omchat_tpu.config import TextConfig
+from omchat_tpu.ops.attention import attention
+from omchat_tpu.ops.norms import rms_norm
+from omchat_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+class KVCache(NamedTuple):
+    """Per-layer stacked KV cache. k/v: [L, B, S_max, KVH, Dh]."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.attn_head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _mlp(y: jax.Array, p: dict) -> jax.Array:
+    """SwiGLU: down(silu(gate(y)) * up(y))."""
+    gate = y @ p["gate_proj"]["kernel"]
+    up = y @ p["up_proj"]["kernel"]
+    return (jax.nn.silu(gate) * up) @ p["down_proj"]["kernel"]
+
+
+def _attn_block(
+    cfg: TextConfig,
+    x: jax.Array,
+    layer: dict,
+    cos: jax.Array,
+    sin: jax.Array,
+    k_cache: Optional[jax.Array],
+    v_cache: Optional[jax.Array],
+    write_pos: Optional[jax.Array],
+    kv_len: Optional[jax.Array],
+    attn_impl: Optional[str],
+) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+    b, s, d = x.shape
+    h, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.attn_head_dim
+    p = layer["self_attn"]
+
+    q = x @ p["q_proj"]["kernel"]
+    k = x @ p["k_proj"]["kernel"]
+    v = x @ p["v_proj"]["kernel"]
+    if cfg.attention_bias:
+        q = q + p["q_proj"]["bias"]
+        k = k + p["k_proj"]["bias"]
+        v = v + p["v_proj"]["bias"]
+    q = q.reshape(b, s, h, hd)
+    k = k.reshape(b, s, kvh, hd)
+    v = v.reshape(b, s, kvh, hd)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if k_cache is not None:
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, write_pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, write_pos, 0, 0))
+        out = attention(
+            q,
+            k_cache,
+            v_cache,
+            causal=True,
+            q_offset=write_pos,
+            kv_len=kv_len,
+            impl=attn_impl,
+        )
+    else:
+        out = attention(q, k, v, causal=True, impl=attn_impl)
+
+    out = out.reshape(b, s, h * hd) @ p["o_proj"]["kernel"]
+    return out, k_cache, v_cache
+
+
+def _layer_forward(cfg, attn_impl, carry, xs):
+    x, cos, sin, write_pos, kv_len = carry
+    layer, k_cache, v_cache = xs
+    y = rms_norm(x, layer["input_layernorm"]["scale"], cfg.rms_norm_eps)
+    attn_out, k_cache, v_cache = _attn_block(
+        cfg, y, layer, cos, sin, k_cache, v_cache, write_pos, kv_len, attn_impl
+    )
+    x = x + attn_out
+    y = rms_norm(x, layer["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+    x = x + _mlp(y, layer["mlp"])
+    return (x, cos, sin, write_pos, kv_len), (k_cache, v_cache)
+
+
+def qwen2_forward(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jax.Array,
+    positions: jax.Array,
+    cache: Optional[KVCache] = None,
+    write_pos: Optional[jax.Array] = None,
+    kv_len: Optional[jax.Array] = None,
+    *,
+    attn_impl: Optional[str] = None,
+    remat: bool = False,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Run the decoder trunk (no lm_head).
+
+    Args:
+      inputs_embeds: [B, S, D] (callers embed tokens / splice image features).
+      positions: [B, S] integer positions for RoPE.
+      cache: optional KVCache; when given, K/V of this call are written at
+        ``write_pos`` and attention runs against the cache with valid length
+        ``kv_len`` (per-batch [B] or scalar).
+      write_pos: scalar int32 write offset into the cache (0 for prefill).
+      kv_len: valid cache length *after* this call's tokens are written.
+
+    Returns (hidden_states [B, S, D], updated cache or None).
+    """
+    cos, sin = rope_cos_sin(
+        positions,
+        cfg.attn_head_dim,
+        theta=cfg.rope_theta,
+        scaling=cfg.rope_scaling,
+        max_position_embeddings=cfg.max_position_embeddings,
+        dtype=inputs_embeds.dtype,
+    )
+
+    if write_pos is None:
+        write_pos = jnp.int32(0)
+    else:
+        write_pos = jnp.asarray(write_pos, jnp.int32)
+
+    body = functools.partial(_layer_forward, cfg, attn_impl)
+    if remat:
+        body = jax.checkpoint(body)
+
+    if cache is not None:
+        xs = (params["layers"], cache.k, cache.v)
+        (x, *_), (new_k, new_v) = jax.lax.scan(body, (inputs_embeds, cos, sin, write_pos, kv_len), xs)
+        new_cache = KVCache(k=new_k, v=new_v)
+    else:
+        def body_nocache(carry, layer):
+            c, _ = body(carry, (layer, None, None))
+            return c, None
+
+        (x, *_), _ = jax.lax.scan(body_nocache, (inputs_embeds, cos, sin, write_pos, kv_len), params["layers"])
+        new_cache = None
+
+    x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
+    return x, new_cache
+
+
+def lm_head(params: dict, cfg: TextConfig, hidden: jax.Array) -> jax.Array:
+    """Project to vocab logits (fp32)."""
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        kernel = params["embed_tokens"].T
+    else:
+        kernel = params["lm_head"]["kernel"]
+    return (hidden @ kernel.astype(hidden.dtype)).astype(jnp.float32)
+
+
+def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
+    """Token embedding lookup; out-of-range sentinel ids (-200) map to row 0."""
+    safe = jnp.where(input_ids < 0, 0, input_ids)
+    return jnp.take(params["embed_tokens"], safe, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Init (tests / dryrun)
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: TextConfig, dtype=jnp.float32) -> dict:
+    d, f, l, v = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers, cfg.vocab_size
+    h, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.attn_head_dim
+    keys = jax.random.split(key, 10)
+
+    def nrm(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    def proj(k, i, o, bias):
+        p = {"kernel": nrm(k, (l, i, o))}
+        if bias:
+            p["bias"] = jnp.zeros((l, o), dtype)
+        return p
+
+    params = {
+        "embed_tokens": nrm(keys[0], (v, d)),
+        "layers": {
+            "input_layernorm": {"scale": jnp.ones((l, d), dtype)},
+            "post_attention_layernorm": {"scale": jnp.ones((l, d), dtype)},
+            "self_attn": {
+                "q_proj": proj(keys[1], d, h * hd, cfg.attention_bias),
+                "k_proj": proj(keys[2], d, kvh * hd, cfg.attention_bias),
+                "v_proj": proj(keys[3], d, kvh * hd, cfg.attention_bias),
+                "o_proj": proj(keys[4], h * hd, d, False),
+            },
+            "mlp": {
+                "gate_proj": proj(keys[5], d, f, False),
+                "up_proj": proj(keys[6], d, f, False),
+                "down_proj": proj(keys[7], f, d, False),
+            },
+        },
+        "norm": {"scale": jnp.ones((d,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": nrm(keys[8], (d, v))}
+    return params

@@ -1,0 +1,126 @@
+"""Attention dispatcher.
+
+Replaces the reference's external flash-attn CUDA kernels (SURVEY.md §2.2):
+
+- ViT: non-causal packed-QKV flash (``flash_attn_varlen_qkvpacked_func``,
+  intern_vit_6b/flash_attention.py:51-73) → :func:`attention` with
+  ``causal=False``.
+- LLM prefill: causal GQA flash → ``causal=True``.
+- LLM decode: flash-decode over the HBM KV cache → :func:`decode_attention`.
+
+``impl='xla'`` is the reference implementation (einsum + fp32 softmax, fully
+fused by XLA and correct on any backend); ``impl='pallas'`` selects the Pallas
+TPU kernels in :mod:`omchat_tpu.ops.flash_attention` /
+:mod:`omchat_tpu.ops.decode_attention`.  Default: pallas on TPU, xla elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def default_impl() -> str:
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _repeat_kv(k: jax.Array, num_q_heads: int) -> jax.Array:
+    """[B, T, KVH, D] → [B, T, H, D] by repeating each kv head H/KVH times."""
+    kvh = k.shape[2]
+    if kvh == num_q_heads:
+        return k
+    return jnp.repeat(k, num_q_heads // kvh, axis=2)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_offset: Optional[jax.Array] = None,
+    kv_len: Optional[jax.Array] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Multi-head (optionally grouped-query) attention.
+
+    Args:
+      q: [B, S, H, D]
+      k, v: [B, T, KVH, D] with KVH dividing H (GQA)
+      causal: apply a causal mask where query i attends to kv j iff
+        ``j <= i + q_offset`` (q_offset defaults to T - S, the standard
+        "suffix" alignment used during chunked prefill).
+      q_offset: optional per-batch [B] or scalar offset of the first query row
+        within the kv sequence.
+      kv_len: optional [B] valid kv length; kv positions >= kv_len are masked.
+      impl: 'xla' | 'pallas' | None (auto).
+
+    Returns [B, S, H, D] in q.dtype.
+    """
+    impl = impl or default_impl()
+    if impl == "pallas":
+        from omchat_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len)
+    return _xla_attention(q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len)
+
+
+def _xla_attention(q, k, v, *, causal, q_offset, kv_len):
+    B, S, H, D = q.shape
+    T = k.shape[1]
+    k = _repeat_kv(k, H)
+    v = _repeat_kv(v, H)
+
+    scale = D**-0.5
+    # [B, H, S, T] scores in fp32.
+    scores = jnp.einsum("bshd,bthd->bhst", q.astype(jnp.float32) * scale, k.astype(jnp.float32))
+
+    mask = None
+    if causal:
+        if q_offset is None:
+            offset = jnp.full((B,), T - S, dtype=jnp.int32)
+        else:
+            offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+        q_pos = jnp.arange(S, dtype=jnp.int32)[None, :, None] + offset[:, None, None]  # [B,S,1]
+        kv_pos = jnp.arange(T, dtype=jnp.int32)[None, None, :]  # [1,1,T]
+        mask = kv_pos <= q_pos  # [B,S,T]
+    if kv_len is not None:
+        valid = jnp.arange(T, dtype=jnp.int32)[None, None, :] < jnp.broadcast_to(
+            jnp.asarray(kv_len, jnp.int32), (B,)
+        )[:, None, None]
+        mask = valid if mask is None else (mask & valid)
+
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :, :], scores, jnp.float32(-1e30))
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    cache_len: jax.Array,
+    *,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Single-step decode attention against a padded KV cache.
+
+    Args:
+      q: [B, 1, H, D] — the new token's queries.
+      k_cache, v_cache: [B, S_max, KVH, D] HBM-resident cache (new token already
+        written at position cache_len - 1).
+      cache_len: [B] current valid cache length (including the new token).
+
+    Returns [B, 1, H, D].
+    """
+    impl = impl or default_impl()
+    if impl == "pallas":
+        from omchat_tpu.ops.decode_attention import flash_decode
+
+        return flash_decode(q, k_cache, v_cache, cache_len)
+    return _xla_attention(q, k_cache, v_cache, causal=False, q_offset=None, kv_len=cache_len)

@@ -8,7 +8,9 @@ distributed tests — SURVEY.md §4).  Env vars must be set before jax imports.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment presets JAX_PLATFORMS=axon (the tunneled TPU); tests
+# must run on CPU with virtual devices, so force-override rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -20,6 +22,13 @@ sys.path.insert(0, REPO_ROOT)
 # Test-only shims (e.g. a minimal `timm` so the reference torch model can be
 # imported as a golden-parity oracle).
 sys.path.insert(0, os.path.join(REPO_ROOT, "tests", "_shims"))
+
+import jax
+
+# The container's sitecustomize.py registers the axon TPU plugin and sets
+# jax.config.jax_platforms="axon,cpu" in-process, which overrides the env var —
+# override it back before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
