@@ -82,8 +82,11 @@ def _attn_block(
     q, k = apply_rope(q, k, cos, sin)
 
     if k_cache is not None:
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, write_pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, write_pos, 0, 0))
+        # Per-sequence write offsets: vmapped dynamic_update_slice over batch.
+        upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (p, 0, 0)))
+        wp = jnp.broadcast_to(write_pos, (b,))
+        k_cache = upd(k_cache, k.astype(k_cache.dtype), wp)
+        v_cache = upd(v_cache, v.astype(v_cache.dtype), wp)
         out = attention(
             q,
             k_cache,
@@ -133,7 +136,8 @@ def qwen2_forward(
       cache: optional KVCache; when given, K/V of this call are written at
         ``write_pos`` and attention runs against the cache with valid length
         ``kv_len`` (per-batch [B] or scalar).
-      write_pos: scalar int32 write offset into the cache (0 for prefill).
+      write_pos: int32 write offset into the cache (scalar or per-batch [B];
+        0 for prefill).
       kv_len: valid cache length *after* this call's tokens are written.
 
     Returns (hidden_states [B, S, D], updated cache or None).

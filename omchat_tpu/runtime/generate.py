@@ -1,0 +1,323 @@
+"""Generation runtime: jitted prefill + jitted decode step + host streaming loop.
+
+Replaces the reference's HF ``GenerationMixin.generate`` host loop with its
+legacy tuple KV cache (SURVEY.md L0/§6): here prefill is one jitted call that
+fills a static-max-length HBM cache and returns the first-token logits, and
+each decode step is one jitted call (no per-step cache concatenation, no
+Python-side tensor surgery).  A fully on-device ``lax.while_loop`` decode is
+also provided for benchmarking / batch completion without per-token host sync.
+
+Shape discipline: merged prompt lengths are bucketed (multiples of 128) and the
+cache length is ``prompt_bucket + max_new_tokens``; distinct buckets compile
+once and are cached by jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omchat_tpu.config import GenerationConfig, OmChatConfig
+from omchat_tpu.models.omchat import (
+    MergePlan,
+    encode_images,
+    fuse_embeddings,
+    plan_multimodal_merge,
+    round_up_to_bucket,
+)
+from omchat_tpu.models.qwen2 import KVCache, embed_tokens, init_kv_cache, lm_head, qwen2_forward
+from omchat_tpu.ops.sampling import greedy, sample
+
+
+# ---------------------------------------------------------------------------
+# Jitted stages (closed over config via static args)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def _encode_images_jit(params, cfg: OmChatConfig, pixel_values, attn_impl=None):
+    feats = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
+    return feats.reshape(-1, feats.shape[-1])  # [N*L, D]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "attn_impl"))
+def _prefill_jit(
+    params,
+    cfg: OmChatConfig,
+    token_ids,
+    is_image,
+    image_index,
+    image_features,
+    positions,
+    lengths,
+    cache_len: int,
+    attn_impl=None,
+):
+    """Prefill: fuse embeddings, run the trunk, return last-valid-token logits
+    and the filled cache."""
+    b = token_ids.shape[0]
+    embeds = fuse_embeddings(params, token_ids, is_image, image_index, image_features)
+    cache = init_kv_cache(cfg.text, b, cache_len, dtype=embeds.dtype)
+    write_pos = jnp.zeros((b,), jnp.int32)
+    hidden, cache = qwen2_forward(
+        params["language_model"],
+        cfg.text,
+        embeds,
+        positions,
+        cache,
+        write_pos=write_pos,
+        kv_len=lengths,
+        attn_impl=attn_impl,
+    )
+    # hidden at the last valid position of each sequence (right padding).
+    idx = jnp.maximum(lengths - 1, 0)
+    last = jnp.take_along_axis(hidden, idx[:, None, None].astype(jnp.int32), axis=1)  # [B,1,D]
+    logits = lm_head(params["language_model"], cfg.text, last)[:, 0]  # [B, V]
+    return logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnames=("cache",))
+def _decode_step_jit(params, cfg: OmChatConfig, tokens, kv_len, cache: KVCache, attn_impl=None):
+    """One decode step.  tokens: [B], kv_len: [B] current length (pre-write)."""
+    embeds = embed_tokens(params["language_model"], tokens[:, None])
+    positions = kv_len[:, None]
+    hidden, cache = qwen2_forward(
+        params["language_model"],
+        cfg.text,
+        embeds,
+        positions,
+        cache,
+        write_pos=kv_len,
+        kv_len=kv_len + 1,
+        attn_impl=attn_impl,
+    )
+    logits = lm_head(params["language_model"], cfg.text, hidden)[:, 0]
+    return logits, cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_token_id", "attn_impl"),
+    donate_argnames=("cache",),
+)
+def _decode_loop_jit(
+    params,
+    cfg: OmChatConfig,
+    first_tokens,
+    kv_len,
+    cache: KVCache,
+    max_new_tokens: int,
+    eos_token_id: int,
+    attn_impl=None,
+):
+    """Fully on-device greedy decode via lax.while_loop (no per-token host sync).
+
+    Returns (tokens [B, max_new_tokens] padded with eos, num_generated [B])."""
+    b = first_tokens.shape[0]
+    out = jnp.full((b, max_new_tokens), eos_token_id, jnp.int32)
+    out = out.at[:, 0].set(first_tokens)
+    done = first_tokens == eos_token_id
+
+    def cond(state):
+        step, _, _, _, done, _ = state
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        step, tokens, kv_len, cache, done, out = state
+        logits, cache = _decode_step_inner(params, cfg, tokens, kv_len, cache, attn_impl)
+        next_tokens = jnp.where(done, jnp.int32(eos_token_id), greedy(logits))
+        out = out.at[:, step].set(next_tokens)
+        done = done | (next_tokens == eos_token_id)
+        return step + 1, next_tokens, kv_len + 1, cache, done, out
+
+    step, _, kv_len, _, done, out = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), first_tokens, kv_len, cache, done, out)
+    )
+    return out, step
+
+
+def _decode_step_inner(params, cfg, tokens, kv_len, cache, attn_impl):
+    embeds = embed_tokens(params["language_model"], tokens[:, None])
+    hidden, cache = qwen2_forward(
+        params["language_model"],
+        cfg.text,
+        embeds,
+        kv_len[:, None],
+        cache,
+        write_pos=kv_len,
+        kv_len=kv_len + 1,
+        attn_impl=attn_impl,
+    )
+    logits = lm_head(params["language_model"], cfg.text, hidden)[:, 0]
+    return logits, cache
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+
+class KeywordStopper:
+    """Host-side keyword stopping — the reference's KeywordsStoppingCriteria
+    (mm_utils.py:242-274) recast for the streaming loop."""
+
+    def __init__(self, keywords: Sequence[str], tokenizer):
+        self.keywords = list(keywords)
+        self.tokenizer = tokenizer
+
+    def should_stop(self, generated_ids: List[int]) -> bool:
+        if not self.keywords:
+            return False
+        text = self.tokenizer.decode(generated_ids, skip_special_tokens=True)
+        return any(k in text for k in self.keywords)
+
+
+@dataclass
+class GenerateOutput:
+    token_ids: List[List[int]]  # generated tokens per sequence (eos excluded)
+    prompt_len: np.ndarray
+
+
+class OmChatEngine:
+    """Host-side driver around the jitted stages.
+
+    Mirrors the reference inference contract: prompts arrive as input_ids with
+    ``-200`` sentinels plus a stack of image tiles (single_inference.py:43-62).
+    """
+
+    def __init__(
+        self,
+        cfg: OmChatConfig,
+        params: dict,
+        *,
+        attn_impl: Optional[str] = None,
+        prompt_bucket: int = 128,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.attn_impl = attn_impl
+        self.prompt_bucket = prompt_bucket
+
+    # -- stages ------------------------------------------------------------
+
+    def encode_images(self, pixel_values: np.ndarray) -> jax.Array:
+        """[N, 3, H, W] tiles → flattened [N*L, D] projected features."""
+        return _encode_images_jit(self.params, self.cfg, jnp.asarray(pixel_values), self.attn_impl)
+
+    def plan(self, batch_input_ids, pad_to=None) -> MergePlan:
+        return plan_multimodal_merge(
+            batch_input_ids,
+            self.cfg.image_seq_len,
+            pad_to=pad_to,
+            bucket=self.prompt_bucket,
+            max_length=self.cfg.tokenizer_model_max_length,
+        )
+
+    def prefill(self, plan: MergePlan, image_features: Optional[jax.Array], max_new_tokens: int):
+        cache_len = plan.max_len + round_up_to_bucket(max_new_tokens, self.prompt_bucket)
+        if image_features is None:
+            d = self.params["language_model"]["embed_tokens"].shape[1]
+            image_features = jnp.zeros((1, d), self.params["language_model"]["embed_tokens"].dtype)
+        logits, cache = _prefill_jit(
+            self.params,
+            self.cfg,
+            jnp.asarray(plan.token_ids),
+            jnp.asarray(plan.is_image),
+            jnp.asarray(plan.image_index),
+            image_features,
+            jnp.asarray(plan.positions),
+            jnp.asarray(plan.lengths),
+            cache_len,
+            self.attn_impl,
+        )
+        return logits, cache
+
+    # -- full generation ----------------------------------------------------
+
+    def generate(
+        self,
+        batch_input_ids: Sequence[Sequence[int]],
+        images: Optional[np.ndarray] = None,
+        generation: Optional[GenerationConfig] = None,
+        *,
+        stream_callback: Optional[Callable[[int], None]] = None,
+        stop_keywords: Sequence[str] = (),
+        tokenizer=None,
+        rng_key: Optional[jax.Array] = None,
+    ) -> GenerateOutput:
+        """Greedy/sampled decode with host streaming.
+
+        images: [N_total_tiles, 3, H, W] across the batch's sentinels, in
+        sentinel order (the reference's cur_image_idx contract)."""
+        gen = generation or GenerationConfig()
+        stopper = KeywordStopper(stop_keywords, tokenizer) if stop_keywords else None
+
+        feats = self.encode_images(images) if images is not None else None
+        plan = self.plan(batch_input_ids)
+        logits, cache = self.prefill(plan, feats, gen.max_new_tokens)
+
+        b = plan.token_ids.shape[0]
+        kv_len = jnp.asarray(plan.lengths)
+        key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+
+        generated: List[List[int]] = [[] for _ in range(b)]
+        done = np.zeros(b, bool)
+        tokens = None
+        for step in range(gen.max_new_tokens):
+            if gen.do_sample:
+                key, sub = jax.random.split(key)
+                tokens = sample(logits, sub, gen)
+            else:
+                tokens = greedy(logits)
+            toks = np.asarray(tokens)
+            for i in range(b):
+                if not done[i]:
+                    if int(toks[i]) == gen.eos_token_id:
+                        done[i] = True
+                    else:
+                        generated[i].append(int(toks[i]))
+                        if stream_callback is not None and b == 1:
+                            stream_callback(int(toks[i]))
+                        if stopper is not None and stopper.should_stop(generated[i]):
+                            done[i] = True
+            if done.all() or step == gen.max_new_tokens - 1:
+                break
+            logits, cache = _decode_step_jit(self.params, self.cfg, tokens, kv_len, cache, self.attn_impl)
+            kv_len = kv_len + 1
+
+        return GenerateOutput(token_ids=generated, prompt_len=plan.lengths)
+
+    def generate_ondevice(
+        self,
+        batch_input_ids: Sequence[Sequence[int]],
+        images: Optional[np.ndarray] = None,
+        generation: Optional[GenerationConfig] = None,
+    ):
+        """Fully on-device greedy decode (benchmark path; no per-token host sync)."""
+        gen = generation or GenerationConfig()
+        feats = self.encode_images(images) if images is not None else None
+        plan = self.plan(batch_input_ids)
+        logits, cache = self.prefill(plan, feats, gen.max_new_tokens)
+        first = greedy(logits)
+        out, num = _decode_loop_jit(
+            self.params,
+            self.cfg,
+            first,
+            jnp.asarray(plan.lengths),
+            cache,
+            gen.max_new_tokens,
+            gen.eos_token_id,
+            self.attn_impl,
+        )
+        out_np = np.asarray(out)
+        result = []
+        for i in range(out_np.shape[0]):
+            row = out_np[i].tolist()
+            row = row[: row.index(gen.eos_token_id)] if gen.eos_token_id in row else row
+            result.append(row)
+        return GenerateOutput(token_ids=result, prompt_len=plan.lengths)

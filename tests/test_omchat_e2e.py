@@ -1,0 +1,191 @@
+"""End-to-end parity: tiny OmChat (vision+projector+decoder+fusion+greedy decode)
+JAX vs the reference torch HF bundle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from omchat_tpu.config import OmChatConfig, ProjectorConfig, TextConfig, VisionConfig
+from omchat_tpu.checkpoint.loader import convert_omchat_state_dict
+from omchat_tpu.constants import IMAGE_TOKEN_INDEX
+from omchat_tpu.models.omchat import encode_images, fuse_embeddings, plan_multimodal_merge
+from omchat_tpu.models.qwen2 import lm_head, qwen2_forward
+from omchat_tpu.runtime.generate import OmChatEngine
+from omchat_tpu.config import GenerationConfig
+
+TINY_VISION = dict(
+    hidden_size=64,
+    num_attention_heads=4,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    image_size=56,
+    patch_size=14,
+    use_flash_attn=False,
+)
+TINY_TEXT = dict(
+    vocab_size=256,
+    hidden_size=48,
+    intermediate_size=96,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=512,
+    rope_theta=10000.0,
+    tie_word_embeddings=False,
+)
+IMG_TOKENS = 16  # (56/14)^2
+
+
+@pytest.fixture(scope="module")
+def ref_model(reference_path):
+    import torch
+    from transformers import Qwen2Config
+
+    import omchat.hf.modeling_omchat as M
+    from omchat.hf.configuration_omchat import InternVisionConfig, OmChatConfig as RefOmChatConfig
+
+    # The reference constructor hardcodes InternVisionModel(InternVisionConfig())
+    # with 6B defaults (modeling_omchat.py:680); patch the symbol to the tiny
+    # geometry for an affordable oracle.
+    orig = M.InternVisionConfig
+    M.InternVisionConfig = lambda: orig(**TINY_VISION)
+    try:
+        cfg = RefOmChatConfig(
+            vision_config=orig(**TINY_VISION),
+            text_config=Qwen2Config(**TINY_TEXT),
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        model = M.OmChatForConditionalGeneration(cfg).eval().float()
+    finally:
+        M.InternVisionConfig = orig
+
+    # The reference hardcodes fp16 casts in its vision path
+    # (modeling_omchat.py:745-763), which cannot run on an fp32 CPU oracle.
+    # Reproduce the same math (hidden_states[-1], CLS drop, projector) in fp32.
+    import types
+
+    def encode_images_fp32(self, images):
+        out = self.vision_tower(images, output_hidden_states=True)
+        return self.multi_modal_projector(out.hidden_states[-1][:, 1:])
+
+    model.encode_images = types.MethodType(encode_images_fp32, model)
+    return model
+
+
+@pytest.fixture(scope="module")
+def jax_setup(ref_model):
+    cfg = OmChatConfig(
+        vision=VisionConfig(
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            image_size=56,
+            patch_size=14,
+        ),
+        text=TextConfig(**TINY_TEXT),
+        projector=ProjectorConfig(projector_type="mlp2x_gelu", mlp_depth=2),
+    )
+    state = {k: v for k, v in ref_model.state_dict().items()}
+    params = convert_omchat_state_dict(state, cfg, dtype=jnp.float32)
+    return cfg, params
+
+
+def _prompt(n_tiles: int):
+    """input_ids with one -200 per tile, mimicking '<image>\\npatch:<image>...'."""
+    ids = [5, 6, 7]
+    for _ in range(n_tiles):
+        ids += [IMAGE_TOKEN_INDEX, 10]
+    ids += [11, 12, 13]
+    return ids
+
+
+def test_fusion_logits_match_reference(ref_model, jax_setup, rng):
+    import torch
+
+    cfg, params = jax_setup
+    n_tiles = 2
+    pixels = rng.standard_normal((n_tiles, 3, 56, 56)).astype(np.float32)
+    ids = _prompt(n_tiles)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            input_ids=torch.tensor([ids]),
+            images=torch.from_numpy(pixels),
+            attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+        )
+    ref_logits = ref_out.logits.numpy()
+
+    feats = encode_images(params, cfg, jnp.asarray(pixels), attn_impl="xla")
+    feats_flat = feats.reshape(-1, feats.shape[-1])
+    plan = plan_multimodal_merge([ids], cfg.image_seq_len, bucket=1)
+    embeds = fuse_embeddings(
+        params, jnp.asarray(plan.token_ids), jnp.asarray(plan.is_image), jnp.asarray(plan.image_index), feats_flat
+    )
+    hidden, _ = qwen2_forward(
+        params["language_model"], cfg.text, embeds, jnp.asarray(plan.positions), attn_impl="xla"
+    )
+    ours = lm_head(params["language_model"], cfg.text, hidden)
+
+    assert ours.shape == ref_logits.shape
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=5e-5, rtol=1e-3)
+
+
+def test_greedy_decode_matches_reference(ref_model, jax_setup, rng):
+    """Stepwise greedy decode: engine (prefill+cached decode) vs reference
+    full-reforward argmax each step."""
+    import torch
+
+    cfg, params = jax_setup
+    n_tiles = 1
+    pixels = rng.standard_normal((n_tiles, 3, 56, 56)).astype(np.float32)
+    ids = _prompt(n_tiles)
+    max_new = 8
+
+    # Reference: re-forward the whole (growing) sequence each step.
+    ref_tokens = []
+    cur = list(ids)
+    with torch.no_grad():
+        for _ in range(max_new):
+            out = ref_model(
+                input_ids=torch.tensor([cur]),
+                images=torch.from_numpy(pixels),
+                attention_mask=torch.ones(1, len(cur), dtype=torch.long),
+            )
+            nxt = int(out.logits[0, -1].argmax())
+            ref_tokens.append(nxt)
+            cur.append(nxt)
+
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=8)
+    gen = GenerationConfig(max_new_tokens=max_new, eos_token_id=-1)  # no eos in tiny vocab
+    out = engine.generate([ids], pixels, gen)
+    assert out.token_ids[0] == ref_tokens
+
+    # On-device while_loop decode must agree with the host loop.
+    out2 = engine.generate_ondevice([ids], pixels, gen)
+    assert out2.token_ids[0][:max_new] == ref_tokens
+
+
+def test_text_only_generation(jax_setup):
+    cfg, params = jax_setup
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=8)
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+    out = engine.generate([[5, 6, 7, 8]], None, gen)
+    assert len(out.token_ids[0]) == 4
+
+
+def test_batch_generation_varied_lengths(jax_setup, rng):
+    """Batched prefill/decode with different prompt lengths (right padding)."""
+    cfg, params = jax_setup
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=8)
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+
+    a, b = [5, 6, 7, 8], [9, 10, 11, 12, 13, 14]
+    out_batch = engine.generate([a, b], None, gen)
+    out_a = engine.generate([a], None, gen)
+    out_b = engine.generate([b], None, gen)
+    assert out_batch.token_ids[0] == out_a.token_ids[0]
+    assert out_batch.token_ids[1] == out_b.token_ids[0]
