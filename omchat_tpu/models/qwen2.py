@@ -31,18 +31,22 @@ from omchat_tpu.ops.rope import apply_rope, rope_cos_sin
 
 
 class KVCache(NamedTuple):
-    """Per-layer stacked KV cache. k/v: [L, B, S_max, KVH, Dh]."""
+    """Per-layer stacked, head-major KV cache. k/v: [L, B, KVH, S_max, Dh].
+
+    Head-major layout keeps each (batch, kv-head) sequence contiguous in HBM —
+    the unit the flash-decode kernel streams — and makes the KVH axis the
+    natural tensor-parallel shard dimension."""
 
     k: jax.Array
     v: jax.Array
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.attn_head_dim)
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.attn_head_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -82,20 +86,27 @@ def _attn_block(
     q, k = apply_rope(q, k, cos, sin)
 
     if k_cache is not None:
-        # Per-sequence write offsets: vmapped dynamic_update_slice over batch.
-        upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (p, 0, 0)))
+        # Cache layout is head-major [B, KVH, T, Dh]; write this call's K/V at
+        # each sequence's offset (vmapped dynamic_update_slice over batch).
+        upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0)))
         wp = jnp.broadcast_to(write_pos, (b,))
-        k_cache = upd(k_cache, k.astype(k_cache.dtype), wp)
-        v_cache = upd(v_cache, v.astype(v_cache.dtype), wp)
-        out = attention(
-            q,
-            k_cache,
-            v_cache,
-            causal=True,
-            q_offset=write_pos,
-            kv_len=kv_len,
-            impl=attn_impl,
-        )
+        k_cache = upd(k_cache, k.astype(k_cache.dtype).transpose(0, 2, 1, 3), wp)
+        v_cache = upd(v_cache, v.astype(v_cache.dtype).transpose(0, 2, 1, 3), wp)
+        if s == 1:
+            from omchat_tpu.ops.attention import decode_attention
+
+            out = decode_attention(q, k_cache, v_cache, kv_len, impl=attn_impl)
+        else:
+            out = attention(
+                q,
+                k_cache,
+                v_cache,
+                causal=True,
+                q_offset=write_pos,
+                kv_len=kv_len,
+                impl=attn_impl,
+                kv_format="bntd",
+            )
     else:
         out = attention(q, k, v, causal=True, impl=attn_impl)
 

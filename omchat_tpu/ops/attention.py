@@ -43,12 +43,14 @@ def attention(
     q_offset: Optional[jax.Array] = None,
     kv_len: Optional[jax.Array] = None,
     impl: Optional[str] = None,
+    kv_format: str = "btnd",
 ) -> jax.Array:
     """Multi-head (optionally grouped-query) attention.
 
     Args:
       q: [B, S, H, D]
-      k, v: [B, T, KVH, D] with KVH dividing H (GQA)
+      k, v: [B, T, KVH, D] ("btnd", default) or the head-major KV-cache layout
+        [B, KVH, T, D] ("bntd"); KVH divides H (GQA).
       causal: apply a causal mask where query i attends to kv j iff
         ``j <= i + q_offset`` (q_offset defaults to T - S, the standard
         "suffix" alignment used during chunked prefill).
@@ -63,7 +65,12 @@ def attention(
     if impl == "pallas":
         from omchat_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len)
+        return flash_attention(
+            q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len, kv_format=kv_format
+        )
+    if kv_format == "bntd":
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
     return _xla_attention(q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len)
 
 
@@ -112,8 +119,8 @@ def decode_attention(
 
     Args:
       q: [B, 1, H, D] — the new token's queries.
-      k_cache, v_cache: [B, S_max, KVH, D] HBM-resident cache (new token already
-        written at position cache_len - 1).
+      k_cache, v_cache: [B, KVH, S_max, D] head-major HBM-resident cache (new
+        token already written at position cache_len - 1).
       cache_len: [B] current valid cache length (including the new token).
 
     Returns [B, 1, H, D].
@@ -123,4 +130,11 @@ def decode_attention(
         from omchat_tpu.ops.decode_attention import flash_decode
 
         return flash_decode(q, k_cache, v_cache, cache_len)
-    return _xla_attention(q, k_cache, v_cache, causal=False, q_offset=None, kv_len=cache_len)
+    return _xla_attention(
+        q,
+        k_cache.transpose(0, 2, 1, 3),
+        v_cache.transpose(0, 2, 1, 3),
+        causal=False,
+        q_offset=None,
+        kv_len=cache_len,
+    )

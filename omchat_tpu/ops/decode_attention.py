@@ -1,0 +1,166 @@
+"""Pallas TPU flash-decode: one new token's GQA attention against the HBM KV cache.
+
+TPU-native replacement for the reference's decode-step flash-attn call
+(SURVEY.md §2.2 "Pallas flash-decode kernel against an HBM-resident ...
+KV cache").  Shapes follow the head-major cache layout used by
+:mod:`omchat_tpu.models.qwen2` — k/v: [B, KVH, T_max, D] — so each
+(batch, kv-head) tile streams contiguously from HBM.
+
+Design:
+- grid (B, KVH, T/block_k), KV tiles innermost; per-(b,g) online softmax in
+  VMEM scratch;
+- all G = H/KVH query heads of a kv group ride one MXU matmul
+  ([G_pad, D] @ [D, block_k]);
+- per-batch cache lengths via scalar prefetch; tiles past the length are
+  compute-skipped AND their index map clamps to the last valid tile, so no
+  dead HBM traffic for the (bucketed-cache − actual-length) tail.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from omchat_tpu.ops.flash_attention import DEFAULT_MASK_VALUE
+
+
+def _decode_kernel(
+    lengths_ref,  # scalar prefetch: [B] int32 valid cache lengths
+    q_ref,  # [G_pad, D]
+    k_ref,  # [block_k, D]
+    v_ref,  # [block_k, D]
+    o_ref,  # [G_pad, D]
+    m_scratch,  # [G_pad, 128] fp32
+    l_scratch,  # [G_pad, 128] fp32
+    acc_scratch,  # [G_pad, D] fp32
+    *,
+    sm_scale: float,
+    block_k: int,
+    num_kv_blocks: int,
+):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    length = lengths_ref[b]
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    @pl.when(ki * block_k < length)
+    def _run():
+        g_pad = q_ref.shape[0]
+        q = q_ref[...]
+        k = k_ref[...]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [G_pad, block_k]
+        s = s * sm_scale
+
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (g_pad, block_k), 1) + ki * block_k
+        s = jnp.where(col_ids < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+
+        v = v_ref[...]
+        o_curr = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + o_curr
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def flash_decode(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    cache_len: jax.Array,
+    *,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode attention.  q: [B, 1, H, D]; k/v cache: [B, KVH, T, D];
+    cache_len: [B] valid lengths.  Returns [B, 1, H, D]."""
+    B, S, H, D = q.shape
+    assert S == 1, "flash_decode handles a single query position"
+    KVH, T = k_cache.shape[1], k_cache.shape[2]
+    group = H // KVH
+    g_pad = max(8, _round_up(group, 8))
+
+    block_k = min(block_k, _round_up(T, 128))
+    t_pad = _round_up(T, block_k)
+    if t_pad != T:
+        pad = ((0, 0), (0, 0), (0, t_pad - T), (0, 0))
+        k_cache = jnp.pad(k_cache, pad)
+        v_cache = jnp.pad(v_cache, pad)
+    num_kv_blocks = t_pad // block_k
+
+    # [B, 1, H, D] → [B, KVH, G_pad, D] (group-major heads, padded sublanes)
+    qg = q[:, 0].reshape(B, KVH, group, D)
+    if g_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+
+    lengths = jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (B,))
+
+    def q_index(b, g, ki, lens):
+        return (b, g, 0, 0)
+
+    def kv_index(b, g, ki, lens):
+        last = jnp.maximum(pl.cdiv(lens[b], block_k) - 1, 0)
+        return (b, g, jnp.minimum(ki, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KVH, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((None, None, g_pad, D), q_index),
+            pl.BlockSpec((None, None, block_k, D), kv_index),
+            pl.BlockSpec((None, None, block_k, D), kv_index),
+        ],
+        out_specs=pl.BlockSpec((None, None, g_pad, D), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, D), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _decode_kernel,
+        sm_scale=D**-0.5,
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, g_pad, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, qg, k_cache, v_cache)
+
+    return out[:, :, :group].reshape(B, 1, H, D)

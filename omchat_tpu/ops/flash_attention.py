@@ -1,0 +1,235 @@
+"""Pallas TPU flash attention (forward, inference).
+
+TPU-native replacement for the reference's external flash-attn CUDA kernels
+(SURVEY.md §2.2):
+
+- non-causal packed-QKV ViT attention (`flash_attn_varlen_qkvpacked_func`,
+  intern_vit_6b/flash_attention.py:51-73),
+- causal GQA prefill (`flash_attn_func`, modeling_llama.py:604-621 / HF Qwen2).
+
+Design:
+- grid (B, H, Sq/block_q, T/block_k) with the KV dimension innermost
+  ("arbitrary" semantics) so the online-softmax scratch (m, l, acc) persists
+  across KV tiles of one Q tile;
+- GQA handled in the BlockSpec index map (q head h reads kv head h // group)
+  — no materialized ``repeat_kv``;
+- per-batch causal offset and valid-kv-length arrive via scalar prefetch; the
+  KV index map clamps out-of-range tiles to the last needed tile so the
+  auto-pipeline never DMAs data the kernel will not use (ragged-length aware);
+- fp32 softmax statistics; bf16 inputs hit the MXU with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _attn_kernel(
+    # scalar prefetch: [2, B] int32 — row 0: causal q offsets, row 1: kv valid lengths
+    scalars_ref,
+    q_ref,  # [block_q, D]
+    k_ref,  # [block_k, D]
+    v_ref,  # [block_k, D]
+    o_ref,  # [block_q, D]
+    m_scratch,  # [block_q, 128] fp32
+    l_scratch,  # [block_q, 128] fp32
+    acc_scratch,  # [block_q, D] fp32
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    num_kv_blocks: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    q_off = scalars_ref[0, b]
+    kv_len = scalars_ref[1, b]
+
+    # Tile-level skip: causal tiles fully above the diagonal and tiles fully
+    # past the valid kv length contribute nothing.
+    row_max = qi * block_q + block_q - 1 + (q_off if causal else 0)
+    in_range = (ki * block_k) < kv_len
+    needed = in_range & ((ki * block_k) <= row_max) if causal else in_range
+
+    @pl.when(needed)
+    def _run():
+        q = q_ref[...]
+        k = k_ref[...]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, block_k]
+        s = s * sm_scale
+
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
+        mask = col_ids < kv_len
+        if causal:
+            row_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + qi * block_q
+                + q_off
+            )
+            mask = mask & (col_ids <= row_ids)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]  # [block_q, 128]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # broadcast → [block_q, 128]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        v = v_ref[...]
+        o_curr = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + o_curr
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "kv_format", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_offset: Optional[jax.Array] = None,
+    kv_len: Optional[jax.Array] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    kv_format: str = "btnd",
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention forward.
+
+    q: [B, S, H, D]; k/v: [B, T, KVH, D] ("btnd") or [B, KVH, T, D] ("bntd").
+    Returns [B, S, H, D] in q.dtype.  Semantics match
+    :func:`omchat_tpu.ops.attention._xla_attention`.
+    """
+    B, S, H, D = q.shape
+    if kv_format == "btnd":
+        T, KVH = k.shape[1], k.shape[2]
+    else:
+        KVH, T = k.shape[1], k.shape[2]
+    group = H // KVH
+
+    block_q = min(block_q, _round_up(S, 128))
+    block_k = min(block_k, _round_up(T, 128))
+    s_pad = _round_up(S, block_q)
+    t_pad = _round_up(T, block_k)
+
+    if s_pad != S:
+        q = jnp.pad(q, ((0, 0), (0, s_pad - S), (0, 0), (0, 0)))
+    if t_pad != T:
+        pad_t = ((0, 0), (0, t_pad - T), (0, 0), (0, 0)) if kv_format == "btnd" else (
+            (0, 0),
+            (0, 0),
+            (0, t_pad - T),
+            (0, 0),
+        )
+        k = jnp.pad(k, pad_t)
+        v = jnp.pad(v, pad_t)
+
+    if q_offset is None:
+        q_offset = jnp.full((B,), T - S, jnp.int32)
+    else:
+        q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+    if kv_len is None:
+        kv_len = jnp.full((B,), T, jnp.int32)
+    else:
+        kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
+    scalars = jnp.stack([q_offset, kv_len])  # [2, B]
+
+    num_q_blocks = s_pad // block_q
+    num_kv_blocks = t_pad // block_k
+
+    def q_index(b, h, qi, ki, scalars):
+        return (b, qi, h, 0)
+
+    def kv_index(b, h, qi, ki, scalars):
+        # Clamp the kv tile to the last tile this (b, qi) actually needs, so
+        # skipped tiles re-fetch an already-needed tile instead of streaming
+        # dead data from HBM.
+        last_len = jnp.maximum(pl.cdiv(scalars[1, b], block_k) - 1, 0)
+        if causal:
+            row_max = qi * block_q + block_q - 1 + scalars[0, b]
+            last_causal = jax.lax.div(row_max, block_k)
+            last = jnp.minimum(last_len, last_causal)
+        else:
+            last = last_len
+        ki = jnp.minimum(ki, last)
+        if kv_format == "btnd":
+            return (b, ki, h // group, 0)
+        return (b, h // group, ki, 0)
+
+    kv_block = (
+        (None, block_k, None, D) if kv_format == "btnd" else (None, None, block_k, D)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((None, block_q, None, D), q_index),
+            pl.BlockSpec(kv_block, kv_index),
+            pl.BlockSpec(kv_block, kv_index),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, None, D), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _attn_kernel,
+        causal=causal,
+        sm_scale=D**-0.5,
+        block_q=block_q,
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, s_pad, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scalars, q, k, v)
+
+    return out[:, :S]

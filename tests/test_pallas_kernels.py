@@ -1,0 +1,98 @@
+"""Pallas kernel correctness vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from omchat_tpu.ops.attention import _xla_attention
+from omchat_tpu.ops.decode_attention import flash_decode
+from omchat_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+def test_noncausal_matches_xla(rng):
+    """ViT-style: S == T, no masking beyond the (padded) length."""
+    B, S, H, D = 2, 130, 4, 128  # 130 exercises the padded remainder
+    q, k, v = _rand(rng, B, S, H, D), _rand(rng, B, S, H, D), _rand(rng, B, S, H, D)
+    ref = _xla_attention(q, k, v, causal=False, q_offset=None, kv_len=None)
+    out = flash_attention(q, k, v, causal=False, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_causal_matches_xla(rng):
+    B, S, H, D = 1, 200, 2, 128
+    q, k, v = _rand(rng, B, S, H, D), _rand(rng, B, S, H, D), _rand(rng, B, S, H, D)
+    ref = _xla_attention(q, k, v, causal=True, q_offset=None, kv_len=None)
+    out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_gqa_with_lengths_and_offset(rng):
+    """Prefill-against-cache shape: kv longer than q, per-batch offset + kv_len."""
+    B, S, T, H, KVH, D = 2, 64, 256, 4, 2, 128
+    q = _rand(rng, B, S, H, D)
+    k, v = _rand(rng, B, T, KVH, D), _rand(rng, B, T, KVH, D)
+    q_offset = jnp.asarray([32, 64], jnp.int32)
+    kv_len = jnp.asarray([96, 128], jnp.int32)
+    ref = _xla_attention(q, k, v, causal=True, q_offset=q_offset, kv_len=kv_len)
+    out = flash_attention(
+        q, k, v, causal=True, q_offset=q_offset, kv_len=kv_len,
+        block_q=64, block_k=128, interpret=True,
+    )
+    # Only rows within the valid region are meaningful; rows beyond kv_len have
+    # fully-masked score rows in both impls but may differ in garbage content.
+    for b in range(B):
+        valid_rows = int(kv_len[b]) - int(q_offset[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :valid_rows], np.asarray(ref)[b, :valid_rows], atol=2e-5, rtol=1e-4
+        )
+
+
+def test_bntd_kv_format(rng):
+    B, S, T, H, KVH, D = 1, 128, 256, 4, 2, 128
+    q = _rand(rng, B, S, H, D)
+    k, v = _rand(rng, B, KVH, T, D), _rand(rng, B, KVH, T, D)
+    kv_len = jnp.asarray([200], jnp.int32)
+    ref = _xla_attention(
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        causal=True, q_offset=jnp.asarray([72]), kv_len=kv_len,
+    )
+    out = flash_attention(
+        q, k, v, causal=True, q_offset=jnp.asarray([72]), kv_len=kv_len,
+        kv_format="bntd", block_q=128, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_decode_matches_xla(rng):
+    B, H, KVH, D, T = 2, 28, 4, 128, 384
+    q = _rand(rng, B, 1, H, D)
+    k = _rand(rng, B, KVH, T, D)
+    v = _rand(rng, B, KVH, T, D)
+    lengths = jnp.asarray([137, 384], jnp.int32)
+    ref = _xla_attention(
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        causal=False, q_offset=None, kv_len=lengths,
+    )
+    out = flash_decode(q, k, v, lengths, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_decode_group_not_multiple_of_8(rng):
+    """G = H/KVH = 7 (Qwen2-7B) exercises sublane padding."""
+    B, H, KVH, D, T = 1, 28, 4, 128, 128
+    q = _rand(rng, B, 1, H, D)
+    k = _rand(rng, B, KVH, T, D)
+    v = _rand(rng, B, KVH, T, D)
+    lengths = jnp.asarray([100], jnp.int32)
+    ref = _xla_attention(
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        causal=False, q_offset=None, kv_len=lengths,
+    )
+    out = flash_decode(q, k, v, lengths, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
