@@ -140,9 +140,13 @@ def flash_attention(
     B, S, H, D = q.shape
     if kv_format == "btnd":
         T, KVH = k.shape[1], k.shape[2]
+        # Kernel-native layout is head-major (Mosaic tiles the last two dims).
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
     else:
         KVH, T = k.shape[1], k.shape[2]
     group = H // KVH
+    q = q.transpose(0, 2, 1, 3)  # [B, H, S, D]
 
     block_q = min(block_q, _round_up(S, 128))
     block_k = min(block_k, _round_up(T, 128))
@@ -150,14 +154,9 @@ def flash_attention(
     t_pad = _round_up(T, block_k)
 
     if s_pad != S:
-        q = jnp.pad(q, ((0, 0), (0, s_pad - S), (0, 0), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
     if t_pad != T:
-        pad_t = ((0, 0), (0, t_pad - T), (0, 0), (0, 0)) if kv_format == "btnd" else (
-            (0, 0),
-            (0, 0),
-            (0, t_pad - T),
-            (0, 0),
-        )
+        pad_t = ((0, 0), (0, 0), (0, t_pad - T), (0, 0))
         k = jnp.pad(k, pad_t)
         v = jnp.pad(v, pad_t)
 
@@ -175,7 +174,7 @@ def flash_attention(
     num_kv_blocks = t_pad // block_k
 
     def q_index(b, h, qi, ki, scalars):
-        return (b, qi, h, 0)
+        return (b, h, qi, 0)
 
     def kv_index(b, h, qi, ki, scalars):
         # Clamp the kv tile to the last tile this (b, qi) actually needs, so
@@ -189,23 +188,19 @@ def flash_attention(
         else:
             last = last_len
         ki = jnp.minimum(ki, last)
-        if kv_format == "btnd":
-            return (b, ki, h // group, 0)
         return (b, h // group, ki, 0)
 
-    kv_block = (
-        (None, block_k, None, D) if kv_format == "btnd" else (None, None, block_k, D)
-    )
+    kv_block = (None, None, block_k, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H, num_q_blocks, num_kv_blocks),
         in_specs=[
-            pl.BlockSpec((None, block_q, None, D), q_index),
+            pl.BlockSpec((None, None, block_q, D), q_index),
             pl.BlockSpec(kv_block, kv_index),
             pl.BlockSpec(kv_block, kv_index),
         ],
-        out_specs=pl.BlockSpec((None, block_q, None, D), q_index),
+        out_specs=pl.BlockSpec((None, None, block_q, D), q_index),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -225,11 +220,11 @@ def flash_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, s_pad, H, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, s_pad, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(scalars, q, k, v)
 
-    return out[:, :S]
+    return out[:, :, :S].transpose(0, 2, 1, 3)

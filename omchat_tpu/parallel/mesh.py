@@ -1,0 +1,45 @@
+"""Device mesh construction.
+
+The TPU-native replacement for the reference's NCCL/torch.distributed process
+groups (SURVEY.md §5 "Distributed communication backend"): a
+``jax.sharding.Mesh`` over ICI with named axes, collectives emitted by GSPMD
+under pjit — no runtime daemon, no process-group objects.
+
+Axes:
+- ``data``: data parallel (batch) — also the FSDP shard axis when
+  ``fsdp=True`` shardings are used,
+- ``model``: tensor parallel (Megatron-style column/row splits).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    tp: int = 1,
+    dp: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh.  tp divides the device count; dp fills the rest.
+
+    The model axis is placed innermost so tensor-parallel collectives ride the
+    fastest ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % tp != 0:
+        raise ValueError(f"tp={tp} does not divide device count {n}")
+    dp = dp if dp is not None else n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp * tp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def shard(mesh: Mesh, spec: P) -> NamedSharding:
+    return NamedSharding(mesh, spec)

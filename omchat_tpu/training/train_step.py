@@ -1,0 +1,131 @@
+"""Multimodal training step — pjit over a (data, model) mesh.
+
+The reference never shipped its training loop (SURVEY.md §0: dead deepspeed/
+NCCL utilities only); this module supplies the TPU-native equivalent the
+framework needs to be complete: a jitted train step with
+
+- the same vision→projector→splice→decoder forward as inference
+  (labels = −100 on image/pad rows, reference omchat_arch.py:152),
+- next-token CE with IGNORE_INDEX masking (fused logsumexp form),
+- optax AdamW, gradients and optimizer state sharded like the params
+  (ZeRO-style when the param specs use fsdp),
+- ``jax.checkpoint`` rematerialization of the transformer layers, standing in
+  for the reference's gradient_checkpointing=True default
+  (modeling_intern_vit.py:242).
+
+bf16 params + fp32 loss; no GradScaler needed on TPU (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from omchat_tpu.config import OmChatConfig
+from omchat_tpu.constants import IGNORE_INDEX
+from omchat_tpu.models.omchat import encode_images, fuse_embeddings
+from omchat_tpu.models.qwen2 import lm_head, qwen2_forward
+from omchat_tpu.ops.cross_entropy import cross_entropy_loss
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(lr: float = 1e-5, weight_decay: float = 0.0, b1=0.9, b2=0.95) -> optax.GradientTransformation:
+    return optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+
+
+def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.int32(0))
+
+
+def loss_fn(
+    params: dict,
+    cfg: OmChatConfig,
+    batch: dict,
+    *,
+    attn_impl: Optional[str] = None,
+    remat: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """batch: token_ids [B,M], is_image [B,M], image_index [B,M], positions
+    [B,M], labels [B,M] (−100 on ignored rows), pixel_values [N,3,H,W]."""
+    pixel_values = batch.get("pixel_values")
+    if pixel_values is not None:
+        feats = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
+        feats = feats.reshape(-1, feats.shape[-1])
+    else:
+        feats = None
+    embeds = fuse_embeddings(params, batch["token_ids"], batch["is_image"], batch["image_index"], feats)
+    hidden, _ = qwen2_forward(
+        params["language_model"], cfg.text, embeds, batch["positions"], attn_impl=attn_impl, remat=remat
+    )
+    logits = lm_head(params["language_model"], cfg.text, hidden)
+    # next-token prediction: shift left
+    shifted_labels = jnp.concatenate(
+        [batch["labels"][:, 1:], jnp.full_like(batch["labels"][:, :1], IGNORE_INDEX)], axis=1
+    )
+    loss, n = cross_entropy_loss(logits, shifted_labels)
+    return loss, n
+
+
+def train_step(
+    state: TrainState,
+    cfg: OmChatConfig,
+    batch: dict,
+    optimizer: optax.GradientTransformation,
+    *,
+    attn_impl: Optional[str] = None,
+    remat: bool = True,
+) -> Tuple[TrainState, jax.Array]:
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, cfg, batch, attn_impl=attn_impl, remat=remat
+    )
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
+
+
+def make_sharded_train_step(
+    cfg: OmChatConfig,
+    mesh: Mesh,
+    param_specs: dict,
+    optimizer: optax.GradientTransformation,
+    *,
+    attn_impl: Optional[str] = None,
+    remat: bool = True,
+):
+    """jit the train step with explicit in/out shardings over the mesh.
+
+    Batch arrays shard over ``data`` on their leading axis; params/opt state
+    follow ``param_specs``.
+    """
+    batch_spec = {
+        "token_ids": P("data"),
+        "is_image": P("data"),
+        "image_index": P("data"),
+        "positions": P("data"),
+        "labels": P("data"),
+        "pixel_values": P("data"),
+    }
+
+    def to_sharding(tree):
+        return jax.tree.map(
+            lambda s: NamedSharding(mesh, s), tree, is_leaf=lambda x: isinstance(x, P)
+        )
+
+    step_fn = functools.partial(train_step, optimizer=optimizer, attn_impl=attn_impl, remat=remat)
+
+    # GSPMD propagates shardings from the placed operands (params/opt state per
+    # param_specs, batch per batch_spec); callers place inputs with the returned
+    # sharding trees (see parallel.sharding.shard_params).
+    jitted = jax.jit(step_fn, static_argnames=("cfg",))
+
+    return jitted, to_sharding(batch_spec), to_sharding(param_specs)
