@@ -1,0 +1,192 @@
+"""Benchmark: flagship OmChat-v2.0-13B single-image inference on one TPU chip.
+
+Measures the BASELINE.json metrics on the real flagship geometry
+(InternViT-6B, 45 layers, hidden 3200 + Qwen2-7B, 28 layers, hidden 3584):
+
+- ViT encode throughput (images/s, 5-tile anyres batch → 5×1025-token ViT fwd)
+- prefill TTFT (5×1024 image tokens + text ≈ 5.2k-token prefill)
+- decode tokens/sec/chip (on-device lax.while_loop greedy decode, no per-token
+  host sync)
+
+Weights are synthetic (the published checkpoint is not available offline) with
+int8 weight-only quantization, which is how a 13B model serves on a single
+16GB chip; matmuls run bf16 on the MXU with fp32 softmax statistics — the
+throughput is representative of the quantized serving configuration.
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.md: "published: {}"); the build target is >2× the A100
+reference stack.  Baseline constant below = 30 tok/s, an estimate for the
+reference's actual serving path on A100 (HF transformers 4.41 ``generate``
+with the legacy tuple KV cache, fp16, flash-attn2 — single-stream Qwen2-7B
+decode; see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from omchat_tpu.config import GenerationConfig, OmChatConfig
+from omchat_tpu.constants import IMAGE_TOKEN_INDEX
+from omchat_tpu.runtime.generate import (
+    OmChatEngine,
+    _decode_loop_jit,
+    _encode_images_jit,
+)
+from omchat_tpu.ops.sampling import greedy
+
+A100_REFERENCE_DECODE_TOKS = 30.0  # see module docstring
+
+N_TILES = 5  # 896×896 anyres: thumbnail + 4 tiles
+TEXT_TOKENS = 64
+DECODE_TOKENS = 256
+
+
+def _sync(x) -> float:
+    """Force completion on the axon tunnel backend (block_until_ready does not
+    wait for remote execution): read back one element."""
+    return float(jnp.ravel(x)[0])
+
+
+def _synth_params(cfg: OmChatConfig, rng: np.random.Generator) -> dict:
+    """Build the flagship param tree directly in serving dtypes (int8 kernels +
+    bf16 scales/bias/embeds) without ever materializing fp32 weights."""
+
+    def lin(i, o, bias=True, layers=None):
+        shape_k = (layers, i, o) if layers else (i, o)
+        shape_s = (layers, o) if layers else (o,)
+        p = {
+            "kernel_q": jnp.asarray(rng.integers(-127, 128, size=shape_k, dtype=np.int8)),
+            "scale": jnp.full(shape_s, 0.02 / 127, jnp.bfloat16),
+        }
+        if bias:
+            p["bias"] = jnp.zeros(shape_s, jnp.bfloat16)
+        return p
+
+    def bf16(shape, scale=0.02):
+        return jnp.asarray((rng.standard_normal(shape) * scale).astype(np.float32), dtype=jnp.bfloat16)
+
+    v, t = cfg.vision, cfg.text
+    lv, d, f = v.num_hidden_layers, v.hidden_size, v.intermediate_size
+    vision = {
+        "class_embedding": bf16((d,), 1.0),
+        "position_embedding": bf16((v.num_patch_tokens + 1, d)),
+        "patch_embedding": {"kernel": bf16((v.patch_size, v.patch_size, 3, d)), "bias": jnp.zeros((d,), jnp.bfloat16)},
+        "layers": {
+            "norm1": {"scale": jnp.ones((lv, d), jnp.bfloat16)},
+            "norm2": {"scale": jnp.ones((lv, d), jnp.bfloat16)},
+            "ls1": jnp.full((lv, d), 0.1, jnp.bfloat16),
+            "ls2": jnp.full((lv, d), 0.1, jnp.bfloat16),
+            "attn": {
+                "qkv": lin(d, 3 * d, bias=False, layers=lv),
+                "proj": lin(d, d, layers=lv),
+                "q_norm": {"scale": jnp.ones((lv, d), jnp.bfloat16)},
+                "k_norm": {"scale": jnp.ones((lv, d), jnp.bfloat16)},
+            },
+            "mlp": {"fc1": lin(d, f, layers=lv), "fc2": lin(f, d, layers=lv)},
+        },
+    }
+    lt, dt, ft = t.num_hidden_layers, t.hidden_size, t.intermediate_size
+    hd, h, kvh = t.attn_head_dim, t.num_attention_heads, t.num_key_value_heads
+    text = {
+        "embed_tokens": bf16((t.vocab_size, dt)),
+        "layers": {
+            "input_layernorm": {"scale": jnp.ones((lt, dt), jnp.bfloat16)},
+            "post_attention_layernorm": {"scale": jnp.ones((lt, dt), jnp.bfloat16)},
+            "self_attn": {
+                "q_proj": lin(dt, h * hd, layers=lt),
+                "k_proj": lin(dt, kvh * hd, layers=lt),
+                "v_proj": lin(dt, kvh * hd, layers=lt),
+                "o_proj": lin(h * hd, dt, bias=False, layers=lt),
+            },
+            "mlp": {
+                "gate_proj": lin(dt, ft, bias=False, layers=lt),
+                "up_proj": lin(dt, ft, bias=False, layers=lt),
+                "down_proj": lin(ft, dt, bias=False, layers=lt),
+            },
+        },
+        "norm": {"scale": jnp.ones((dt,), jnp.bfloat16)},
+        "lm_head": lin(dt, t.vocab_size, bias=False),
+    }
+    projector = {
+        "linear_1": lin(cfg.vision.hidden_size, dt),
+        "linear_2": lin(dt, dt),
+    }
+    return {"vision_tower": vision, "projector": projector, "language_model": text}
+
+
+def main():
+    rng = np.random.default_rng(0)
+    cfg = OmChatConfig.omchat_v2_13b()
+    params = _synth_params(cfg, rng)
+    engine = OmChatEngine(cfg, params)
+
+    pixels = jnp.asarray(rng.standard_normal((N_TILES, 3, 448, 448)).astype(np.float32), dtype=jnp.bfloat16)
+    ids = [151644] * 3 + [IMAGE_TOKEN_INDEX] * N_TILES + list(range(1000, 1000 + TEXT_TOKENS)) + [151645]
+
+    # --- ViT encode ---
+    feats = engine.encode_images(pixels)
+    _sync(feats)  # compile + settle
+    t0 = time.perf_counter()
+    n_rep = 5
+    for _ in range(n_rep):
+        feats = engine.encode_images(pixels)
+    _sync(feats)  # queued back-to-back; one readback drains the stream
+    vit_time = (time.perf_counter() - t0) / n_rep
+    vit_images_per_sec = 1.0 / vit_time  # one anyres image (= N_TILES tiles) per call
+
+    # --- Prefill (TTFT) ---
+    plan = engine.plan([ids])
+    logits, cache = engine.prefill(plan, feats, DECODE_TOKENS)
+    _sync(logits)  # compile
+    t0 = time.perf_counter()
+    feats2 = engine.encode_images(pixels)
+    logits, cache = engine.prefill(plan, feats2, DECODE_TOKENS)
+    _sync(logits)
+    ttft = time.perf_counter() - t0  # encode + prefill = time to first token
+
+    # --- Decode (on-device loop) ---
+    first = greedy(logits)
+    out, steps = _decode_loop_jit(
+        params, cfg, first, jnp.asarray(plan.lengths), cache, DECODE_TOKENS, -1, None
+    )
+    _sync(out)  # compile
+    logits, cache = engine.prefill(plan, feats2, DECODE_TOKENS)
+    first = greedy(logits)
+    _sync(first)
+    t0 = time.perf_counter()
+    out, steps = _decode_loop_jit(
+        params, cfg, first, jnp.asarray(plan.lengths), cache, DECODE_TOKENS, -1, None
+    )
+    _sync(out)
+    decode_time = time.perf_counter() - t0
+    decode_toks = (DECODE_TOKENS - 1) / decode_time  # first token came from prefill
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_sec_chip",
+                "value": round(decode_toks, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(decode_toks / A100_REFERENCE_DECODE_TOKS, 2),
+                "extra": {
+                    "model": "omchat-v2.0-13B geometry (InternViT-6B + Qwen2-7B), int8 weights",
+                    "ttft_ms": round(ttft * 1000, 1),
+                    "vit_images_per_sec": round(vit_images_per_sec, 2),
+                    "prefill_tokens": int(plan.lengths[0]),
+                    "anyres_tiles": N_TILES,
+                    "decode_tokens": DECODE_TOKENS,
+                    "baseline_assumption": "30 tok/s: A100 fp16 HF-4.41 generate (reference stack)",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

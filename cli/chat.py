@@ -1,0 +1,59 @@
+"""Interactive multi-turn chat — behavioral equivalent of the reference's
+cli.py REPL, with one fix the reference documents but does not wire up:
+history is actually threaded through ``make_context`` (the reference passes
+None each turn, cli.py:55; SURVEY.md §3.2).  ``--no-history`` restores the
+reference-exact per-turn-independent behavior."""
+
+import argparse
+
+from PIL import Image
+
+from omchat_tpu.api import load_pretrained_model
+from omchat_tpu.config import GenerationConfig
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--image-path", type=str, default=None)
+    parser.add_argument("--max-new-tokens", type=int, default=1024)
+    parser.add_argument("--no-history", action="store_true", help="reference-exact: drop history each turn")
+    parser.add_argument("--int8", action="store_true")
+    args = parser.parse_args()
+
+    model = load_pretrained_model(args.model_path, quantize_int8=args.int8)
+    image = Image.open(args.image_path).convert("RGB") if args.image_path else None
+    gen = GenerationConfig(max_new_tokens=args.max_new_tokens)
+
+    history = []
+    print("omchat-tpu chat — empty line to exit")
+    while True:
+        try:
+            question = input("user: ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not question:
+            break
+
+        printed = []
+
+        def stream(token_id: int):
+            text = model.tokenizer.decode(printed + [token_id], skip_special_tokens=True)
+            prev = model.tokenizer.decode(printed, skip_special_tokens=True)
+            print(text[len(prev) :], end="", flush=True)
+            printed.append(token_id)
+
+        print("assistant: ", end="", flush=True)
+        answer = model.chat(
+            question,
+            image=image,
+            history=None if args.no_history else list(history),
+            generation=gen,
+            stream_callback=stream,
+        )
+        print()
+        history.append((question, answer))
+
+
+if __name__ == "__main__":
+    main()

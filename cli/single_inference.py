@@ -1,0 +1,39 @@
+"""Single-shot image Q&A — behavioral equivalent of the reference's
+single_inference.py (same flags, same prompt construction, streamed greedy
+decode with eos 151645, max_new_tokens 1024)."""
+
+import argparse
+
+from PIL import Image
+
+from omchat_tpu.api import load_pretrained_model
+from omchat_tpu.config import GenerationConfig
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--image-path", type=str, required=True)
+    parser.add_argument("--question", type=str, required=True)
+    parser.add_argument("--max-new-tokens", type=int, default=1024)
+    parser.add_argument("--int8", action="store_true", help="int8 weight-only quantization")
+    args = parser.parse_args()
+
+    model = load_pretrained_model(args.model_path, quantize_int8=args.int8)
+    image = Image.open(args.image_path).convert("RGB")
+
+    printed = []
+
+    def stream(token_id: int):
+        text = model.tokenizer.decode(printed + [token_id], skip_special_tokens=True)
+        prev = model.tokenizer.decode(printed, skip_special_tokens=True)
+        print(text[len(prev) :], end="", flush=True)
+        printed.append(token_id)
+
+    gen = GenerationConfig(max_new_tokens=args.max_new_tokens)
+    model.chat(args.question, image=image, generation=gen, stream_callback=stream)
+    print()
+
+
+if __name__ == "__main__":
+    main()

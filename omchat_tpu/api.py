@@ -1,0 +1,79 @@
+"""High-level API — the equivalent of the reference's model builder + processor.
+
+``load_pretrained_model`` mirrors /root/reference/omchat/model/builder.py:22
+(tokenizer + model + image processor + context length) and returns a ready
+:class:`~omchat_tpu.runtime.generate.OmChatEngine`.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+
+from omchat_tpu.checkpoint.loader import load_omchat_checkpoint
+from omchat_tpu.config import GenerationConfig, OmChatConfig
+from omchat_tpu.processing.image_processor import OmChatImageProcessor
+from omchat_tpu.processing.processor import OmChatProcessor
+from omchat_tpu.runtime.generate import OmChatEngine
+
+
+@dataclass
+class OmChatModel:
+    """Bundled tokenizer + engine + processors (the builder.py return tuple,
+    plus the jitted engine)."""
+
+    tokenizer: object
+    engine: OmChatEngine
+    image_processor: OmChatImageProcessor
+    processor: OmChatProcessor
+    config: OmChatConfig
+    context_len: int = 8192
+
+    def chat(
+        self,
+        text: str,
+        image=None,
+        history=None,
+        generation: Optional[GenerationConfig] = None,
+        stream_callback=None,
+    ) -> str:
+        """One chat turn: build the anyres context, generate, decode."""
+        inputs = self.processor(text, images=image, history=history)
+        out = self.engine.generate(
+            [inputs["input_ids"][0].tolist()],
+            inputs.get("images"),
+            generation or GenerationConfig(),
+            stream_callback=stream_callback,
+            tokenizer=self.tokenizer,
+        )
+        return self.tokenizer.decode(out.token_ids[0], skip_special_tokens=True)
+
+
+def load_pretrained_model(
+    model_path: str,
+    dtype=jnp.bfloat16,
+    *,
+    quantize_int8: bool = False,
+    attn_impl: Optional[str] = None,
+) -> OmChatModel:
+    """Load an OmChat checkpoint directory (HF-bundle or repo-native layout)."""
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=True)
+    config, params = load_omchat_checkpoint(model_path, dtype)
+    if quantize_int8:
+        from omchat_tpu.ops.linear import quantize_tree
+
+        params = quantize_tree(params)
+    engine = OmChatEngine(config, params, attn_impl=attn_impl)
+    image_processor = OmChatImageProcessor(
+        crop_size=config.vision.image_size,
+        shortest_edge=config.vision.image_size,
+        image_grid_pinpoints=config.image_grid_pinpoints,
+    )
+    processor = OmChatProcessor(tokenizer, image_processor)
+    context_len = config.tokenizer_model_max_length or 8192
+    return OmChatModel(tokenizer, engine, image_processor, processor, config, context_len)

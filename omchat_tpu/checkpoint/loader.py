@@ -172,14 +172,20 @@ def convert_qwen2(state: Dict[str, np.ndarray], cfg: TextConfig, dtype=jnp.bfloa
                 "v_proj": proj("self_attn.v_proj", cfg.attention_bias),
                 "o_proj": proj("self_attn.o_proj", False),
             },
-            "mlp": {
-                "gate_proj": proj("mlp.gate_proj", False),
-                "up_proj": proj("mlp.up_proj", False),
-                "down_proj": proj("mlp.down_proj", False),
-            },
+            "mlp": None,  # filled below (dense SwiGLU or MoE)
         },
         "norm": {"scale": jnp.asarray(g("model.norm.weight"), dtype)},
     }
+    if cfg.is_moe:
+        from omchat_tpu.models.qwen2_moe import convert_hf_moe_layers
+
+        params["layers"]["mlp"] = convert_hf_moe_layers(state, cfg, dtype)
+    else:
+        params["layers"]["mlp"] = {
+            "gate_proj": proj("mlp.gate_proj", False),
+            "up_proj": proj("mlp.up_proj", False),
+            "down_proj": proj("mlp.down_proj", False),
+        }
     if not cfg.tie_word_embeddings and "lm_head.weight" in state:
         params["lm_head"] = {"kernel": jnp.asarray(g("lm_head.weight").T, dtype)}
     return params

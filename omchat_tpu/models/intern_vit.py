@@ -27,6 +27,7 @@ import numpy as np
 
 from omchat_tpu.config import VisionConfig
 from omchat_tpu.ops.attention import attention
+from omchat_tpu.ops.linear import dense
 from omchat_tpu.ops.norms import apply_norm, rms_norm
 
 
@@ -123,9 +124,7 @@ def _layer_forward(cfg: VisionConfig, x: jax.Array, layer: dict, *, attn_impl: O
 
     # Attention
     y = apply_norm(x, layer["norm1"], cfg.layer_norm_eps)
-    qkv = y @ layer["attn"]["qkv"]["kernel"]
-    if "bias" in layer["attn"]["qkv"]:
-        qkv = qkv + layer["attn"]["qkv"]["bias"]
+    qkv = dense(y, layer["attn"]["qkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, N, D]
     if cfg.qk_normalization:
         # qk-RMSNorm over the flattened (head, head_dim) axis
@@ -136,14 +135,13 @@ def _layer_forward(cfg: VisionConfig, x: jax.Array, layer: dict, *, attn_impl: O
     k = k.reshape(b, n, h, hd)
     v = v.reshape(b, n, h, hd)
     attn_out = attention(q, k, v, causal=False, impl=attn_impl).reshape(b, n, d)
-    attn_out = attn_out @ layer["attn"]["proj"]["kernel"] + layer["attn"]["proj"]["bias"]
+    attn_out = dense(attn_out, layer["attn"]["proj"])
     x = x + attn_out * layer["ls1"]
 
     # MLP (exact GELU, as transformers ACT2FN['gelu'])
     y = apply_norm(x, layer["norm2"], cfg.layer_norm_eps)
-    y = y @ layer["mlp"]["fc1"]["kernel"] + layer["mlp"]["fc1"]["bias"]
-    y = jax.nn.gelu(y, approximate=False)
-    y = y @ layer["mlp"]["fc2"]["kernel"] + layer["mlp"]["fc2"]["bias"]
+    y = jax.nn.gelu(dense(y, layer["mlp"]["fc1"]), approximate=False)
+    y = dense(y, layer["mlp"]["fc2"])
     return x + y * layer["ls2"]
 
 

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from omchat_tpu.config import ProjectorConfig
+from omchat_tpu.ops.linear import dense
 
 
 def projector_forward(params: dict, cfg: ProjectorConfig, features: jax.Array) -> jax.Array:
@@ -20,17 +21,16 @@ def projector_forward(params: dict, cfg: ProjectorConfig, features: jax.Array) -
     if t == "identity":
         return features
     if t == "linear":
-        return features @ params["linear_1"]["kernel"] + params["linear_1"]["bias"]
+        return dense(features, params["linear_1"])
     if t == "cabstract":
         from omchat_tpu.models.cabstractor import cabstractor_forward
 
         return cabstractor_forward(params, cfg, features)
     # mlpNx_gelu
-    x = features @ params["linear_1"]["kernel"] + params["linear_1"]["bias"]
+    x = dense(features, params["linear_1"])
     for i in range(2, cfg.mlp_depth + 1):
         x = jax.nn.gelu(x, approximate=False)
-        p = params[f"linear_{i}"]
-        x = x @ p["kernel"] + p["bias"]
+        x = dense(x, params[f"linear_{i}"])
     return x
 
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from omchat_tpu.config import TextConfig
 from omchat_tpu.ops.attention import attention
+from omchat_tpu.ops.linear import dense
 from omchat_tpu.ops.norms import rms_norm
 from omchat_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -52,9 +53,7 @@ def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16)
 
 def _mlp(y: jax.Array, p: dict) -> jax.Array:
     """SwiGLU: down(silu(gate(y)) * up(y))."""
-    gate = y @ p["gate_proj"]["kernel"]
-    up = y @ p["up_proj"]["kernel"]
-    return (jax.nn.silu(gate) * up) @ p["down_proj"]["kernel"]
+    return dense(jax.nn.silu(dense(y, p["gate_proj"])) * dense(y, p["up_proj"]), p["down_proj"])
 
 
 def _attn_block(
@@ -73,13 +72,9 @@ def _attn_block(
     h, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.attn_head_dim
     p = layer["self_attn"]
 
-    q = x @ p["q_proj"]["kernel"]
-    k = x @ p["k_proj"]["kernel"]
-    v = x @ p["v_proj"]["kernel"]
-    if cfg.attention_bias:
-        q = q + p["q_proj"]["bias"]
-        k = k + p["k_proj"]["bias"]
-        v = v + p["v_proj"]["bias"]
+    q = dense(x, p["q_proj"])
+    k = dense(x, p["k_proj"])
+    v = dense(x, p["v_proj"])
     q = q.reshape(b, s, h, hd)
     k = k.reshape(b, s, kvh, hd)
     v = v.reshape(b, s, kvh, hd)
@@ -110,7 +105,7 @@ def _attn_block(
     else:
         out = attention(q, k, v, causal=True, impl=attn_impl)
 
-    out = out.reshape(b, s, h * hd) @ p["o_proj"]["kernel"]
+    out = dense(out.reshape(b, s, h * hd), p["o_proj"])
     return out, k_cache, v_cache
 
 
@@ -190,10 +185,8 @@ def qwen2_forward(
 def lm_head(params: dict, cfg: TextConfig, hidden: jax.Array) -> jax.Array:
     """Project to vocab logits (fp32)."""
     if cfg.tie_word_embeddings or "lm_head" not in params:
-        kernel = params["embed_tokens"].T
-    else:
-        kernel = params["lm_head"]["kernel"]
-    return (hidden @ kernel.astype(hidden.dtype)).astype(jnp.float32)
+        return (hidden @ params["embed_tokens"].T.astype(hidden.dtype)).astype(jnp.float32)
+    return dense(hidden, params["lm_head"]).astype(jnp.float32)
 
 
 def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:

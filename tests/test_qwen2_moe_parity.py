@@ -1,0 +1,99 @@
+"""Logit-parity: JAX Qwen2-MoE vs HF transformers (tiny config, fp32 CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from omchat_tpu.config import TextConfig
+from omchat_tpu.checkpoint.loader import convert_qwen2
+from omchat_tpu.models.qwen2 import embed_tokens, init_kv_cache, lm_head
+from omchat_tpu.models.qwen2_moe import qwen2_moe_forward
+
+TINY = dict(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=512,
+    rope_theta=10000.0,
+    tie_word_embeddings=False,
+    num_experts=8,
+    num_experts_per_tok=2,
+    moe_intermediate_size=32,
+    shared_expert_intermediate_size=64,
+    decoder_sparse_step=1,
+    norm_topk_prob=False,
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    import torch
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    hf_cfg = Qwen2MoeConfig(
+        **{k: v for k, v in TINY.items()},
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = Qwen2MoeForCausalLM(hf_cfg).eval().float()
+    cfg = TextConfig(**TINY)
+    params = convert_qwen2(model.state_dict(), cfg, dtype=jnp.float32)
+    return model, cfg, params
+
+
+def test_moe_logits_match_hf(models, rng):
+    import torch
+
+    model, cfg, params = models
+    ids = rng.integers(0, 256, size=(2, 13), dtype=np.int64)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).logits.numpy()
+
+    x = embed_tokens(params, jnp.asarray(ids))
+    hidden, _ = qwen2_moe_forward(
+        params, cfg, x, jnp.broadcast_to(jnp.arange(13), (2, 13)), attn_impl="xla"
+    )
+    ours = lm_head(params, cfg, hidden)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-5, rtol=1e-3)
+
+
+def test_moe_decode_cache_parity(models, rng):
+    import torch
+
+    model, cfg, params = models
+    ids = rng.integers(0, 256, size=(1, 10), dtype=np.int64)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).logits.numpy()
+
+    cache = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    x = embed_tokens(params, jnp.asarray(ids[:, :7]))
+    hidden, cache = qwen2_moe_forward(
+        params, cfg, x, jnp.arange(7)[None], cache, write_pos=0, kv_len=jnp.asarray([7]), attn_impl="xla"
+    )
+    for t in range(7, 10):
+        x = embed_tokens(params, jnp.asarray(ids[:, t : t + 1]))
+        hidden, cache = qwen2_moe_forward(
+            params, cfg, x, jnp.asarray([[t]]), cache, write_pos=t, kv_len=jnp.asarray([t + 1]), attn_impl="xla"
+        )
+        logits = lm_head(params, cfg, hidden)
+        np.testing.assert_allclose(np.asarray(logits[0, 0]), ref[0, t], atol=5e-5, rtol=1e-3)
+
+
+def test_moe_gmm_matches_dense(models, rng):
+    """The megablox grouped-matmul path must agree with the dense-all path."""
+    pytest.importorskip("jax.experimental.pallas.ops.tpu.megablox")
+    model, cfg, params = models
+    ids = rng.integers(0, 256, size=(1, 8), dtype=np.int64)
+    x = embed_tokens(params, jnp.asarray(ids))
+    pos = jnp.arange(8)[None]
+    ref, _ = qwen2_moe_forward(params, cfg, x, pos, attn_impl="xla", moe_impl="dense")
+    try:
+        out, _ = qwen2_moe_forward(params, cfg, x, pos, attn_impl="xla", moe_impl="gmm")
+    except Exception as e:  # pragma: no cover - gmm may be TPU-only
+        pytest.skip(f"gmm unavailable on this backend: {e}")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-3)

@@ -1,0 +1,48 @@
+"""Video path: 32-frame sampling, per-frame encode, sentinel-per-frame prompt."""
+
+import numpy as np
+from PIL import Image
+
+import jax.numpy as jnp
+
+from omchat_tpu.config import GenerationConfig, OmChatConfig
+from omchat_tpu.constants import IMAGE_TOKEN_INDEX
+from omchat_tpu.processing.chat import make_context, tokenizer_image_token
+from omchat_tpu.processing.video import process_video_frames, sample_frame_indices, video_prompt
+from omchat_tpu.runtime.generate import OmChatEngine
+
+
+def test_sample_frame_indices():
+    assert sample_frame_indices(10, 32) == list(range(10))
+    idx = sample_frame_indices(1000, 32)
+    assert len(idx) == 32 and idx[0] == 0 and idx[-1] == 999
+    assert idx == sorted(idx)
+
+
+def test_process_video_frames(rng):
+    frames = [Image.fromarray(rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)) for _ in range(50)]
+    arr = process_video_frames(frames, tile_size=56, num_samples=8)
+    assert arr.shape == (8, 3, 56, 56)
+    assert arr.dtype == np.float32
+
+
+def test_video_prompt_sentinels(mock_tokenizer):
+    prompt = video_prompt("what happens?", 4)
+    ids = tokenizer_image_token(prompt, mock_tokenizer)
+    assert ids.count(IMAGE_TOKEN_INDEX) == 4
+
+
+def test_video_generation_e2e(rng):
+    """Frames flow through the engine as per-frame tiles."""
+    from tests.test_sharding import _tiny_params
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=8)
+
+    n_frames = 3
+    frames = rng.standard_normal((n_frames, 3, 56, 56)).astype(np.float32)
+    ids = [5] + [IMAGE_TOKEN_INDEX] * n_frames + [6, 7]
+    gen = GenerationConfig(max_new_tokens=3, eos_token_id=-1)
+    out = engine.generate([ids], frames, gen)
+    assert len(out.token_ids[0]) == 3
