@@ -23,7 +23,9 @@ decode; see BASELINE.md).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
+import functools
 import json
+import sys
 import time
 
 import numpy as np
@@ -55,13 +57,28 @@ def _sync(x) -> float:
 
 def _synth_params(cfg: OmChatConfig, rng: np.random.Generator) -> dict:
     """Build the flagship param tree directly in serving dtypes (int8 kernels +
-    bf16 scales/bias/embeds) without ever materializing fp32 weights."""
+    bf16 scales/bias/embeds), generated ON DEVICE — 13.6GB of synthetic weights
+    must not cross the host↔device link."""
+    # Pseudo-random weight fill via a fused iota hash: a jitted elementwise
+    # program writes int8/bf16 directly with no full-size int32/fp32
+    # intermediate in HBM (jax.random would OOM generating 13.6GB of weights).
+    _salt = iter(range(1, 1024))
+
+    @functools.partial(jax.jit, static_argnames=("shape", "dtype"))
+    def _hash_fill(salt, shape, dtype):
+        h = jnp.uint32(2166136261) * jnp.uint32(salt)
+        for axis in range(len(shape)):
+            h = h ^ (jax.lax.broadcasted_iota(jnp.uint32, shape, axis) * jnp.uint32(16777619 + axis * 101))
+            h = h * jnp.uint32(2654435761)
+        if dtype == jnp.int8:
+            return (h % jnp.uint32(255)).astype(jnp.int32).astype(jnp.int8) - 127
+        return ((h % jnp.uint32(2048)).astype(jnp.float32) / 1024.0 - 1.0).astype(dtype)
 
     def lin(i, o, bias=True, layers=None):
         shape_k = (layers, i, o) if layers else (i, o)
         shape_s = (layers, o) if layers else (o,)
         p = {
-            "kernel_q": jnp.asarray(rng.integers(-127, 128, size=shape_k, dtype=np.int8)),
+            "kernel_q": _hash_fill(next(_salt), shape_k, jnp.int8),
             "scale": jnp.full(shape_s, 0.02 / 127, jnp.bfloat16),
         }
         if bias:
@@ -69,7 +86,7 @@ def _synth_params(cfg: OmChatConfig, rng: np.random.Generator) -> dict:
         return p
 
     def bf16(shape, scale=0.02):
-        return jnp.asarray((rng.standard_normal(shape) * scale).astype(np.float32), dtype=jnp.bfloat16)
+        return _hash_fill(next(_salt), shape, jnp.bfloat16) * scale
 
     v, t = cfg.vision, cfg.text
     lv, d, f = v.num_hidden_layers, v.hidden_size, v.intermediate_size
@@ -120,18 +137,25 @@ def _synth_params(cfg: OmChatConfig, rng: np.random.Generator) -> dict:
     return {"vision_tower": vision, "projector": projector, "language_model": text}
 
 
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     rng = np.random.default_rng(0)
     cfg = OmChatConfig.omchat_v2_13b()
     params = _synth_params(cfg, rng)
+    _log("params built")
     engine = OmChatEngine(cfg, params)
 
     pixels = jnp.asarray(rng.standard_normal((N_TILES, 3, 448, 448)).astype(np.float32), dtype=jnp.bfloat16)
     ids = [151644] * 3 + [IMAGE_TOKEN_INDEX] * N_TILES + list(range(1000, 1000 + TEXT_TOKENS)) + [151645]
 
     # --- ViT encode ---
+    _log("compiling ViT encode")
     feats = engine.encode_images(pixels)
     _sync(feats)  # compile + settle
+    _log("ViT compiled")
     t0 = time.perf_counter()
     n_rep = 5
     for _ in range(n_rep):
@@ -142,8 +166,10 @@ def main():
 
     # --- Prefill (TTFT) ---
     plan = engine.plan([ids])
+    _log("compiling prefill")
     logits, cache = engine.prefill(plan, feats, DECODE_TOKENS)
     _sync(logits)  # compile
+    _log("prefill compiled")
     t0 = time.perf_counter()
     feats2 = engine.encode_images(pixels)
     logits, cache = engine.prefill(plan, feats2, DECODE_TOKENS)
@@ -152,10 +178,12 @@ def main():
 
     # --- Decode (on-device loop) ---
     first = greedy(logits)
+    _log("compiling decode loop")
     out, steps = _decode_loop_jit(
         params, cfg, first, jnp.asarray(plan.lengths), cache, DECODE_TOKENS, -1, None
     )
     _sync(out)  # compile
+    _log("decode loop compiled")
     logits, cache = engine.prefill(plan, feats2, DECODE_TOKENS)
     first = greedy(logits)
     _sync(first)

@@ -1,0 +1,169 @@
+"""Checkpoint saving: pytree → safetensors (HF layout) and orbax train state.
+
+The export side of the weight-name contract (the counterpart of
+/root/reference/convert_omchat_to_hf.py): :func:`save_hf_safetensors` writes
+the HF-bundle key layout (``vision_tower.*``, ``multi_modal_projector.*``,
+``language_model.*``) so checkpoints round-trip through
+:mod:`omchat_tpu.checkpoint.loader`.
+
+:class:`TrainCheckpointer` is the training-side save/auto-resume, replacing
+the reference's dead torch-AMP/deepspeed checkpoint machinery
+(multimodal_encoder/utils.py:444-517) with orbax.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _t(a) -> np.ndarray:
+    return np.asarray(a)
+
+
+def flatten_to_hf_state(params: dict) -> Dict[str, np.ndarray]:
+    """Inverse of loader.convert_omchat_state_dict: pytree → flat HF-layout
+    torch-convention (transposed, unstacked) tensors."""
+    out: Dict[str, np.ndarray] = {}
+
+    def vis(p: dict, prefix: str):
+        out[f"{prefix}embeddings.class_embedding"] = _t(p["class_embedding"]).reshape(1, 1, -1)
+        out[f"{prefix}embeddings.position_embedding"] = _t(p["position_embedding"])[None]
+        out[f"{prefix}embeddings.patch_embedding.weight"] = _t(
+            p["patch_embedding"]["kernel"]
+        ).transpose(3, 2, 0, 1)
+        out[f"{prefix}embeddings.patch_embedding.bias"] = _t(p["patch_embedding"]["bias"])
+        layers = p["layers"]
+        n = _t(layers["ls1"]).shape[0]
+        for i in range(n):
+            lp = f"{prefix}encoder.layers.{i}."
+            out[lp + "norm1.weight"] = _t(layers["norm1"]["scale"][i])
+            out[lp + "norm2.weight"] = _t(layers["norm2"]["scale"][i])
+            if "bias" in layers["norm1"]:
+                out[lp + "norm1.bias"] = _t(layers["norm1"]["bias"][i])
+                out[lp + "norm2.bias"] = _t(layers["norm2"]["bias"][i])
+            out[lp + "ls1"] = _t(layers["ls1"][i])
+            out[lp + "ls2"] = _t(layers["ls2"][i])
+            out[lp + "attn.qkv.weight"] = _t(layers["attn"]["qkv"]["kernel"][i]).T
+            if "bias" in layers["attn"]["qkv"]:
+                out[lp + "attn.qkv.bias"] = _t(layers["attn"]["qkv"]["bias"][i])
+            out[lp + "attn.proj.weight"] = _t(layers["attn"]["proj"]["kernel"][i]).T
+            out[lp + "attn.proj.bias"] = _t(layers["attn"]["proj"]["bias"][i])
+            if "q_norm" in layers["attn"]:
+                out[lp + "attn.q_norm.weight"] = _t(layers["attn"]["q_norm"]["scale"][i])
+                out[lp + "attn.k_norm.weight"] = _t(layers["attn"]["k_norm"]["scale"][i])
+            out[lp + "mlp.fc1.weight"] = _t(layers["mlp"]["fc1"]["kernel"][i]).T
+            out[lp + "mlp.fc1.bias"] = _t(layers["mlp"]["fc1"]["bias"][i])
+            out[lp + "mlp.fc2.weight"] = _t(layers["mlp"]["fc2"]["kernel"][i]).T
+            out[lp + "mlp.fc2.bias"] = _t(layers["mlp"]["fc2"]["bias"][i])
+
+    def lm(p: dict, prefix: str):
+        out[f"{prefix}model.embed_tokens.weight"] = _t(p["embed_tokens"])
+        layers = p["layers"]
+        n = _t(layers["input_layernorm"]["scale"]).shape[0]
+        for i in range(n):
+            lp = f"{prefix}model.layers.{i}."
+            out[lp + "input_layernorm.weight"] = _t(layers["input_layernorm"]["scale"][i])
+            out[lp + "post_attention_layernorm.weight"] = _t(
+                layers["post_attention_layernorm"]["scale"][i]
+            )
+            for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                pp = layers["self_attn"][name]
+                out[lp + f"self_attn.{name}.weight"] = _t(pp["kernel"][i]).T
+                if "bias" in pp:
+                    out[lp + f"self_attn.{name}.bias"] = _t(pp["bias"][i])
+            mlp = layers["mlp"]
+            if "gate_proj" in mlp:  # dense
+                for name in ("gate_proj", "up_proj", "down_proj"):
+                    out[lp + f"mlp.{name}.weight"] = _t(mlp[name]["kernel"][i]).T
+            else:  # MoE
+                out[lp + "mlp.gate.weight"] = _t(mlp["gate"]["kernel"][i]).T
+                e = _t(mlp["experts"]["gate_proj"]).shape[1]
+                for j in range(e):
+                    for name in ("gate_proj", "up_proj", "down_proj"):
+                        out[lp + f"mlp.experts.{j}.{name}.weight"] = _t(
+                            mlp["experts"][name][i, j]
+                        ).T
+                for name in ("gate_proj", "up_proj", "down_proj"):
+                    out[lp + f"mlp.shared_expert.{name}.weight"] = _t(
+                        mlp["shared_expert"][name]["kernel"][i]
+                    ).T
+                out[lp + "mlp.shared_expert_gate.weight"] = _t(
+                    mlp["shared_expert_gate"]["kernel"][i]
+                ).T
+        out[f"{prefix}model.norm.weight"] = _t(p["norm"]["scale"])
+        if "lm_head" in p:
+            out[f"{prefix}lm_head.weight"] = _t(p["lm_head"]["kernel"]).T
+
+    vis(params["vision_tower"], "vision_tower.")
+    for name, pp in params.get("projector", {}).items():
+        out[f"multi_modal_projector.{name}.weight"] = _t(pp["kernel"]).T
+        if "bias" in pp:
+            out[f"multi_modal_projector.{name}.bias"] = _t(pp["bias"])
+    lm(params["language_model"], "language_model.")
+    return out
+
+
+def save_hf_safetensors(params: dict, directory: str, max_shard_bytes: int = 4 << 30) -> None:
+    """Write the pytree as sharded safetensors in the HF-bundle layout."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(directory, exist_ok=True)
+    state = flatten_to_hf_state(params)
+    shards, cur, cur_bytes = [], {}, 0
+    for k, v in state.items():
+        if cur_bytes + v.nbytes > max_shard_bytes and cur:
+            shards.append(cur)
+            cur, cur_bytes = {}, 0
+        cur[k] = v
+        cur_bytes += v.nbytes
+    shards.append(cur)
+    for i, shard in enumerate(shards):
+        name = (
+            "model.safetensors"
+            if len(shards) == 1
+            else f"model-{i + 1:05d}-of-{len(shards):05d}.safetensors"
+        )
+        # safetensors writes the raw buffer; transposed views must be
+        # materialized C-contiguous or the file holds pre-transpose bytes.
+        shard = {k: np.ascontiguousarray(v) for k, v in shard.items()}
+        save_file(shard, os.path.join(directory, name))
+
+
+class TrainCheckpointer:
+    """orbax-backed train-state save + latest-scan auto-resume
+    (the working replacement for multimodal_encoder/utils.py:444-517)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state) -> None:
+        import orbax.checkpoint as ocp
+
+        self.manager.save(step, args=ocp.args.StandardSave(state))
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_template):
+        """Auto-resume: restore the latest checkpoint into the template's
+        structure/shardings; returns (state, step) or (template, None)."""
+        import orbax.checkpoint as ocp
+
+        step = self.manager.latest_step()
+        if step is None:
+            return state_template, None
+        restored = self.manager.restore(step, args=ocp.args.StandardRestore(state_template))
+        return restored, step
