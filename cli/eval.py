@@ -1,0 +1,34 @@
+"""Eval driver — the working eval_q.sh: `python cli/eval.py --benchmark gqa ...`."""
+
+import argparse
+import json
+
+from omchat_tpu.api import load_pretrained_model
+from omchat_tpu.eval.harness import SCORERS, read_question_file, run_eval, score
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", required=True)
+    parser.add_argument("--benchmark", required=True, choices=sorted(SCORERS))
+    parser.add_argument("--question-file", required=True)
+    parser.add_argument("--image-folder", default="")
+    parser.add_argument("--answers-file", required=True)
+    parser.add_argument("--truths-file", default=None, help="JSON {question_id: answer(s)}")
+    parser.add_argument("--max-new-tokens", type=int, default=128)
+    parser.add_argument("--int8", action="store_true")
+    args = parser.parse_args()
+
+    model = load_pretrained_model(args.model_path, quantize_int8=args.int8)
+    samples = read_question_file(args.question_file, args.image_folder)
+    run_eval(model, samples, args.answers_file, max_new_tokens=args.max_new_tokens)
+
+    if args.truths_file:
+        with open(args.truths_file) as f:
+            truths = json.load(f)
+        acc = score(args.benchmark, args.answers_file, truths)
+        print(json.dumps({"benchmark": args.benchmark, "accuracy": acc}))
+
+
+if __name__ == "__main__":
+    main()

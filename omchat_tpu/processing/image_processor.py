@@ -28,12 +28,28 @@ def process_anyres_image(
     grid_pinpoints: Sequence[Sequence[int]] = DEFAULT_GRID_PINPOINTS,
     tile_size: int = 448,
     return_best_res: bool = False,
+    use_native: Optional[bool] = None,
 ):
     """anyres-tile one image → [N, 3, tile, tile] float32 (thumbnail first).
 
     Matches reference mm_utils.py:119-158 with the InternViT CLIP processor
-    settings (crop 448, shortest-edge 448, ImageNet stats).
+    settings (crop 448, shortest-edge 448, ImageNet stats).  ``use_native``
+    (None = auto) routes the pad/tile/normalize through the fused C++ pipeline
+    (same output to float32 rounding; see tests/test_native_pipeline.py).
     """
+    if use_native is None:
+        from omchat_tpu.processing import native as _native
+
+        use_native = _native.available()
+    if use_native:
+        from omchat_tpu.processing import native as _native
+
+        stacked = _native.anyres_process_native(image, grid_pinpoints, tile_size)
+        if return_best_res:
+            from omchat_tpu.processing.anyres import select_best_resolution
+
+            return stacked, select_best_resolution(image.size, grid_pinpoints)
+        return stacked
     tiles, best_resolution = anyres_tile_images(image, grid_pinpoints, tile_size)
     arrays = [preprocess_tile(t, crop_size=tile_size, shortest_edge=tile_size) for t in tiles]
     stacked = np.stack(arrays, axis=0)
@@ -78,6 +94,13 @@ class OmChatImageProcessor:
         self.image_std = list(image_std)
 
     def _process_one(self, image: Image.Image) -> np.ndarray:
+        if self.shortest_edge == self.crop_size:
+            from omchat_tpu.processing import native as _native
+
+            if _native.available():
+                return _native.anyres_process_native(
+                    image, self.image_grid_pinpoints, self.crop_size, self.image_mean, self.image_std
+                )
         tiles, _ = anyres_tile_images(image, self.image_grid_pinpoints, self.crop_size)
         return np.stack(
             [
