@@ -44,7 +44,6 @@ def _attn_kernel(
     acc_scratch,  # [block_q, D] fp32
     *,
     causal: bool,
-    sm_scale: float,
     block_q: int,
     block_k: int,
     num_kv_blocks: int,
@@ -70,12 +69,11 @@ def _attn_kernel(
 
     @pl.when(needed)
     def _run():
-        q = q_ref[...]
+        q = q_ref[...]  # pre-scaled by sm_scale in the wrapper
         k = k_ref[...]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_q, block_k]
-        s = s * sm_scale
 
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
         mask = col_ids < kv_len
@@ -114,6 +112,32 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+@functools.lru_cache(maxsize=256)
+def pick_block(seq_len: int, target: int) -> int:
+    """Choose a block size minimizing pad waste, biased toward ``target``.
+
+    Rounding the sequence to a multiple of a power-of-two block can waste up
+    to 50% compute (the ViT's 1025 = 1024 patches + CLS rounds to 1536 with
+    512-blocks).  Candidate blocks are multiples of 64 (Mosaic compiles these
+    reliably; odd multiples of 8 have been observed to hang its scheduler),
+    searched over a few padded lengths for the lowest (waste, |d−target|)."""
+    import math
+
+    base = _round_up(seq_len, 64)
+    # Mosaic compile time grows sharply with block area (observed minutes at
+    # 1088×1088); cap blocks at 640 — within ~5% of the best-measured config
+    # on the ViT shape with seconds-long compiles.
+    if base <= min(2 * target, 640):
+        return base  # single block
+    best_d, best_score = 128, float("inf")
+    for d in range(128, 641, 64):
+        waste = _round_up(seq_len, d) / seq_len - 1.0
+        score = waste + 0.05 * abs(math.log2(d / target))
+        if score < best_score:
+            best_score, best_d = score, d
+    return best_d
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "block_q", "block_k", "kv_format", "interpret"),
@@ -126,7 +150,7 @@ def flash_attention(
     causal: bool = False,
     q_offset: Optional[jax.Array] = None,
     kv_len: Optional[jax.Array] = None,
-    block_q: int = 256,
+    block_q: int = 1024,
     block_k: int = 512,
     kv_format: str = "btnd",
     interpret: bool = False,
@@ -148,8 +172,14 @@ def flash_attention(
     group = H // KVH
     q = q.transpose(0, 2, 1, 3)  # [B, H, S, D]
 
-    block_q = min(block_q, _round_up(S, 128))
-    block_k = min(block_k, _round_up(T, 128))
+    block_q = pick_block(S, block_q)
+    block_k = pick_block(T, block_k)
+    # VMEM guard: keep the fp32 scores tile comfortably on-chip.
+    budget = 6 << 20
+    if block_q * block_k * 4 > budget:
+        block_k = max(256, (budget // (4 * block_q)) // 64 * 64)
+    if block_q * block_k * 4 > budget:
+        block_q = max(256, (budget // (4 * block_k)) // 64 * 64)
     s_pad = _round_up(S, block_q)
     t_pad = _round_up(T, block_k)
 
@@ -208,10 +238,11 @@ def flash_attention(
         ],
     )
 
+    q = q * jnp.asarray(D**-0.5, q.dtype)  # fold sm_scale into q (one pass over q, not over scores)
+
     kernel = functools.partial(
         _attn_kernel,
         causal=causal,
-        sm_scale=D**-0.5,
         block_q=block_q,
         block_k=block_k,
         num_kv_blocks=num_kv_blocks,
