@@ -82,6 +82,43 @@ def _prefill_jit(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnames=("cache",))
+def _prefill_chunk_jit(
+    params,
+    cfg: OmChatConfig,
+    token_ids,
+    is_image,
+    image_index,
+    image_features,
+    positions,
+    chunk_start,
+    chunk_lengths,
+    cache: KVCache,
+    attn_impl=None,
+):
+    """One chunk of an incremental prefill: write this chunk's K/V at
+    ``chunk_start`` [B] and attend against everything cached so far.
+
+    Enables prompts longer than any single compiled bucket and the
+    encode→prefill pipelining for multi-image/video streams (tiles of image i
+    can prefill while image i+1 is still encoding)."""
+    embeds = fuse_embeddings(params, token_ids, is_image, image_index, image_features)
+    hidden, cache = qwen2_forward(
+        params["language_model"],
+        cfg.text,
+        embeds,
+        positions,
+        cache,
+        write_pos=chunk_start,
+        kv_len=chunk_start + chunk_lengths,
+        attn_impl=attn_impl,
+    )
+    idx = jnp.maximum(chunk_lengths - 1, 0)
+    last = jnp.take_along_axis(hidden, idx[:, None, None].astype(jnp.int32), axis=1)
+    logits = lm_head(params["language_model"], cfg.text, last)[:, 0]
+    return logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnames=("cache",))
 def _decode_step_jit(params, cfg: OmChatConfig, tokens, kv_len, cache: KVCache, attn_impl=None):
     """One decode step.  tokens: [B], kv_len: [B] current length (pre-write)."""
     embeds = embed_tokens(params["language_model"], tokens[:, None])
@@ -236,6 +273,63 @@ class OmChatEngine:
             self.attn_impl,
         )
         return logits, cache
+
+    def prefill_chunked(
+        self,
+        plan: MergePlan,
+        image_features: Optional[jax.Array],
+        max_new_tokens: int,
+        chunk_size: int = 1024,
+    ):
+        """Incremental prefill in fixed-size chunks against the cache.
+
+        One compiled program per chunk_size regardless of prompt length —
+        prompts longer than any bucket stream through, and image features can
+        arrive per-chunk (encode/prefill pipelining for video).  Returns
+        (last-token logits [B, V], cache)."""
+        cfg = self.cfg
+        b, m = plan.token_ids.shape
+        dtype = self.params["language_model"]["embed_tokens"].dtype
+        if image_features is None:
+            d = self.params["language_model"]["embed_tokens"].shape[1]
+            image_features = jnp.zeros((1, d), dtype)
+
+        cache_len = round_up_to_bucket(plan.max_len + max_new_tokens, self.prompt_bucket)
+        cache = init_kv_cache(cfg.text, b, cache_len, dtype=dtype)
+
+        final_logits = np.zeros((b, cfg.text.vocab_size), np.float32)
+        lengths = plan.lengths
+        for c0 in range(0, m, chunk_size):
+            csize = min(chunk_size, m - c0)
+            pad = chunk_size - csize
+
+            def cut(a, fill=0):
+                part = a[:, c0 : c0 + csize]
+                if pad:
+                    part = np.pad(part, ((0, 0), (0, pad)), constant_values=fill)
+                return jnp.asarray(part)
+
+            chunk_lengths = np.clip(lengths - c0, 0, chunk_size).astype(np.int32)
+            if (chunk_lengths == 0).all():
+                break
+            logits, cache = _prefill_chunk_jit(
+                self.params,
+                cfg,
+                cut(plan.token_ids),
+                cut(plan.is_image),
+                cut(plan.image_index),
+                image_features,
+                cut(plan.positions),
+                jnp.full((b,), c0, jnp.int32),
+                jnp.asarray(chunk_lengths),
+                cache,
+                self.attn_impl,
+            )
+            ends_here = (lengths > c0) & (lengths <= c0 + chunk_size)
+            if ends_here.any():
+                logits_np = np.asarray(logits)
+                final_logits[ends_here] = logits_np[ends_here]
+        return jnp.asarray(final_logits), cache
 
     # -- full generation ----------------------------------------------------
 
