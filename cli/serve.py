@@ -1,0 +1,157 @@
+"""Minimal OpenAI-compatible HTTP serving front-end.
+
+The reference stripped its gradio controller/worker serve stack, leaving only
+heartbeat constants (reference constants.py:1-2; SURVEY.md §5 "Failure
+detection").  This is the working replacement: a dependency-free HTTP server
+exposing ``/v1/chat/completions`` (text + base64 image content parts) and
+``/health``, running the engine single-threaded behind a lock (TPU programs
+are serialized anyway).
+
+    python cli/serve.py --model-path … --port 8000 [--int8]
+
+Request example:
+    {"messages": [{"role": "user", "content": [
+        {"type": "text", "text": "What is this?"},
+        {"type": "image_url", "image_url": {"url": "data:image/png;base64,..."}}
+    ]}], "max_tokens": 256}
+"""
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from PIL import Image
+
+from omchat_tpu.api import load_pretrained_model
+from omchat_tpu.config import GenerationConfig
+from omchat_tpu.utils.logging import build_logger
+
+
+def _parse_messages(messages):
+    """Extract (question, history, image) from OpenAI-style messages."""
+    image = None
+    history = []
+    question = ""
+    system = "You are a helpful assistant."
+    pending_user = None
+    for msg in messages:
+        role = msg.get("role")
+        content = msg.get("content", "")
+        text_parts = []
+        if isinstance(content, list):
+            for part in content:
+                if part.get("type") == "text":
+                    text_parts.append(part.get("text", ""))
+                elif part.get("type") == "image_url":
+                    url = part.get("image_url", {}).get("url", "")
+                    if url.startswith("data:"):
+                        b64 = url.split(",", 1)[1]
+                        image = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+            text = "\n".join(text_parts)
+        else:
+            text = str(content)
+        if role == "system":
+            system = text
+        elif role == "user":
+            if pending_user is not None:
+                history.append((pending_user, ""))
+            pending_user = text
+        elif role == "assistant":
+            if pending_user is not None:
+                history.append((pending_user, text))
+                pending_user = None
+    question = pending_user or ""
+    return question, history, image, system
+
+
+def make_handler(model, logger):
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.info("%s " + fmt, self.client_address[0], *args)
+
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path not in ("/v1/chat/completions", "/chat"):
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                question, history, image, system = _parse_messages(req.get("messages", []))
+                gen = GenerationConfig(
+                    max_new_tokens=int(req.get("max_tokens", 1024)),
+                    do_sample=float(req.get("temperature", 0.0)) > 0.0,
+                    temperature=float(req.get("temperature", 1.0)) or 1.0,
+                    top_p=float(req.get("top_p", 1.0)),
+                )
+                t0 = time.time()
+                with lock:
+                    inputs = model.processor(question, images=image, history=history, system=system)
+                    out = model.engine.generate(
+                        [inputs["input_ids"][0].tolist()], inputs.get("images"), gen
+                    )
+                text = model.tokenizer.decode(out.token_ids[0], skip_special_tokens=True)
+                n_new = len(out.token_ids[0])
+                self._json(
+                    200,
+                    {
+                        "object": "chat.completion",
+                        "model": "omchat-tpu",
+                        "choices": [
+                            {
+                                "index": 0,
+                                "message": {"role": "assistant", "content": text},
+                                "finish_reason": "stop" if n_new < gen.max_new_tokens else "length",
+                            }
+                        ],
+                        "usage": {
+                            "prompt_tokens": int(out.prompt_len[0]),
+                            "completion_tokens": n_new,
+                            "total_tokens": int(out.prompt_len[0]) + n_new,
+                            "latency_ms": round((time.time() - t0) * 1000, 1),
+                        },
+                    },
+                )
+            except Exception as e:  # noqa: BLE001
+                logger.exception("request failed")
+                self._json(500, {"error": str(e)})
+
+    return Handler
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", required=True)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--int8", action="store_true")
+    args = parser.parse_args()
+
+    logger = build_logger("omchat.serve", "serve.log")
+    model = load_pretrained_model(args.model_path, quantize_int8=args.int8)
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(model, logger))
+    logger.info(f"serving on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""HTTP serving front-end: /v1/chat/completions round trip with a tiny model."""
+
+import base64
+import io
+import json
+import sys
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, "cli")
+
+
+def _tiny_model():
+    import jax.numpy as jnp
+
+    from omchat_tpu.api import OmChatModel
+    from omchat_tpu.config import OmChatConfig
+    from omchat_tpu.processing.image_processor import OmChatImageProcessor
+    from omchat_tpu.processing.processor import OmChatProcessor
+    from omchat_tpu.runtime.generate import OmChatEngine
+    from tests.conftest import MockTokenizer
+    from tests.test_sharding import _tiny_params
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    tokenizer = MockTokenizer()
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=8)
+    ip = OmChatImageProcessor(crop_size=56, shortest_edge=56, image_grid_pinpoints=cfg.image_grid_pinpoints)
+    return OmChatModel(tokenizer, engine, ip, OmChatProcessor(tokenizer, ip), cfg)
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    from serve import make_handler
+    from omchat_tpu.utils.logging import build_logger
+
+    model = _tiny_model()
+    logger = build_logger("test.serve", "test_serve.log", log_dir="/tmp")
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(model, logger))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield server.server_address[1]
+    server.shutdown()
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return json.loads(resp.read())
+
+
+def test_health(server_port):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/health", timeout=30) as resp:
+        assert json.loads(resp.read())["status"] == "ok"
+
+
+def test_text_completion(server_port):
+    out = _post(
+        server_port,
+        {"messages": [{"role": "user", "content": "hello"}], "max_tokens": 4},
+    )
+    assert out["choices"][0]["message"]["role"] == "assistant"
+    assert out["usage"]["completion_tokens"] <= 4
+
+
+def test_image_completion(server_port, rng):
+    img = Image.fromarray(rng.integers(0, 255, (80, 60, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    out = _post(
+        server_port,
+        {
+            "messages": [
+                {
+                    "role": "user",
+                    "content": [
+                        {"type": "text", "text": "what is this?"},
+                        {"type": "image_url", "image_url": {"url": f"data:image/png;base64,{b64}"}},
+                    ],
+                }
+            ],
+            "max_tokens": 4,
+        },
+    )
+    assert out["usage"]["prompt_tokens"] > 16  # image tokens got spliced
