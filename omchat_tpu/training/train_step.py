@@ -14,6 +14,9 @@ framework needs to be complete: a jitted train step with
   (modeling_intern_vit.py:242).
 
 bf16 params + fp32 loss; no GradScaler needed on TPU (SURVEY.md §2.2).
+Attention defaults to the XLA path here — the Pallas kernels are forward-only
+(a custom-VJP backward kernel is future work), and XLA's fused attention
+differentiates and shards cleanly.
 """
 
 from __future__ import annotations
@@ -52,7 +55,7 @@ def loss_fn(
     cfg: OmChatConfig,
     batch: dict,
     *,
-    attn_impl: Optional[str] = None,
+    attn_impl: Optional[str] = "xla",
     remat: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """batch: token_ids [B,M], is_image [B,M], image_index [B,M], positions
@@ -82,7 +85,7 @@ def train_step(
     batch: dict,
     optimizer: optax.GradientTransformation,
     *,
-    attn_impl: Optional[str] = None,
+    attn_impl: Optional[str] = "xla",
     remat: bool = True,
 ) -> Tuple[TrainState, jax.Array]:
     (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -99,7 +102,7 @@ def make_sharded_train_step(
     param_specs: dict,
     optimizer: optax.GradientTransformation,
     *,
-    attn_impl: Optional[str] = None,
+    attn_impl: Optional[str] = "xla",
     remat: bool = True,
 ):
     """jit the train step with explicit in/out shardings over the mesh.
