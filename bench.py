@@ -195,6 +195,26 @@ def main():
     decode_time = time.perf_counter() - t0
     decode_toks = (DECODE_TOKENS - 1) / decode_time  # first token came from prefill
 
+    # --- Batched decode throughput (serving mode, B=4, short text prompts) ---
+    bids = [[151644] + list(range(2000, 2127))] * 4
+    bplan = engine.plan(bids)
+    blogits, bcache = engine.prefill(bplan, None, DECODE_TOKENS)
+    bfirst = greedy(blogits)
+    bout, _ = _decode_loop_jit(
+        params, cfg, bfirst, jnp.asarray(bplan.lengths), bcache, DECODE_TOKENS, -1, None
+    )
+    _sync(bout)  # compile
+    blogits, bcache = engine.prefill(bplan, None, DECODE_TOKENS)
+    bfirst = greedy(blogits)
+    _sync(bfirst)
+    t0 = time.perf_counter()
+    bout, _ = _decode_loop_jit(
+        params, cfg, bfirst, jnp.asarray(bplan.lengths), bcache, DECODE_TOKENS, -1, None
+    )
+    _sync(bout)
+    batch_decode_toks = 4 * (DECODE_TOKENS - 1) / (time.perf_counter() - t0)
+    _log("batched decode done")
+
     print(
         json.dumps(
             {
@@ -209,6 +229,7 @@ def main():
                     "prefill_tokens": int(plan.lengths[0]),
                     "anyres_tiles": N_TILES,
                     "decode_tokens": DECODE_TOKENS,
+                    "batch4_decode_tokens_per_sec": round(batch_decode_toks, 2),
                     "baseline_assumption": "30 tok/s: A100 fp16 HF-4.41 generate (reference stack)",
                 },
             }

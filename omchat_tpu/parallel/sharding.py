@@ -51,6 +51,24 @@ def qwen2_param_specs(cfg: TextConfig, *, fsdp: bool = False) -> dict:
         },
         "norm": {"scale": P()},
     }
+    if cfg.is_moe:
+        # Expert parallelism: the expert axis shards over `model` (SURVEY.md
+        # §2.3 EP); router + shared expert replicate/column-split.  GSPMD
+        # inserts the psum combining per-device expert outputs.
+        specs["layers"]["mlp"] = {
+            "gate": {"kernel": P()},
+            "experts": {
+                "gate_proj": P(None, "model", None, None),
+                "up_proj": P(None, "model", None, None),
+                "down_proj": P(None, "model", None, None),
+            },
+            "shared_expert": {
+                "gate_proj": {"kernel": P(None, d_axis, "model")},
+                "up_proj": {"kernel": P(None, d_axis, "model")},
+                "down_proj": {"kernel": P(None, "model", d_axis)},
+            },
+            "shared_expert_gate": {"kernel": P()},
+        }
     if cfg.attention_bias:
         for name in ("q_proj", "k_proj", "v_proj"):
             specs["layers"]["self_attn"][name]["bias"] = P(None, "model")

@@ -126,3 +126,39 @@ def test_train_step_runs_sharded(rng):
     assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
     assert float(loss2) < float(loss1)  # one step on same batch reduces loss
     assert int(state3.step) == 2
+
+
+def test_moe_expert_parallel_matches_single_device(rng):
+    """Expert-parallel (expert axis over `model`) MoE forward == unsharded."""
+    import jax.numpy as jnp
+
+    from omchat_tpu.config import TextConfig
+    from omchat_tpu.models.qwen2 import embed_tokens, lm_head
+    from omchat_tpu.models.qwen2_moe import init_params as moe_init, qwen2_moe_forward
+    from omchat_tpu.parallel.sharding import qwen2_param_specs
+
+    cfg = TextConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_experts=8,
+        num_experts_per_tok=2,
+        moe_intermediate_size=16,
+        shared_expert_intermediate_size=32,
+    )
+    params = moe_init(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, 12)))
+    x = embed_tokens(params, ids)
+    pos = jnp.arange(12)[None]
+
+    ref, _ = qwen2_moe_forward(params, cfg, x, pos, attn_impl="xla")
+    ref_logits = lm_head(params, cfg, ref)
+
+    mesh = create_mesh(tp=4, dp=2)
+    sharded = shard_params(params, mesh, qwen2_param_specs(cfg))
+    out, _ = qwen2_moe_forward(sharded, cfg, x, pos, attn_impl="xla")
+    out_logits = lm_head(sharded, cfg, out)
+    np.testing.assert_allclose(np.asarray(out_logits), np.asarray(ref_logits), atol=1e-5, rtol=1e-4)
