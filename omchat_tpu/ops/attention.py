@@ -62,6 +62,12 @@ def attention(
     Returns [B, S, H, D] in q.dtype.
     """
     impl = impl or default_impl()
+    if impl == "pallas_vjp":
+        # Differentiable Pallas path (training): full-sequence, no cache args.
+        from omchat_tpu.ops.flash_attention_bwd import flash_attention_trainable
+
+        assert q_offset is None and kv_len is None and kv_format == "btnd"
+        return flash_attention_trainable(q, k, v, causal)
     if impl == "pallas":
         from omchat_tpu.ops.flash_attention import flash_attention
 

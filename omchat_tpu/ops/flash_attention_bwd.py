@@ -1,0 +1,400 @@
+"""Trainable Pallas flash attention: forward with residuals + custom-VJP backward.
+
+Forward saves (out, lse) per row; backward runs two kernels over the same
+tiling as the forward (guide pattern: dKV iterates q tiles per kv tile, dQ
+iterates kv tiles per q tile):
+
+    di = rowsum(dO ∘ O)
+    P  = exp(S − lse)
+    dV = Pᵀ dO
+    dS = P ∘ (dP − di),   dP = dO Vᵀ
+    dQ = dS K · scale,    dK = dSᵀ Q · scale
+
+GQA: dK/dV are produced per *query* head and group-summed outside the kernels
+(one cheap reduction in HBM), keeping both kernels embarrassingly parallel
+over (batch, head).  Blocks here are multiples of 128 — training shapes are
+bucketed — because the lse/di rows are tiled on their last dim.
+
+Exposed as ``attention(..., impl="pallas_vjp")``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from omchat_tpu.ops.flash_attention import DEFAULT_MASK_VALUE, _round_up
+
+
+def _mask_for(block_q, block_k, qi, ki, q_off, kv_len, causal):
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
+    mask = col_ids < kv_len
+    if causal:
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q + q_off
+        mask = mask & (col_ids <= row_ids)
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Forward with residuals
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    scalars_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, causal, block_q, block_k, num_kv_blocks,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    q_off = scalars_ref[0, b]
+    kv_len = scalars_ref[1, b]
+    row_max = qi * block_q + block_q - 1 + (q_off if causal else 0)
+    needed = ((ki * block_k) < kv_len) & ((ki * block_k) <= row_max) if causal else ((ki * block_k) < kv_len)
+
+    @pl.when(needed)
+    def _run():
+        s = jax.lax.dot_general(q_ref[...], k_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = jnp.where(_mask_for(block_q, block_k, qi, ki, q_off, kv_len, causal), s, DEFAULT_MASK_VALUE)
+        m_prev, l_prev = m_scratch[...], l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+        o_curr = jax.lax.dot(p.astype(v_ref.dtype), v_ref[...], preferred_element_type=jnp.float32)
+        acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + o_curr
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        m = m_scratch[...][:, :1]
+        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l))
+        lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    scalars_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
+    acc_scratch,
+    *, causal, block_q, block_k, num_kv_blocks,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    q_off = scalars_ref[0, b]
+    kv_len = scalars_ref[1, b]
+    row_max = qi * block_q + block_q - 1 + (q_off if causal else 0)
+    needed = ((ki * block_k) < kv_len) & ((ki * block_k) <= row_max) if causal else ((ki * block_k) < kv_len)
+
+    @pl.when(needed)
+    def _run():
+        s = jax.lax.dot_general(q_ref[...], k_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        mask = _mask_for(block_q, block_k, qi, ki, q_off, kv_len, causal)
+        lse = lse_ref[...][:, :1]
+        p = jnp.where(mask & jnp.isfinite(lse), jnp.exp(s - jnp.where(jnp.isfinite(lse), lse, 0.0)), 0.0)
+        dp = jax.lax.dot_general(
+            do_ref[...], v_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di_ref[...][:, :1])
+        acc_scratch[...] += jax.lax.dot(ds.astype(k_ref.dtype), k_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _store():
+        dq_ref[...] = acc_scratch[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    scalars_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, causal, block_q, block_k, num_q_blocks,
+):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros(dk_scratch.shape, jnp.float32)
+        dv_scratch[...] = jnp.zeros(dv_scratch.shape, jnp.float32)
+
+    q_off = scalars_ref[0, b]
+    kv_len = scalars_ref[1, b]
+    # this kv tile is dead past the valid length; a q tile is dead (causal)
+    # when even its last row precedes the kv tile start
+    row_max = qi * block_q + block_q - 1 + (q_off if causal else 0)
+    needed = ((ki * block_k) < kv_len) & ((ki * block_k) <= row_max) if causal else ((ki * block_k) < kv_len)
+
+    @pl.when(needed)
+    def _run():
+        s = jax.lax.dot_general(q_ref[...], k_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        mask = _mask_for(block_q, block_k, qi, ki, q_off, kv_len, causal)
+        lse = lse_ref[...][:, :1]
+        p = jnp.where(mask & jnp.isfinite(lse), jnp.exp(s - jnp.where(jnp.isfinite(lse), lse, 0.0)), 0.0)
+        # dV += P^T dO
+        dv_scratch[...] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[...], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do_ref[...], v_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - di_ref[...][:, :1])
+        # dK += dS^T Q
+        dk_scratch[...] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[...], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _store():
+        dk_ref[...] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers
+# ---------------------------------------------------------------------------
+
+
+def _prep(q, k, v, q_offset, kv_len, block_q, block_k):
+    """Common padding/layout: head-major, 128-multiple blocks."""
+    B, S, H, D = q.shape
+    T, KVH = k.shape[1], k.shape[2]
+    group = H // KVH
+    qh = q.transpose(0, 2, 1, 3)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+
+    block_q = min(block_q, _round_up(S, 128))
+    block_k = min(block_k, _round_up(T, 128))
+    s_pad = _round_up(S, block_q)
+    t_pad = _round_up(T, block_k)
+    if s_pad != S:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
+    if t_pad != T:
+        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, t_pad - T), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, t_pad - T), (0, 0)))
+
+    if q_offset is None:
+        q_offset = jnp.full((B,), T - S, jnp.int32)
+    else:
+        q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+    if kv_len is None:
+        kv_len = jnp.full((B,), T, jnp.int32)
+    else:
+        kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
+    scalars = jnp.stack([q_offset, kv_len])
+    return qh, kh, vh, scalars, block_q, block_k, s_pad, t_pad, group
+
+
+def _fwd(q, k, v, causal, q_offset, kv_len, block_q, block_k, interpret):
+    B, S, H, D = q.shape
+    qh, kh, vh, scalars, block_q, block_k, s_pad, t_pad, group = _prep(
+        q * jnp.asarray(D**-0.5, q.dtype), k, v, q_offset, kv_len, block_q, block_k
+    )
+    nq, nk = s_pad // block_q, t_pad // block_k
+
+    def q_index(b, h, qi, ki, sc):
+        return (b, h, qi, 0)
+
+    def kv_index(b, h, qi, ki, sc):
+        return (b, h // group, ki, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, nq, nk),
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, D), q_index),
+            pl.BlockSpec((None, None, block_k, D), kv_index),
+            pl.BlockSpec((None, None, block_k, D), kv_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_q, D), q_index),
+            pl.BlockSpec((None, None, block_q, 128), lambda b, h, qi, ki, sc: (b, h, qi, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _fwd_kernel, causal=causal, block_q=block_q, block_k=block_k, num_kv_blocks=nk
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, s_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, s_pad, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(scalars, qh, kh, vh)
+    return out[:, :, :S].transpose(0, 2, 1, 3), lse[:, :, :, 0]
+
+
+def _bwd(causal, block_q, block_k, interpret, res, g):
+    q, k, v, out, lse, q_offset, kv_len = res
+    B, S, H, D = q.shape
+    T, KVH = k.shape[1], k.shape[2]
+    scale = D**-0.5
+
+    # di = rowsum(dO * O)  [B, S, H] → head-major padded [B, H, S_pad, 128]
+    di = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # [B, S, H]
+
+    qh, kh, vh, scalars, block_q, block_k, s_pad, t_pad, group = _prep(
+        q * jnp.asarray(scale, q.dtype), k, v, q_offset, kv_len, block_q, block_k
+    )
+    nq, nk = s_pad // block_q, t_pad // block_k
+
+    doh = g.transpose(0, 2, 1, 3)
+    if s_pad != S:
+        doh = jnp.pad(doh, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, s_pad - S)), constant_values=-jnp.inf)
+        di = jnp.pad(di.transpose(0, 2, 1), ((0, 0), (0, 0), (0, s_pad - S)))
+    else:
+        di = di.transpose(0, 2, 1)
+    lse_b = jnp.broadcast_to(lse[..., None], (B, H, s_pad, 128))
+    di_b = jnp.broadcast_to(di[..., None], (B, H, s_pad, 128))
+
+    def q_index(b, h, qi, ki, sc):
+        return (b, h, qi, 0)
+
+    def kv_index(b, h, qi, ki, sc):
+        return (b, h // group, ki, 0)
+
+    # ---- dQ ----
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, nq, nk),
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, D), q_index),
+            pl.BlockSpec((None, None, block_k, D), kv_index),
+            pl.BlockSpec((None, None, block_k, D), kv_index),
+            pl.BlockSpec((None, None, block_q, D), q_index),
+            pl.BlockSpec((None, None, block_q, 128), q_index),
+            pl.BlockSpec((None, None, block_q, 128), q_index),
+        ],
+        out_specs=pl.BlockSpec((None, None, block_q, D), q_index),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+    )
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, causal=causal, block_q=block_q, block_k=block_k, num_kv_blocks=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, s_pad, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(scalars, qh, kh, vh, doh, lse_b, di_b)
+    dq = (dq[:, :, :S] * scale).transpose(0, 2, 1, 3).astype(q.dtype)
+
+    # ---- dK, dV (per q-head, kv tiles outer / q tiles inner) ----
+    def q_index2(b, h, ki, qi, sc):
+        return (b, h, qi, 0)
+
+    def kv_index2(b, h, ki, qi, sc):
+        return (b, h // group, ki, 0)
+
+    def dkv_index(b, h, ki, qi, sc):
+        return (b, h, ki, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, nk, nq),
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, D), q_index2),
+            pl.BlockSpec((None, None, block_k, D), kv_index2),
+            pl.BlockSpec((None, None, block_k, D), kv_index2),
+            pl.BlockSpec((None, None, block_q, D), q_index2),
+            pl.BlockSpec((None, None, block_q, 128), q_index2),
+            pl.BlockSpec((None, None, block_q, 128), q_index2),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_k, D), dkv_index),
+            pl.BlockSpec((None, None, block_k, D), dkv_index),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+    )
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, causal=causal, block_q=block_q, block_k=block_k, num_q_blocks=nq),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, t_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, t_pad, D), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(scalars, qh, kh, vh, doh, lse_b, di_b)
+
+    # group-sum per-q-head dK/dV back to kv heads; undo padding + layout.
+    # dK needs no extra scale: the kernel's q_ref is already q·scale.
+    dk_h = dk_h[:, :, :T].reshape(B, KVH, group, T, D).sum(axis=2)
+    dv_h = dv_h[:, :, :T].reshape(B, KVH, group, T, D).sum(axis=2)
+    dk = dk_h.transpose(0, 2, 1, 3).astype(k.dtype)
+    dv = dv_h.transpose(0, 2, 1, 3).astype(v.dtype)
+    return dq, dk, dv, None, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_trainable(
+    q,
+    k,
+    v,
+    causal: bool = True,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+):
+    """Differentiable Pallas flash attention over the full (padded) sequence —
+    the training path (no KV cache, no per-batch offsets; padding rows attend
+    like the XLA no-cache path, and the loss masks them).
+
+    q: [B, S, H, D]; k/v: [B, S, KVH, D]."""
+    out, _ = _fwd(q, k, v, causal, None, None, block_q, block_k, interpret)
+    return out
+
+
+def _vjp_fwd(q, k, v, causal, block_q, block_k, interpret):
+    out, lse = _fwd(q, k, v, causal, None, None, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse, None, None)
+
+
+def _vjp_bwd(causal, block_q, block_k, interpret, res, g):
+    dq, dk, dv, _, _ = _bwd(causal, block_q, block_k, interpret, res, g)
+    return dq, dk, dv
+
+
+flash_attention_trainable.defvjp(_vjp_fwd, _vjp_bwd)
