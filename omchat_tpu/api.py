@@ -51,6 +51,34 @@ class OmChatModel:
         )
         return self.tokenizer.decode(out.token_ids[0], skip_special_tokens=True)
 
+    def chat_video(
+        self,
+        text: str,
+        frames,
+        num_samples: int = 32,
+        generation: Optional[GenerationConfig] = None,
+        stream_callback=None,
+    ) -> str:
+        """Video QA: uniform frame sampling, one ViT tile + sentinel per frame
+        (the 32-frame MMBench-Video configuration; fixes the reference's
+        undefined encode_videos, SURVEY.md §5)."""
+        from omchat_tpu.processing.chat import make_context
+        from omchat_tpu.processing.video import process_video_frames, video_prompt
+
+        pixel_values = process_video_frames(
+            frames, tile_size=self.config.vision.image_size, num_samples=num_samples
+        )
+        prompt = video_prompt(text, pixel_values.shape[0])
+        _, context_tokens = make_context(self.tokenizer, prompt, None, "You are a helpful assistant.")
+        out = self.engine.generate(
+            [context_tokens],
+            pixel_values,
+            generation or GenerationConfig(),
+            stream_callback=stream_callback,
+            tokenizer=self.tokenizer,
+        )
+        return self.tokenizer.decode(out.token_ids[0], skip_special_tokens=True)
+
 
 def load_pretrained_model(
     model_path: str,

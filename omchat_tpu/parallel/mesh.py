@@ -43,3 +43,28 @@ def create_mesh(
 
 def shard(mesh: Mesh, spec: P) -> NamedSharding:
     return NamedSharding(mesh, spec)
+
+
+def create_multislice_mesh(
+    tp: int = 1,
+    num_slices: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Multi-slice mesh: data parallel over DCN (across slices), tensor
+    parallel over ICI (within a slice) — the TPU-pod analogue of the
+    reference's (absent) multi-node NCCL topology.
+
+    With one slice this degrades to :func:`create_mesh`.  On multi-slice
+    deployments, devices are grouped by ``device.slice_index`` so the `data`
+    axis crosses DCN and `model` stays on ICI.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if num_slices <= 1:
+        return create_mesh(tp=tp, devices=devices)
+    per_slice = len(devices) // num_slices
+    groups = {}
+    for d in devices:
+        groups.setdefault(getattr(d, "slice_index", 0), []).append(d)
+    ordered = [d for idx in sorted(groups) for d in groups[idx]]
+    arr = np.asarray(ordered).reshape(num_slices * (per_slice // tp), tp)
+    return Mesh(arr, axis_names=("data", "model"))
