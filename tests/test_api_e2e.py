@@ -1,0 +1,95 @@
+"""Full API path: build a tiny on-disk checkpoint (config.json + safetensors +
+tokenizer files) and drive load_pretrained_model → chat end to end."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _write_tiny_tokenizer(d: str):
+    """A minimal byte-level BPE tokenizer saved in HF format (no network)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, decoders
+    from transformers import PreTrainedTokenizerFast
+
+    # vocab: 256 byte-alphabet entries via ByteLevel
+    alphabet = pre_tokenizers.ByteLevel.alphabet()
+    vocab = {ch: i for i, ch in enumerate(sorted(alphabet))}
+    vocab["<|im_start|>"] = len(vocab)
+    vocab["<|im_end|>"] = len(vocab)
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, eos_token="<|im_end|>")
+    fast.save_pretrained(d)
+
+
+def _write_tiny_checkpoint(d: str):
+    from omchat_tpu.config import OmChatConfig
+    from omchat_tpu.checkpoint.save import save_hf_safetensors
+    from tests.test_sharding import _tiny_params
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    save_hf_safetensors(params, d)
+    config = {
+        "model_type": "omchat",
+        "vision_config": {
+            "hidden_size": 64,
+            "intermediate_size": 128,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 4,
+            "image_size": 56,
+            "patch_size": 14,
+            "qk_normalization": True,
+        },
+        "text_config": {
+            "vocab_size": 512,
+            "hidden_size": 64,
+            "intermediate_size": 128,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 4,
+            "num_key_value_heads": 2,
+            "max_position_embeddings": 1024,
+        },
+        "mm_projector_type": "mlp2x_gelu",
+        "image_grid_pinpoints": [[56, 112], [112, 56], [112, 112]],
+    }
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(config, f)
+    return cfg, params
+
+
+def test_load_pretrained_model_chat(tmp_path, rng):
+    from PIL import Image
+
+    from omchat_tpu.api import load_pretrained_model
+    from omchat_tpu.config import GenerationConfig
+
+    d = str(tmp_path)
+    _write_tiny_tokenizer(d)
+    _write_tiny_checkpoint(d)
+
+    model = load_pretrained_model(d, dtype=jnp.float32, attn_impl="xla")
+    assert model.config.text.vocab_size == 512
+    assert model.config.vision.image_size == 56
+
+    img = Image.fromarray(rng.integers(0, 255, (100, 80, 3), dtype=np.uint8))
+    answer = model.chat("what is this?", image=img, generation=GenerationConfig(max_new_tokens=3))
+    assert isinstance(answer, str)
+
+
+def test_load_pretrained_model_int8(tmp_path, rng):
+    from omchat_tpu.api import load_pretrained_model
+    from omchat_tpu.config import GenerationConfig
+
+    d = str(tmp_path)
+    _write_tiny_tokenizer(d)
+    _write_tiny_checkpoint(d)
+    model = load_pretrained_model(d, dtype=jnp.float32, quantize_int8=True, attn_impl="xla")
+    assert "kernel_q" in model.engine.params["language_model"]["layers"]["mlp"]["gate_proj"]
+    out = model.chat("hi", generation=GenerationConfig(max_new_tokens=2))
+    assert isinstance(out, str)
