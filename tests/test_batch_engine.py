@@ -1,0 +1,81 @@
+"""Continuous batching: interleaved requests produce the same greedy outputs
+as isolated single-request generation."""
+
+import numpy as np
+import pytest
+
+from omchat_tpu.config import GenerationConfig, OmChatConfig
+from omchat_tpu.constants import IMAGE_TOKEN_INDEX
+from omchat_tpu.runtime.batch_engine import BatchEngine
+from omchat_tpu.runtime.generate import OmChatEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from tests.test_sharding import _tiny_params
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    return cfg, params
+
+
+def _reference_outputs(cfg, params, requests, max_new):
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=16)
+    outs = []
+    for ids, images in requests:
+        out = engine.generate([ids], images, GenerationConfig(max_new_tokens=max_new, eos_token_id=-1))
+        outs.append(out.token_ids[0])
+    return outs
+
+
+def test_interleaved_matches_isolated(setup, rng):
+    cfg, params = setup
+    max_new = 6
+
+    reqs = [
+        ([5, 6, 7, 8, 9, 10], None),
+        ([11, 12, 13], None),
+        ([5, 6, IMAGE_TOKEN_INDEX, 7], rng.standard_normal((1, 3, 56, 56)).astype(np.float32)),
+    ]
+    expected = _reference_outputs(cfg, params, reqs, max_new)
+
+    be = BatchEngine(cfg, params, max_slots=2, max_len=128, chunk_size=16, attn_impl="xla")
+    rids = [be.submit(ids, images, max_new_tokens=max_new, eos_token_id=-1) for ids, images in reqs]
+    ticks = be.run_to_completion(max_ticks=500)
+    assert ticks < 500
+
+    for rid, exp in zip(rids, expected):
+        assert be.finished(rid)
+        assert be.result(rid) == exp
+
+
+def test_late_join_does_not_disturb_running_request(setup):
+    cfg, params = setup
+    max_new = 8
+    a = ([5, 6, 7, 8, 9, 10], None)
+    b = ([20, 21, 22, 23], None)
+    expected = _reference_outputs(cfg, params, [a, b], max_new)
+
+    be = BatchEngine(cfg, params, max_slots=2, max_len=128, chunk_size=16, attn_impl="xla")
+    ra = be.submit(a[0], None, max_new_tokens=max_new, eos_token_id=-1)
+    # let request A decode a few tokens alone
+    for _ in range(4):
+        be.step()
+    assert len(be.requests[ra].generated) >= 2
+    rb = be.submit(b[0], None, max_new_tokens=max_new, eos_token_id=-1)
+    be.run_to_completion(max_ticks=500)
+    assert be.result(ra) == expected[0]
+    assert be.result(rb) == expected[1]
+
+
+def test_more_requests_than_slots(setup):
+    cfg, params = setup
+    max_new = 4
+    reqs = [([10 + i, 20 + i, 30 + i], None) for i in range(5)]
+    expected = _reference_outputs(cfg, params, reqs, max_new)
+
+    be = BatchEngine(cfg, params, max_slots=2, max_len=64, chunk_size=16, attn_impl="xla")
+    rids = [be.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1) for ids, _ in reqs]
+    be.run_to_completion(max_ticks=1000)
+    for rid, exp in zip(rids, expected):
+        assert be.result(rid) == exp
