@@ -44,6 +44,7 @@ def attention(
     kv_len: Optional[jax.Array] = None,
     impl: Optional[str] = None,
     kv_format: str = "btnd",
+    segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Multi-head (optionally grouped-query) attention.
 
@@ -57,11 +58,20 @@ def attention(
       q_offset: optional per-batch [B] or scalar offset of the first query row
         within the kv sequence.
       kv_len: optional [B] valid kv length; kv positions >= kv_len are masked.
-      impl: 'xla' | 'pallas' | None (auto).
+      impl: 'xla' | 'pallas' | 'pallas_vjp' | None (auto).
+      segment_ids: optional [B, S] int32 — multi-document packing (the TPU
+        equivalent of flash-attn varlen cu_seqlens, SURVEY.md §2.2): tokens
+        attend only within their segment.  Requires S == T (self-attention);
+        XLA path only for now.
 
     Returns [B, S, H, D] in q.dtype.
     """
     impl = impl or default_impl()
+    if segment_ids is not None:
+        assert kv_format == "btnd" and q.shape[1] == k.shape[1]
+        return _xla_attention(
+            q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len, segment_ids=segment_ids
+        )
     if impl == "pallas_vjp":
         # Differentiable Pallas path (training): full-sequence, no cache args.
         from omchat_tpu.ops.flash_attention_bwd import flash_attention_trainable
@@ -80,7 +90,7 @@ def attention(
     return _xla_attention(q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len)
 
 
-def _xla_attention(q, k, v, *, causal, q_offset, kv_len):
+def _xla_attention(q, k, v, *, causal, q_offset, kv_len, segment_ids=None):
     B, S, H, D = q.shape
     T = k.shape[1]
     k = _repeat_kv(k, H)
@@ -104,6 +114,9 @@ def _xla_attention(q, k, v, *, causal, q_offset, kv_len):
             jnp.asarray(kv_len, jnp.int32), (B,)
         )[:, None, None]
         mask = valid if mask is None else (mask & valid)
+    if segment_ids is not None:
+        seg = segment_ids[:, :, None] == segment_ids[:, None, :]  # [B, S, T]
+        mask = seg if mask is None else (mask & seg)
 
     if mask is not None:
         scores = jnp.where(mask[:, None, :, :], scores, jnp.float32(-1e30))

@@ -96,3 +96,23 @@ def test_decode_group_not_multiple_of_8(rng):
     )
     out = flash_decode(q, k, v, lengths, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_segment_ids_packing(rng):
+    """Packed multi-document attention: two documents in one row behave like
+    two separate rows (the varlen-packing contract)."""
+    import jax.numpy as jnp
+
+    from omchat_tpu.ops.attention import attention
+
+    B, S, H, D = 1, 16, 2, 128
+    q = _rand(rng, B, S, H, D)
+    k = _rand(rng, B, S, H, D)
+    v = _rand(rng, B, S, H, D)
+    seg = jnp.asarray([[0] * 10 + [1] * 6])
+
+    packed = attention(q, k, v, causal=True, segment_ids=seg, impl="xla")
+    doc0 = attention(q[:, :10], k[:, :10], v[:, :10], causal=True, impl="xla")
+    doc1 = attention(q[:, 10:], k[:, 10:], v[:, 10:], causal=True, q_offset=jnp.asarray([0]), impl="xla")
+    np.testing.assert_allclose(np.asarray(packed[:, :10]), np.asarray(doc0), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(packed[:, 10:]), np.asarray(doc1), atol=2e-5, rtol=1e-4)
