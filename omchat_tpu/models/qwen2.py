@@ -13,7 +13,7 @@ TPU-first design decisions:
 - a single forward covers prefill (S tokens at write offset) and decode
   (S=1), replacing HF's legacy per-step tuple-cache concat
   (SURVEY.md §6 "KV cache: legacy tuple cache, per-step concat"),
-- static max-length cache: [L, B, S_max, KVH, Dh].
+- static max-length head-major cache: [L, B, KVH, S_max, Dh].
 """
 
 from __future__ import annotations
