@@ -28,7 +28,7 @@ from omchat_tpu.runtime.generate import OmChatEngine, _decode_loop_jit
 DECODE = 128
 
 
-def measure(engine, params, cfg, name, n_tiles, text_tokens, history_tokens=0, decode=DECODE):
+def measure(engine, params, cfg, name, n_tiles, text_tokens, history_tokens=0, decode=DECODE, chunked=False):
     rng = np.random.default_rng(0)
     pixels = (
         jnp.asarray(rng.standard_normal((n_tiles, 3, 448, 448)).astype(np.float32), dtype=jnp.bfloat16)
@@ -41,8 +41,14 @@ def measure(engine, params, cfg, name, n_tiles, text_tokens, history_tokens=0, d
     plan = engine.plan([ids])
     feats = engine.encode_images(pixels) if pixels is not None else None
 
+    def prefill(f):
+        # long-context configs prefill in chunks to bound activation memory
+        if chunked:
+            return engine.prefill_chunked(plan, f, decode, chunk_size=2048)
+        return engine.prefill(plan, f, decode)
+
     # compile pass
-    logits, cache = engine.prefill(plan, feats, decode)
+    logits, cache = prefill(feats)
     _sync(logits)
     first = greedy(logits)
     out, _ = _decode_loop_jit(params, cfg, first, jnp.asarray(plan.lengths), cache, decode, -1, None)
@@ -51,7 +57,7 @@ def measure(engine, params, cfg, name, n_tiles, text_tokens, history_tokens=0, d
     # timed TTFT (encode + prefill)
     t0 = time.perf_counter()
     feats2 = engine.encode_images(pixels) if pixels is not None else None
-    logits, cache = engine.prefill(plan, feats2, decode)
+    logits, cache = prefill(feats2)
     _sync(logits)
     ttft = time.perf_counter() - t0
 
@@ -85,7 +91,7 @@ def main():
         measure(engine, params, cfg, "chat_second_turn_with_history", n_tiles=2, text_tokens=32, history_tokens=256),
         measure(engine, params, cfg, "highres_anyres_10tiles", n_tiles=10, text_tokens=32),
         measure(engine, params, cfg, "multi_image_interleave_2x5tiles", n_tiles=10, text_tokens=64),
-        measure(engine, params, cfg, "video_32frames", n_tiles=32, text_tokens=32),
+        measure(engine, params, cfg, "video_32frames_chunked_prefill", n_tiles=32, text_tokens=32, chunked=True),
     ]
 
     with open("BENCH.md", "w") as f:

@@ -5,6 +5,11 @@ None each turn, cli.py:55; SURVEY.md §3.2).  ``--no-history`` restores the
 reference-exact per-turn-independent behavior."""
 
 import argparse
+import os
+import sys
+
+# runnable from a checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from PIL import Image
 

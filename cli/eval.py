@@ -1,6 +1,11 @@
 """Eval driver — the working eval_q.sh: `python cli/eval.py --benchmark gqa ...`."""
 
 import argparse
+import os
+import sys
+
+# runnable from a checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 
 from omchat_tpu.api import load_pretrained_model

@@ -17,6 +17,11 @@ Request example:
 """
 
 import argparse
+import os
+import sys
+
+# runnable from a checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import base64
 import io
 import json

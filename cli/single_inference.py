@@ -3,6 +3,11 @@ single_inference.py (same flags, same prompt construction, streamed greedy
 decode with eos 151645, max_new_tokens 1024)."""
 
 import argparse
+import os
+import sys
+
+# runnable from a checkout without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from PIL import Image
 
