@@ -90,21 +90,28 @@ def _synth_params(cfg: OmChatConfig, rng: np.random.Generator) -> dict:
 
     v, t = cfg.vision, cfg.text
     lv, d, f = v.num_hidden_layers, v.hidden_size, v.intermediate_size
+    norm1 = {"scale": jnp.ones((lv, d), jnp.bfloat16)}
+    norm2 = {"scale": jnp.ones((lv, d), jnp.bfloat16)}
+    if v.norm_type == "layer_norm":
+        norm1["bias"] = jnp.zeros((lv, d), jnp.bfloat16)
+        norm2["bias"] = jnp.zeros((lv, d), jnp.bfloat16)
+    attn = {
+        "qkv": lin(d, 3 * d, bias=v.qkv_bias, layers=lv),
+        "proj": lin(d, d, layers=lv),
+    }
+    if v.qk_normalization:
+        attn["q_norm"] = {"scale": jnp.ones((lv, d), jnp.bfloat16)}
+        attn["k_norm"] = {"scale": jnp.ones((lv, d), jnp.bfloat16)}
     vision = {
         "class_embedding": bf16((d,), 1.0),
         "position_embedding": bf16((v.num_patch_tokens + 1, d)),
         "patch_embedding": {"kernel": bf16((v.patch_size, v.patch_size, 3, d)), "bias": jnp.zeros((d,), jnp.bfloat16)},
         "layers": {
-            "norm1": {"scale": jnp.ones((lv, d), jnp.bfloat16)},
-            "norm2": {"scale": jnp.ones((lv, d), jnp.bfloat16)},
+            "norm1": norm1,
+            "norm2": norm2,
             "ls1": jnp.full((lv, d), 0.1, jnp.bfloat16),
             "ls2": jnp.full((lv, d), 0.1, jnp.bfloat16),
-            "attn": {
-                "qkv": lin(d, 3 * d, bias=False, layers=lv),
-                "proj": lin(d, d, layers=lv),
-                "q_norm": {"scale": jnp.ones((lv, d), jnp.bfloat16)},
-                "k_norm": {"scale": jnp.ones((lv, d), jnp.bfloat16)},
-            },
+            "attn": attn,
             "mlp": {"fc1": lin(d, f, layers=lv), "fc2": lin(f, d, layers=lv)},
         },
     }

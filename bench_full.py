@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from bench import _synth_params, _sync, DECODE_TOKENS
-from omchat_tpu.config import OmChatConfig
+from omchat_tpu.config import OmChatConfig, VisionConfig
 from omchat_tpu.constants import IMAGE_TOKEN_INDEX
 from omchat_tpu.ops.sampling import greedy
 from omchat_tpu.runtime.generate import OmChatEngine, _decode_loop_jit
@@ -87,12 +87,20 @@ def main():
     engine = OmChatEngine(cfg, params)
 
     rows = [
-        measure(engine, params, cfg, "single_image_448px", n_tiles=2, text_tokens=32),
-        measure(engine, params, cfg, "chat_second_turn_with_history", n_tiles=2, text_tokens=32, history_tokens=256),
-        measure(engine, params, cfg, "highres_anyres_10tiles", n_tiles=10, text_tokens=32),
-        measure(engine, params, cfg, "multi_image_interleave_2x5tiles", n_tiles=10, text_tokens=64),
-        measure(engine, params, cfg, "video_32frames_chunked_prefill", n_tiles=32, text_tokens=32, chunked=True),
+        measure(engine, params, cfg, "13B_single_image_448px", n_tiles=2, text_tokens=32),
+        measure(engine, params, cfg, "13B_chat_second_turn_with_history", n_tiles=2, text_tokens=32, history_tokens=256),
+        measure(engine, params, cfg, "13B_highres_anyres_10tiles", n_tiles=10, text_tokens=32),
+        measure(engine, params, cfg, "13B_multi_image_interleave_2x5tiles", n_tiles=10, text_tokens=64),
     ]
+    # Video is the OmChat-2.1-8B configuration (InternViT-300M + Qwen2-7B,
+    # README.md:187-200); the 13B + 33k-token cache exceeds one 16GB chip.
+    del params, engine
+    cfg8 = OmChatConfig(vision=VisionConfig.internvit_300m())
+    params8 = _synth_params(cfg8, rng)
+    engine8 = OmChatEngine(cfg8, params8)
+    rows.append(
+        measure(engine8, params8, cfg8, "8B_video_32frames_chunked_prefill", n_tiles=32, text_tokens=32, chunked=True)
+    )
 
     with open("BENCH.md", "w") as f:
         f.write(
