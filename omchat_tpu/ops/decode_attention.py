@@ -57,7 +57,7 @@ def _decode_kernel(
     def _run():
         g_pad = q_ref.shape[0]
         q = q_ref[...]
-        k = k_ref[...]
+        k = k_ref[...].astype(q.dtype)  # cache may be fp8
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [G_pad, block_k]
@@ -75,7 +75,7 @@ def _decode_kernel(
         l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scratch[...] = m_next
 
-        v = v_ref[...]
+        v = v_ref[...].astype(q_ref.dtype)
         o_curr = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + o_curr
 

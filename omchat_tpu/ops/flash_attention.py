@@ -70,7 +70,7 @@ def _attn_kernel(
     @pl.when(needed)
     def _run():
         q = q_ref[...]  # pre-scaled by sm_scale in the wrapper
-        k = k_ref[...]
+        k = k_ref[...].astype(q.dtype)  # cache may be fp8; MXU runs bf16
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_q, block_k]
@@ -97,7 +97,7 @@ def _attn_kernel(
         m_scratch[...] = m_next
         l_scratch[...] = l_next
 
-        v = v_ref[...]
+        v = v_ref[...].astype(q_ref.dtype)
         o_curr = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + o_curr
 

@@ -45,7 +45,7 @@ def _encode_images_jit(params, cfg: OmChatConfig, pixel_values, attn_impl=None):
     return feats.reshape(-1, feats.shape[-1])  # [N*L, D]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "attn_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "cache_len", "attn_impl", "cache_dtype"))
 def _prefill_jit(
     params,
     cfg: OmChatConfig,
@@ -57,12 +57,13 @@ def _prefill_jit(
     lengths,
     cache_len: int,
     attn_impl=None,
+    cache_dtype=None,
 ):
     """Prefill: fuse embeddings, run the trunk, return last-valid-token logits
     and the filled cache."""
     b = token_ids.shape[0]
     embeds = fuse_embeddings(params, token_ids, is_image, image_index, image_features)
-    cache = init_kv_cache(cfg.text, b, cache_len, dtype=embeds.dtype)
+    cache = init_kv_cache(cfg.text, b, cache_len, dtype=cache_dtype or embeds.dtype)
     write_pos = jnp.zeros((b,), jnp.int32)
     hidden, cache = qwen2_forward(
         params["language_model"],
@@ -234,11 +235,16 @@ class OmChatEngine:
         *,
         attn_impl: Optional[str] = None,
         prompt_bucket: int = 128,
+        cache_dtype=None,
     ):
+        """cache_dtype: override the KV-cache storage dtype — e.g.
+        ``jnp.float8_e4m3fn`` halves cache HBM (long-context serving); kernels
+        dequantize on load."""
         self.cfg = cfg
         self.params = params
         self.attn_impl = attn_impl
         self.prompt_bucket = prompt_bucket
+        self.cache_dtype = cache_dtype
 
     # -- stages ------------------------------------------------------------
 
@@ -271,6 +277,7 @@ class OmChatEngine:
             jnp.asarray(plan.lengths),
             cache_len,
             self.attn_impl,
+            self.cache_dtype,
         )
         return logits, cache
 
@@ -290,12 +297,13 @@ class OmChatEngine:
         cfg = self.cfg
         b, m = plan.token_ids.shape
         dtype = self.params["language_model"]["embed_tokens"].dtype
+        cache_dtype = self.cache_dtype or dtype
         if image_features is None:
             d = self.params["language_model"]["embed_tokens"].shape[1]
             image_features = jnp.zeros((1, d), dtype)
 
         cache_len = round_up_to_bucket(plan.max_len + max_new_tokens, self.prompt_bucket)
-        cache = init_kv_cache(cfg.text, b, cache_len, dtype=dtype)
+        cache = init_kv_cache(cfg.text, b, cache_len, dtype=cache_dtype)
 
         final_logits = np.zeros((b, cfg.text.vocab_size), np.float32)
         lengths = plan.lengths

@@ -49,3 +49,23 @@ def test_quantized_generation_argmax_stable(rng):
     out = OmChatEngine(cfg, qparams, attn_impl="xla", prompt_bucket=8).generate([ids], None, gen)
     # tiny random models are logit-fragile; require the first token to agree
     assert out.token_ids[0][0] == ref.token_ids[0][0]
+
+
+def test_fp8_kv_cache(rng):
+    """fp8(e4m3) KV cache: generation runs and matches bf16-cache argmax on
+    the first tokens (cache dequantized on load)."""
+    import jax.numpy as jnp
+
+    from tests.test_sharding import _tiny_params
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+    ids = [5, 6, 7, 8, 9, 10, 11]
+
+    ref = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=8).generate([ids], None, gen)
+    f8 = OmChatEngine(
+        cfg, params, attn_impl="xla", prompt_bucket=8, cache_dtype=jnp.float8_e4m3fn
+    ).generate([ids], None, gen)
+    assert f8.token_ids[0][0] == ref.token_ids[0][0]
+    assert len(f8.token_ids[0]) == 4
