@@ -1,0 +1,64 @@
+"""Paged flash-decode vs contiguous decode (interpret mode), + the allocator."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from omchat_tpu.ops.attention import _xla_attention
+from omchat_tpu.ops.paged_attention import PageAllocator, paged_flash_decode
+
+
+def test_paged_decode_matches_contiguous(rng):
+    B, H, KVH, D = 2, 8, 2, 128
+    page_size, num_pages, max_pages = 128, 16, 4
+    lengths = np.asarray([300, 150], np.int32)
+
+    # contiguous truth
+    T = max_pages * page_size
+    k = rng.standard_normal((B, KVH, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, KVH, T, D)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+
+    # scatter into a shared page pool with shuffled page tables
+    alloc = PageAllocator(num_pages)
+    k_pages = np.zeros((KVH, num_pages, page_size, D), np.float32)
+    v_pages = np.zeros((KVH, num_pages, page_size, D), np.float32)
+    tables = np.zeros((B, max_pages), np.int32)
+    for b in range(B):
+        n_blocks = -(-int(lengths[b]) // page_size)
+        pages = alloc.alloc(n_blocks)
+        for i, pg in enumerate(pages):
+            sl = slice(i * page_size, (i + 1) * page_size)
+            k_pages[:, pg] = k[b, :, sl]
+            v_pages[:, pg] = v[b, :, sl]
+            tables[b, i] = pg
+
+    ref = _xla_attention(
+        q,
+        jnp.asarray(k).transpose(0, 2, 1, 3),
+        jnp.asarray(v).transpose(0, 2, 1, 3),
+        causal=False,
+        q_offset=None,
+        kv_len=jnp.asarray(lengths),
+    )
+    out = paged_flash_decode(
+        q,
+        jnp.asarray(k_pages),
+        jnp.asarray(v_pages),
+        jnp.asarray(lengths),
+        jnp.asarray(tables),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_page_allocator():
+    a = PageAllocator(4)
+    p1 = a.alloc(2)
+    p2 = a.alloc(2)
+    assert sorted(p1 + p2) == [0, 1, 2, 3]
+    with pytest.raises(MemoryError):
+        a.alloc(1)
+    a.release(p1)
+    assert a.available == 2
