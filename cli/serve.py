@@ -37,8 +37,8 @@ from omchat_tpu.utils.logging import build_logger
 
 
 def _parse_messages(messages):
-    """Extract (question, history, image) from OpenAI-style messages."""
-    image = None
+    """Extract (question, history, images) from OpenAI-style messages."""
+    images = []
     history = []
     question = ""
     system = "You are a helpful assistant."
@@ -55,7 +55,7 @@ def _parse_messages(messages):
                     url = part.get("image_url", {}).get("url", "")
                     if url.startswith("data:"):
                         b64 = url.split(",", 1)[1]
-                        image = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+                        images.append(Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB"))
             text = "\n".join(text_parts)
         else:
             text = str(content)
@@ -70,7 +70,7 @@ def _parse_messages(messages):
                 history.append((pending_user, text))
                 pending_user = None
     question = pending_user or ""
-    return question, history, image, system
+    return question, history, images or None, system
 
 
 def make_handler(model, logger):
@@ -101,7 +101,7 @@ def make_handler(model, logger):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
-                question, history, image, system = _parse_messages(req.get("messages", []))
+                question, history, images, system = _parse_messages(req.get("messages", []))
                 gen = GenerationConfig(
                     max_new_tokens=int(req.get("max_tokens", 1024)),
                     do_sample=float(req.get("temperature", 0.0)) > 0.0,
@@ -110,7 +110,7 @@ def make_handler(model, logger):
                 )
                 t0 = time.time()
                 with lock:
-                    inputs = model.processor(question, images=image, history=history, system=system)
+                    inputs = model.processor(question, images=images, history=history, system=system)
                     out = model.engine.generate(
                         [inputs["input_ids"][0].tolist()], inputs.get("images"), gen
                     )

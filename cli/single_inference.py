@@ -30,10 +30,12 @@ def main():
     printed = []
 
     def stream(token_id: int):
-        text = model.tokenizer.decode(printed + [token_id], skip_special_tokens=True)
-        prev = model.tokenizer.decode(printed, skip_special_tokens=True)
-        print(text[len(prev) :], end="", flush=True)
+        # bounded-window incremental decode (full-prefix re-decode is O(n²))
         printed.append(token_id)
+        window = printed[-24:]
+        text = model.tokenizer.decode(window, skip_special_tokens=True)
+        prev = model.tokenizer.decode(window[:-1], skip_special_tokens=True)
+        print(text[len(prev) :], end="", flush=True)
 
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens)
     model.chat(args.question, image=image, generation=gen, stream_callback=stream)

@@ -257,7 +257,7 @@ def _fwd(q, k, v, causal, q_offset, kv_len, block_q, block_k, interpret):
         ),
         interpret=interpret,
     )(scalars, qh, kh, vh)
-    return out[:, :, :S].transpose(0, 2, 1, 3), lse[:, :, :, 0]
+    return out[:, :, :S].transpose(0, 2, 1, 3), lse[:, :, :S, 0]
 
 
 def _bwd(causal, block_q, block_k, interpret, res, g):

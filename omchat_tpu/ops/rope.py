@@ -24,20 +24,26 @@ def rope_frequencies(
     head_dim: int,
     theta: float = 1_000_000.0,
     scaling: Optional[RopeScalingConfig] = None,
-    seq_len: Optional[int] = None,
+    seq_len: Optional[jax.Array] = None,
     max_position_embeddings: int = 32768,
 ) -> jax.Array:
     """Inverse frequencies [head_dim/2] (float32), with optional NTK rescaling.
 
     Dynamic-NTK recomputes theta when seq_len exceeds max_position_embeddings
-    (reference: modeling_llama.py:184-196).
+    (reference: modeling_llama.py:184-196).  ``seq_len`` may be traced — the
+    rescale is expressed in jnp so it works inside jit (it grows with the
+    decode position, matching HF's cache-length-driven update).
     """
-    if scaling is not None and scaling.rope_type == "dynamic" and seq_len is not None:
-        if seq_len > max_position_embeddings:
-            theta = theta * (
-                (scaling.factor * seq_len / max_position_embeddings) - (scaling.factor - 1)
-            ) ** (head_dim / (head_dim - 2))
     exponent = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+    if scaling is not None and scaling.rope_type == "dynamic" and seq_len is not None:
+        seq_len = jnp.asarray(seq_len, jnp.float32)
+        rescale = (scaling.factor * seq_len / max_position_embeddings) - (scaling.factor - 1)
+        theta_eff = jnp.where(
+            seq_len > max_position_embeddings,
+            theta * jnp.maximum(rescale, 1.0) ** (head_dim / (head_dim - 2)),
+            theta,
+        )
+        return 1.0 / (theta_eff**exponent)
     return 1.0 / (theta**exponent)
 
 
@@ -53,7 +59,10 @@ def rope_cos_sin(
 
     Linear scaling divides positions by the factor (modeling_llama.py:168-170).
     """
-    inv_freq = rope_frequencies(head_dim, theta, scaling, max_position_embeddings=max_position_embeddings)
+    seq_len = jnp.max(positions) + 1  # dynamic-NTK trigger (traced)
+    inv_freq = rope_frequencies(
+        head_dim, theta, scaling, seq_len=seq_len, max_position_embeddings=max_position_embeddings
+    )
     pos = positions.astype(jnp.float32)
     if scaling is not None and scaling.rope_type == "linear":
         pos = pos / scaling.factor

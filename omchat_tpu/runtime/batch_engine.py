@@ -105,7 +105,7 @@ class _Request:
     # runtime state
     slot: Optional[int] = None
     prefill_pos: int = 0
-    plan=None
+    plan: Optional[object] = None
     generated: List[int] = field(default_factory=list)
     done: bool = False
     last_token: Optional[int] = None
@@ -166,7 +166,9 @@ class BatchEngine:
             feats = _encode_images_jit(self.params, self.cfg, jnp.asarray(images), self.attn_impl)
         req = _Request(next(self._ids), list(input_ids), feats, max_new_tokens, eos_token_id)
         plan = plan_multimodal_merge([req.input_ids], self.cfg.image_seq_len, bucket=self.chunk_size)
-        if int(plan.lengths[0]) + max_new_tokens > self.max_len:
+        # prefill writes cover the chunk-padded plan length; decode extends to
+        # true_len + max_new — both extents must fit the slot cache
+        if max(plan.max_len, int(plan.lengths[0]) + max_new_tokens) > self.max_len:
             raise ValueError("request exceeds max_len")
         req.plan = plan
         self.queue.append(req)

@@ -211,7 +211,10 @@ class KeywordStopper:
     def should_stop(self, generated_ids: List[int]) -> bool:
         if not self.keywords:
             return False
-        text = self.tokenizer.decode(generated_ids, skip_special_tokens=True)
+        # bounded-tail check (the reference decodes only a max-keyword-length
+        # window, mm_utils.py:258): avoids O(n²) full-prefix re-decodes
+        tail = generated_ids[-64:]
+        text = self.tokenizer.decode(tail, skip_special_tokens=True)
         return any(k in text for k in self.keywords)
 
 
@@ -302,7 +305,11 @@ class OmChatEngine:
             d = self.params["language_model"]["embed_tokens"].shape[1]
             image_features = jnp.zeros((1, d), dtype)
 
-        cache_len = round_up_to_bucket(plan.max_len + max_new_tokens, self.prompt_bucket)
+        # The final chunk is padded to chunk_size; the cache must cover the
+        # padded write extent or dynamic_update_slice clamps the write start
+        # backward and corrupts earlier rows.
+        padded_m = round_up_to_bucket(plan.max_len, chunk_size)
+        cache_len = round_up_to_bucket(padded_m + max_new_tokens, self.prompt_bucket)
         cache = init_kv_cache(cfg.text, b, cache_len, dtype=cache_dtype)
 
         final_logits = np.zeros((b, cfg.text.vocab_size), np.float32)

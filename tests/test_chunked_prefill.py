@@ -50,3 +50,20 @@ def test_chunked_prefill_batch_varied_lengths(rng):
     ref_logits, _ = engine.prefill(plan, None, max_new_tokens=8)
     chk_logits, _ = engine.prefill_chunked(plan, None, max_new_tokens=8, chunk_size=16)
     np.testing.assert_allclose(np.asarray(chk_logits), np.asarray(ref_logits), atol=2e-5, rtol=1e-4)
+
+
+def test_chunked_prefill_nonmultiple_cache(rng):
+    """Regression: the padded final chunk's write must not clamp backward and
+    corrupt earlier cache rows (found when cache_len < round_up(M, chunk))."""
+    from tests.test_sharding import _tiny_params
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=8)
+
+    ids = list(range(10, 50))  # merged len 40
+    plan = engine.plan([ids])
+    ref_logits, _ = engine.prefill(plan, None, max_new_tokens=8)
+    # chunk 32: second chunk pads to [32, 64) while 40+8 only needs 48 rows
+    chk_logits, _ = engine.prefill_chunked(plan, None, max_new_tokens=8, chunk_size=32)
+    np.testing.assert_allclose(np.asarray(chk_logits), np.asarray(ref_logits), atol=2e-5, rtol=1e-4)

@@ -57,3 +57,17 @@ def test_flash_grads_gqa(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3, err_msg=f"d{name}"
         )
+
+
+def test_flash_grads_nonmultiple_seq(rng):
+    """Regression: S not a multiple of block_q (lse padding double-count)."""
+    B, S, H, D = 1, 200, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    fl_fn = lambda q, k, v: flash_attention_trainable(q, k, v, True, 128, 128, True)
+    ref_fn = lambda q, k, v: _xla_attention(q, k, v, causal=True, q_offset=None, kv_len=None)
+    g_ref = _grads(ref_fn, q, k, v)
+    g_fl = _grads(fl_fn, q, k, v)
+    for a, b, name in zip(g_fl, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3, err_msg=f"d{name}")

@@ -135,3 +135,23 @@ def test_tied_embeddings(rng):
     hidden, _ = qwen2_forward(params, cfg, x, jnp.arange(5)[None], attn_impl="xla")
     ours = lm_head(params, cfg, hidden)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-5, rtol=1e-4)
+
+
+def test_dynamic_ntk_activates_beyond_max_position(rng):
+    """Dynamic-NTK must rescale theta once positions exceed
+    max_position_embeddings (it was dead code until wired through seq_len)."""
+    import jax.numpy as jnp
+
+    from omchat_tpu.config import RopeScalingConfig
+    from omchat_tpu.ops.rope import rope_cos_sin
+
+    scaling = RopeScalingConfig(rope_type="dynamic", factor=4.0)
+    pos_short = jnp.arange(16)[None]
+    pos_long = jnp.arange(64)[None]
+    c_short, _ = rope_cos_sin(pos_short, 64, theta=10000.0, scaling=scaling, max_position_embeddings=32)
+    c_short_ref, _ = rope_cos_sin(pos_short, 64, theta=10000.0, scaling=None, max_position_embeddings=32)
+    np.testing.assert_allclose(np.asarray(c_short), np.asarray(c_short_ref), atol=1e-6)
+
+    c_long, _ = rope_cos_sin(pos_long, 64, theta=10000.0, scaling=scaling, max_position_embeddings=32)
+    c_long_ref, _ = rope_cos_sin(pos_long, 64, theta=10000.0, scaling=None, max_position_embeddings=32)
+    assert float(jnp.max(jnp.abs(c_long - c_long_ref))) > 1e-3  # rescale active
