@@ -73,7 +73,9 @@ def _parse_messages(messages):
     return question, history, images or None, system
 
 
-def make_handler(model, logger):
+def make_handler(model, logger, batch_engine=None):
+    """batch_engine: optional BatchEngine — requests join the continuous batch
+    and poll for completion instead of serializing behind the lock."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -109,13 +111,28 @@ def make_handler(model, logger):
                     top_p=float(req.get("top_p", 1.0)),
                 )
                 t0 = time.time()
-                with lock:
-                    inputs = model.processor(question, images=images, history=history, system=system)
-                    out = model.engine.generate(
-                        [inputs["input_ids"][0].tolist()], inputs.get("images"), gen
-                    )
-                text = model.tokenizer.decode(out.token_ids[0], skip_special_tokens=True)
-                n_new = len(out.token_ids[0])
+                inputs = model.processor(question, images=images, history=history, system=system)
+                if batch_engine is not None:
+                    with lock:
+                        rid = batch_engine.submit(
+                            inputs["input_ids"][0].tolist(),
+                            inputs.get("images"),
+                            max_new_tokens=gen.max_new_tokens,
+                            eos_token_id=gen.eos_token_id,
+                        )
+                    while not batch_engine.finished(rid):
+                        time.sleep(0.005)
+                    token_ids = batch_engine.result(rid)
+                    prompt_len = len(inputs["input_ids"][0])
+                else:
+                    with lock:
+                        out = model.engine.generate(
+                            [inputs["input_ids"][0].tolist()], inputs.get("images"), gen
+                        )
+                    token_ids = out.token_ids[0]
+                    prompt_len = int(out.prompt_len[0])
+                text = model.tokenizer.decode(token_ids, skip_special_tokens=True)
+                n_new = len(token_ids)
                 self._json(
                     200,
                     {
@@ -129,9 +146,9 @@ def make_handler(model, logger):
                             }
                         ],
                         "usage": {
-                            "prompt_tokens": int(out.prompt_len[0]),
+                            "prompt_tokens": prompt_len,
                             "completion_tokens": n_new,
-                            "total_tokens": int(out.prompt_len[0]) + n_new,
+                            "total_tokens": prompt_len + n_new,
                             "latency_ms": round((time.time() - t0) * 1000, 1),
                         },
                     },
@@ -149,11 +166,37 @@ def main():
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--continuous-batching", action="store_true", help="BatchEngine scheduler (concurrent requests share decode steps)")
+    parser.add_argument("--max-slots", type=int, default=4)
+    parser.add_argument("--max-len", type=int, default=8192)
     args = parser.parse_args()
 
     logger = build_logger("omchat.serve", "serve.log")
     model = load_pretrained_model(args.model_path, quantize_int8=args.int8)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(model, logger))
+
+    batch_engine = None
+    if args.continuous_batching:
+        from omchat_tpu.runtime.batch_engine import BatchEngine
+
+        batch_engine = BatchEngine(
+            model.config,
+            model.engine.params,
+            max_slots=args.max_slots,
+            max_len=args.max_len,
+            attn_impl=model.engine.attn_impl,
+        )
+
+        def scheduler():
+            while True:
+                if batch_engine.has_work():
+                    batch_engine.step()
+                else:
+                    time.sleep(0.002)
+
+        threading.Thread(target=scheduler, daemon=True, name="batch-scheduler").start()
+        logger.info(f"continuous batching: {args.max_slots} slots, max_len {args.max_len}")
+
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(model, logger, batch_engine))
     logger.info(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 

@@ -136,7 +136,9 @@ class BatchEngine:
         self.params = params
         self.max_slots = max_slots
         self.max_len = max_len
-        self.chunk_size = chunk_size
+        # plans bucket to chunk_size; a chunk larger than the cache would make
+        # every request "exceed max_len"
+        self.chunk_size = min(chunk_size, max_len)
         self.attn_impl = attn_impl
 
         dtype = params["language_model"]["embed_tokens"].dtype
