@@ -40,15 +40,9 @@ def main():
         if not question:
             break
 
-        printed = []
+        from omchat_tpu.runtime.generate import make_stdout_streamer
 
-        def stream(token_id: int):
-            # bounded-window incremental decode (full-prefix re-decode is O(n²))
-            printed.append(token_id)
-            window = printed[-24:]
-            text = model.tokenizer.decode(window, skip_special_tokens=True)
-            prev = model.tokenizer.decode(window[:-1], skip_special_tokens=True)
-            print(text[len(prev) :], end="", flush=True)
+        stream = make_stdout_streamer(model.tokenizer)
 
         print("assistant: ", end="", flush=True)
         answer = model.chat(

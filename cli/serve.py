@@ -112,7 +112,9 @@ def make_handler(model, logger, batch_engine=None):
                 )
                 t0 = time.time()
                 inputs = model.processor(question, images=images, history=history, system=system)
-                if batch_engine is not None:
+                # the continuous batch decodes greedily; sampled requests take
+                # the single-request path so their sampling params are honored
+                if batch_engine is not None and not gen.do_sample:
                     with lock:
                         rid = batch_engine.submit(
                             inputs["input_ids"][0].tolist(),
@@ -120,10 +122,12 @@ def make_handler(model, logger, batch_engine=None):
                             max_new_tokens=gen.max_new_tokens,
                             eos_token_id=gen.eos_token_id,
                         )
+                    deadline = time.time() + 60 + 0.5 * gen.max_new_tokens
                     while not batch_engine.finished(rid):
+                        if getattr(batch_engine, "dead", False) or time.time() > deadline:
+                            raise RuntimeError("batch scheduler unavailable or request timed out")
                         time.sleep(0.005)
-                    token_ids = batch_engine.result(rid)
-                    prompt_len = len(inputs["input_ids"][0])
+                    token_ids, prompt_len = batch_engine.pop_result(rid)
                 else:
                     with lock:
                         out = model.engine.generate(
@@ -188,10 +192,15 @@ def main():
 
         def scheduler():
             while True:
-                if batch_engine.has_work():
-                    batch_engine.step()
-                else:
-                    time.sleep(0.002)
+                try:
+                    if batch_engine.has_work():
+                        batch_engine.step()
+                    else:
+                        time.sleep(0.002)
+                except Exception:
+                    logger.exception("batch scheduler died; failing in-flight requests")
+                    batch_engine.dead = True
+                    return
 
         threading.Thread(target=scheduler, daemon=True, name="batch-scheduler").start()
         logger.info(f"continuous batching: {args.max_slots} slots, max_len {args.max_len}")

@@ -27,15 +27,9 @@ def main():
     model = load_pretrained_model(args.model_path, quantize_int8=args.int8)
     image = Image.open(args.image_path).convert("RGB")
 
-    printed = []
+    from omchat_tpu.runtime.generate import make_stdout_streamer
 
-    def stream(token_id: int):
-        # bounded-window incremental decode (full-prefix re-decode is O(n²))
-        printed.append(token_id)
-        window = printed[-24:]
-        text = model.tokenizer.decode(window, skip_special_tokens=True)
-        prev = model.tokenizer.decode(window[:-1], skip_special_tokens=True)
-        print(text[len(prev) :], end="", flush=True)
+    stream = make_stdout_streamer(model.tokenizer)
 
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens)
     model.chat(args.question, image=image, generation=gen, stream_callback=stream)

@@ -7,8 +7,9 @@ JSONL data (``{"image": ..., "conversations": [{"from": "human"/"gpt",
 prompt/image rows, sharded AdamW step with remat, orbax checkpoints with
 auto-resume, JSONL metrics.
 
-``--synthetic N`` runs N steps on generated data (smoke/throughput mode, no
-dataset needed).
+``--data`` points at the JSONL file (loss on the final assistant turn, prior
+turns become ChatML history); ``--synthetic N`` instead runs N steps on
+generated data (smoke/throughput mode, no dataset or tokenizer needed).
 """
 
 import argparse
@@ -40,26 +41,81 @@ from omchat_tpu.utils.logging import MetricLogger, build_logger
 from omchat_tpu.utils.metrics_writer import JsonlMetricsWriter
 
 
-def synthetic_batch(cfg: OmChatConfig, batch: int, rng: np.random.Generator):
-    n_text = 48
-    ids = [5, 6, IMAGE_TOKEN_INDEX] + rng.integers(10, cfg.text.vocab_size, n_text).tolist()
-    plan = plan_multimodal_merge([ids] * batch, cfg.image_seq_len, bucket=128)
-    labels = np.where(plan.is_image, IGNORE_INDEX, plan.token_ids)
-    labels[~(plan.positions > 0) & (plan.positions == 0)] = IGNORE_INDEX
-    pixels = rng.standard_normal((batch, 3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32)
-    return {
+def _pack_batch(cfg, batch_ids, batch_label_spans, pixels):
+    """ids + (answer_start, answer_end) spans → device batch dict."""
+    plan = plan_multimodal_merge(batch_ids, cfg.image_seq_len, bucket=128)
+    labels = np.full_like(plan.token_ids, IGNORE_INDEX)
+    for i, (a0, a1) in enumerate(batch_label_spans):
+        labels[i, a0:a1] = plan.token_ids[i, a0:a1]
+    labels[plan.is_image] = IGNORE_INDEX
+    out = {
         "token_ids": jnp.asarray(plan.token_ids),
         "is_image": jnp.asarray(plan.is_image),
         "image_index": jnp.asarray(plan.image_index),
         "positions": jnp.asarray(plan.positions),
         "labels": jnp.asarray(labels),
-        "pixel_values": jnp.asarray(pixels),
     }
+    if pixels is not None:
+        out["pixel_values"] = jnp.asarray(pixels)
+    return out
+
+
+def synthetic_batch(cfg: OmChatConfig, batch: int, rng: np.random.Generator):
+    n_text = 48
+    ids = [5, 6, IMAGE_TOKEN_INDEX] + rng.integers(10, cfg.text.vocab_size, n_text).tolist()
+    merged_len = 2 + cfg.image_seq_len + n_text  # sentinel expands to image_seq_len rows
+    spans = [(merged_len - 16, merged_len)] * batch  # loss on the tail tokens
+    pixels = rng.standard_normal((batch, 3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32)
+    return _pack_batch(cfg, [ids] * batch, spans, pixels)
+
+
+def jsonl_batches(path, image_root, tokenizer, cfg, batch_size, epochs=1000000):
+    """LLaVA-style SFT data → batches.  Loss on the final assistant turn
+    (earlier turns enter as ChatML history)."""
+    from PIL import Image
+
+    from omchat_tpu.processing.chat import image_prompt, make_context
+    from omchat_tpu.processing.image_processor import process_anyres_image
+
+    eos = 151645
+    records = [json.loads(l) for l in open(path) if l.strip()]
+    for _ in range(epochs):
+        batch_ids, spans, tiles = [], [], []
+        for rec in records:
+            convs = rec["conversations"]
+            turns = [(convs[i]["value"], convs[i + 1]["value"]) for i in range(0, len(convs) - 1, 2)]
+            history, (q, answer) = turns[:-1], turns[-1]
+
+            sample_tiles = None
+            if rec.get("image"):
+                img = Image.open(os.path.join(image_root, rec["image"])).convert("RGB")
+                sample_tiles = process_anyres_image(img, cfg.image_grid_pinpoints, cfg.vision.image_size)
+                q = image_prompt(q, sample_tiles.shape[0])
+            else:
+                q = q.replace("<image>", "").strip()
+            history = [(hq.replace("<image>", "").strip(), ha) for hq, ha in history]
+
+            _, context = make_context(tokenizer, q, history, "You are a helpful assistant.")
+            target = tokenizer.encode(answer) + [eos]
+            ids = context + target
+            n_img = sum(1 for t in ids if t == IMAGE_TOKEN_INDEX)
+            merged_len = len(ids) + n_img * (cfg.image_seq_len - 1)
+            spans.append((merged_len - len(target), merged_len))
+            batch_ids.append(ids)
+            if sample_tiles is not None:
+                tiles.append(sample_tiles)
+
+            if len(batch_ids) == batch_size:
+                pixels = np.concatenate(tiles, axis=0) if tiles else None
+                yield _pack_batch(cfg, batch_ids, spans, pixels)
+                batch_ids, spans, tiles = [], [], []
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-path", default=None, help="checkpoint to fine-tune (None = tiny random)")
+    parser.add_argument("--data", default=None, help="LLaVA-style JSONL dataset")
+    parser.add_argument("--image-root", default="", help="image directory for --data")
     parser.add_argument("--synthetic", type=int, default=0, help="run N synthetic steps (smoke mode)")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-5)
@@ -100,19 +156,32 @@ def main():
     params = shard_params(params, mesh, specs)
     state = init_train_state(params, optimizer)
 
+    if not args.data and not args.synthetic:
+        parser.error("pass --data (JSONL dataset) or --synthetic N (smoke mode)")
+
     ckpt = TrainCheckpointer(os.path.join(args.output_dir, "ckpt"))
     state, resumed = ckpt.restore(state)
-    start_step = (resumed or 0)
-    if resumed:
+    # a checkpoint at step N holds state *after* executing step N → resume at N+1
+    start_step = resumed + 1 if resumed is not None else 0
+    if resumed is not None:
         logger.info(f"auto-resumed from step {resumed}")
 
     metrics = JsonlMetricsWriter(os.path.join(args.output_dir, "metrics.jsonl"))
     meter = MetricLogger()
     rng = np.random.default_rng(0)
 
+    if args.data:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.model_path, use_fast=True)
+        data_iter = jsonl_batches(args.data, args.image_root, tokenizer, cfg, args.batch_size)
+    else:
+        data_iter = None
+
     for step in range(start_step, total):
-        batch = synthetic_batch(cfg, args.batch_size, rng)
-        batch = jax.tree.map(lambda a, s: jax.device_put(a, s), batch, batch_shardings)
+        batch = next(data_iter) if data_iter is not None else synthetic_batch(cfg, args.batch_size, rng)
+        batch_shardings_step = {k: v for k, v in batch_shardings.items() if k in batch}
+        batch = jax.tree.map(lambda a, s: jax.device_put(a, s), batch, batch_shardings_step)
         t0 = time.time()
         state, loss = step_fn(state, cfg, batch)
         loss_f = float(loss)
@@ -122,7 +191,8 @@ def main():
             logger.info(f"step {step}: {meter}")
         if step > 0 and step % 50 == 0:
             ckpt.save(step, state)
-    ckpt.save(total, state)
+    if ckpt.latest_step() != total - 1 and total > start_step:
+        ckpt.save(total - 1, state)
     logger.info("done")
 
 

@@ -122,16 +122,27 @@ def save_hf_safetensors(params: dict, directory: str, max_shard_bytes: int = 4 <
         cur[k] = v
         cur_bytes += v.nbytes
     shards.append(cur)
+    weight_map = {}
+    total = 0
     for i, shard in enumerate(shards):
         name = (
             "model.safetensors"
             if len(shards) == 1
             else f"model-{i + 1:05d}-of-{len(shards):05d}.safetensors"
         )
+        for k, v in shard.items():
+            weight_map[k] = name
+            total += v.nbytes
         # safetensors writes the raw buffer; transposed views must be
         # materialized C-contiguous or the file holds pre-transpose bytes.
         shard = {k: np.ascontiguousarray(v) for k, v in shard.items()}
         save_file(shard, os.path.join(directory, name))
+    if len(shards) > 1:
+        # HF from_pretrained requires the shard index for multi-file checkpoints
+        import json
+
+        with open(os.path.join(directory, "model.safetensors.index.json"), "w") as f:
+            json.dump({"metadata": {"total_size": total}, "weight_map": weight_map}, f)
 
 
 class TrainCheckpointer:

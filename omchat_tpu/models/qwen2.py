@@ -190,9 +190,10 @@ def lm_head(params: dict, cfg: TextConfig, hidden: jax.Array) -> jax.Array:
 
 
 def embed_tokens(params: dict, input_ids: jax.Array) -> jax.Array:
-    """Token embedding lookup; out-of-range sentinel ids (-200) map to row 0."""
+    """Token embedding lookup; sentinel ids (-200) map to row 0 and ids beyond
+    the vocab clamp (jnp.take's default fill mode would produce NaN rows)."""
     safe = jnp.where(input_ids < 0, 0, input_ids)
-    return jnp.take(params["embed_tokens"], safe, axis=0)
+    return jnp.take(params["embed_tokens"], safe, axis=0, mode="clip")
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,9 @@ def cross_entropy_loss(
 
     Returns (mean_loss, num_valid)."""
     logits = logits.astype(jnp.float32)
-    valid = labels != ignore_index
+    # out-of-vocab labels (e.g. special ids beyond a truncated vocab) are
+    # ignored, not NaN-filled by the gather
+    valid = (labels != ignore_index) & (labels >= 0) & (labels < logits.shape[-1])
     safe_labels = jnp.where(valid, labels, 0)
     lse = jax.nn.logsumexp(logits, axis=-1)
     picked = jnp.take_along_axis(logits, safe_labels[..., None], axis=-1)[..., 0]

@@ -59,14 +59,16 @@ def rope_cos_sin(
 
     Linear scaling divides positions by the factor (modeling_llama.py:168-170).
     """
-    seq_len = jnp.max(positions) + 1  # dynamic-NTK trigger (traced)
+    # Dynamic-NTK trigger must be per sequence (last axis), not batch-global —
+    # one long (or parked) row must not rescale other rows' frequencies.
+    seq_len = jnp.max(positions, axis=-1, keepdims=True) + 1  # [..., 1], traced
     inv_freq = rope_frequencies(
-        head_dim, theta, scaling, seq_len=seq_len, max_position_embeddings=max_position_embeddings
-    )
+        head_dim, theta, scaling, seq_len=seq_len[..., None], max_position_embeddings=max_position_embeddings
+    )  # [..., 1, head_dim/2] when scaled, [head_dim/2] otherwise
     pos = positions.astype(jnp.float32)
     if scaling is not None and scaling.rope_type == "linear":
         pos = pos / scaling.factor
-    freqs = pos[..., None] * inv_freq  # [..., head_dim/2]
+    freqs = pos[..., None] * inv_freq  # [..., S, head_dim/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
 

@@ -183,6 +183,12 @@ class BatchEngine:
     def result(self, request_id: int) -> List[int]:
         return list(self.requests[request_id].generated)
 
+    def pop_result(self, request_id: int):
+        """Return (generated_ids, merged_prompt_len) and evict the request —
+        long-running servers must evict or per-request state accumulates."""
+        req = self.requests.pop(request_id)
+        return list(req.generated), int(req.plan.lengths[0])
+
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
 
@@ -200,6 +206,7 @@ class BatchEngine:
         self.slots[req.slot] = None
         req.slot = None
         req.done = True
+        req.image_features = None  # free the projected-feature HBM reference
 
     def step(self):
         """One scheduler tick: advance at most one prefill chunk for a joining

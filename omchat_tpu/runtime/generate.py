@@ -200,6 +200,21 @@ def _decode_step_inner(params, cfg, tokens, kv_len, cache, attn_impl):
 # ---------------------------------------------------------------------------
 
 
+def make_stdout_streamer(tokenizer, window: int = 24):
+    """Incremental token→stdout streamer with a bounded decode window
+    (full-prefix re-decode per token is O(n²)); shared by the CLIs."""
+    printed = []
+
+    def stream(token_id: int):
+        printed.append(token_id)
+        tail = printed[-window:]
+        text = tokenizer.decode(tail, skip_special_tokens=True)
+        prev = tokenizer.decode(tail[:-1], skip_special_tokens=True)
+        print(text[len(prev):], end="", flush=True)
+
+    return stream
+
+
 class KeywordStopper:
     """Host-side keyword stopping — the reference's KeywordsStoppingCriteria
     (mm_utils.py:242-274) recast for the streaming loop."""
