@@ -140,7 +140,7 @@ def _decode_step_jit(params, cfg: OmChatConfig, tokens, kv_len, cache: KVCache, 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "eos_token_id", "attn_impl"),
+    static_argnames=("cfg", "max_new_tokens", "eos_token_id", "attn_impl", "gen"),
     donate_argnames=("cache",),
 )
 def _decode_loop_jit(
@@ -152,29 +152,39 @@ def _decode_loop_jit(
     max_new_tokens: int,
     eos_token_id: int,
     attn_impl=None,
+    gen: Optional[GenerationConfig] = None,
+    rng_key=None,
 ):
-    """Fully on-device greedy decode via lax.while_loop (no per-token host sync).
+    """Fully on-device decode via lax.while_loop (no per-token host sync) —
+    greedy by default, or sampled per ``gen`` (temperature / top-k / top-p)
+    with the PRNG key split inside the loop.
 
     Returns (tokens [B, max_new_tokens] padded with eos, num_generated [B])."""
     b = first_tokens.shape[0]
     out = jnp.full((b, max_new_tokens), eos_token_id, jnp.int32)
     out = out.at[:, 0].set(first_tokens)
     done = first_tokens == eos_token_id
+    key0 = rng_key if rng_key is not None else jax.random.PRNGKey(0)
 
     def cond(state):
-        step, _, _, _, done, _ = state
+        step, _, _, _, done, _, _ = state
         return (step < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        step, tokens, kv_len, cache, done, out = state
+        step, tokens, kv_len, cache, done, out, key = state
         logits, cache = _decode_step_inner(params, cfg, tokens, kv_len, cache, attn_impl)
-        next_tokens = jnp.where(done, jnp.int32(eos_token_id), greedy(logits))
+        if gen is not None and gen.do_sample:
+            key, sub = jax.random.split(key)
+            picked = sample(logits, sub, gen)
+        else:
+            picked = greedy(logits)
+        next_tokens = jnp.where(done, jnp.int32(eos_token_id), picked)
         out = out.at[:, step].set(next_tokens)
         done = done | (next_tokens == eos_token_id)
-        return step + 1, next_tokens, kv_len + 1, cache, done, out
+        return step + 1, next_tokens, kv_len + 1, cache, done, out, key
 
-    step, _, kv_len, _, done, out = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), first_tokens, kv_len, cache, done, out)
+    step, _, kv_len, _, done, out, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), first_tokens, kv_len, cache, done, out, key0)
     )
     return out, step
 
@@ -421,13 +431,21 @@ class OmChatEngine:
         batch_input_ids: Sequence[Sequence[int]],
         images: Optional[np.ndarray] = None,
         generation: Optional[GenerationConfig] = None,
+        rng_key: Optional[jax.Array] = None,
     ):
-        """Fully on-device greedy decode (benchmark path; no per-token host sync)."""
+        """Fully on-device decode loop (no per-token host sync); greedy or
+        sampled per the generation config."""
         gen = generation or GenerationConfig()
         feats = self.encode_images(images) if images is not None else None
         plan = self.plan(batch_input_ids)
         logits, cache = self.prefill(plan, feats, gen.max_new_tokens)
-        first = greedy(logits)
+        if gen.do_sample:
+            key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+            key, sub = jax.random.split(key)
+            first = sample(logits, sub, gen)
+        else:
+            key = rng_key
+            first = greedy(logits)
         out, num = _decode_loop_jit(
             self.params,
             self.cfg,
@@ -437,6 +455,8 @@ class OmChatEngine:
             gen.max_new_tokens,
             gen.eos_token_id,
             self.attn_impl,
+            gen,
+            key,
         )
         out_np = np.asarray(out)
         result = []

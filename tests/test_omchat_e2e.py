@@ -189,3 +189,19 @@ def test_batch_generation_varied_lengths(jax_setup, rng):
     out_b = engine.generate([b], None, gen)
     assert out_batch.token_ids[0] == out_a.token_ids[0]
     assert out_batch.token_ids[1] == out_b.token_ids[0]
+
+
+def test_ondevice_sampled_decode(jax_setup):
+    """Sampled on-device loop: runs, respects max_new_tokens, differs across seeds."""
+    import jax
+
+    cfg, params = jax_setup
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=8)
+    gen = GenerationConfig(max_new_tokens=6, eos_token_id=-1, do_sample=True, temperature=1.5, top_k=50)
+    ids = [5, 6, 7, 8]
+    a = engine.generate_ondevice([ids], None, gen, rng_key=jax.random.PRNGKey(1))
+    b = engine.generate_ondevice([ids], None, gen, rng_key=jax.random.PRNGKey(2))
+    c = engine.generate_ondevice([ids], None, gen, rng_key=jax.random.PRNGKey(1))
+    assert len(a.token_ids[0]) == 6
+    assert a.token_ids[0] == c.token_ids[0]  # same seed reproduces
+    assert a.token_ids[0] != b.token_ids[0]  # different seed differs (w.h.p.)
