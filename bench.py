@@ -154,12 +154,23 @@ def _build_engine():
     The tunneled TPU service has been observed to leak HBM from killed client
     sessions until a server-side timeout; degrade 13B → 8B (InternViT-300M +
     Qwen2-7B, the OmChat-2.1 geometry) rather than crash the round's bench."""
+    import dataclasses
+
     from omchat_tpu.config import VisionConfig
+
+    def _w8a8(cfg: OmChatConfig) -> OmChatConfig:
+        # Serving mode: int8×int8 MXU matmuls on the compute-bound paths (ViT
+        # encode + LLM prefill); decode stays weight-only int8 (HBM-bound).
+        return dataclasses.replace(
+            cfg,
+            vision=dataclasses.replace(cfg.vision, w8a8=True),
+            text=dataclasses.replace(cfg.text, w8a8=True),
+        )
 
     rng = np.random.default_rng(0)
     candidates = [
-        ("omchat-v2.0-13B geometry (InternViT-6B + Qwen2-7B), int8 weights", OmChatConfig.omchat_v2_13b()),
-        ("omchat-2.1-8B geometry (InternViT-300M + Qwen2-7B), int8 weights", OmChatConfig(vision=VisionConfig.internvit_300m())),
+        ("omchat-v2.0-13B geometry (InternViT-6B + Qwen2-7B), int8 w8a8", _w8a8(OmChatConfig.omchat_v2_13b())),
+        ("omchat-2.1-8B geometry (InternViT-300M + Qwen2-7B), int8 w8a8", _w8a8(OmChatConfig(vision=VisionConfig.internvit_300m()))),
     ]
     for name, cfg in candidates:
         try:
@@ -199,6 +210,10 @@ def main():
     logits, cache = engine.prefill(plan, feats, DECODE_TOKENS)
     _sync(logits)  # compile
     _log("prefill compiled")
+    t0 = time.perf_counter()
+    logits, cache = engine.prefill(plan, feats, DECODE_TOKENS)
+    _sync(logits)
+    prefill_time = time.perf_counter() - t0
     t0 = time.perf_counter()
     feats2 = engine.encode_images(pixels)
     logits, cache = engine.prefill(plan, feats2, DECODE_TOKENS)
@@ -244,6 +259,20 @@ def main():
     batch_decode_toks = 4 * (DECODE_TOKENS - 1) / (time.perf_counter() - t0)
     _log("batched decode done")
 
+    # Effective FLOP rates (model-geometry FLOPs / measured time).
+    v, t = cfg.vision, cfg.text
+    s_vit = v.num_patch_tokens + 1
+    per_layer = 2 * s_vit * v.hidden_size * (
+        3 * v.hidden_size + v.hidden_size + 2 * v.intermediate_size
+    ) + 4 * s_vit * s_vit * v.hidden_size
+    vit_flops = N_TILES * v.num_hidden_layers * per_layer
+    n_prefill = int(plan.lengths[0])
+    hd, h, kvh = t.attn_head_dim, t.num_attention_heads, t.num_key_value_heads
+    llm_layer = 2 * n_prefill * t.hidden_size * (
+        (h + 2 * kvh) * hd + h * hd + 3 * t.intermediate_size
+    ) + 4 * n_prefill * n_prefill * h * hd // 2
+    prefill_flops = t.num_hidden_layers * llm_layer
+
     print(
         json.dumps(
             {
@@ -255,6 +284,9 @@ def main():
                     "model": model_name,
                     "ttft_ms": round(ttft * 1000, 1),
                     "vit_images_per_sec": round(vit_images_per_sec, 2),
+                    "vit_tflops": round(vit_flops / vit_time / 1e12, 1),
+                    "prefill_ms": round(prefill_time * 1000, 1),
+                    "prefill_tflops": round(prefill_flops / prefill_time / 1e12, 1),
                     "prefill_tokens": int(plan.lengths[0]),
                     "anyres_tiles": N_TILES,
                     "decode_tokens": DECODE_TOKENS,

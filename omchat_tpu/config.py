@@ -45,6 +45,11 @@ class VisionConfig:
     drop_path_rate: float = 0.0
     attention_dropout: float = 0.0
     dropout: float = 0.0
+    # Serving mode (not an HF checkpoint key): run matmuls int8×int8 on the
+    # MXU with dynamic per-token activation quantization (requires int8
+    # weights, ops/linear.py).  ~2× the bf16 MXU rate for the compute-bound
+    # ViT encode; keep False for bit-parity work.
+    w8a8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -137,6 +142,10 @@ class TextConfig:
     decoder_sparse_step: int = 1
     norm_topk_prob: bool = False
     mlp_only_layers: Tuple[int, ...] = ()
+    # Serving mode (not an HF key): int8×int8 MXU matmuls with dynamic
+    # activation quantization on the compute-bound prefill path (decode stays
+    # weight-only int8 — it is HBM-bandwidth-bound, not MXU-bound).
+    w8a8: bool = False
 
     @property
     def attn_head_dim(self) -> int:

@@ -116,32 +116,57 @@ def embeddings(params: dict, cfg: VisionConfig, pixel_values: jax.Array) -> jax.
     return embeds + pos[None].astype(dtype)
 
 
-def _layer_forward(cfg: VisionConfig, x: jax.Array, layer: dict, *, attn_impl: Optional[str]) -> jax.Array:
-    """One pre-norm block: x + ls1*attn(norm1(x)); x + ls2*mlp(norm2(x))."""
+def _layer_forward(
+    cfg: VisionConfig,
+    x: jax.Array,
+    layer: dict,
+    *,
+    attn_impl: Optional[str],
+    fused_valid_len: Optional[int] = None,
+) -> jax.Array:
+    """One pre-norm block: x + ls1*attn(norm1(x)); x + ls2*mlp(norm2(x)).
+
+    ``fused_valid_len`` selects the packed-layout Pallas attention fast path
+    (see :func:`intern_vit_forward`): q/k/v stay in the [B, SP, H*D] layout
+    the qkv matmul produces and rows ≥ fused_valid_len are padding.
+    """
     b, n, d = x.shape
     h = cfg.num_attention_heads
     hd = cfg.head_dim
+    a8 = cfg.w8a8
 
     # Attention
     y = apply_norm(x, layer["norm1"], cfg.layer_norm_eps)
-    qkv = dense(y, layer["attn"]["qkv"])
+    qkv = dense(y, layer["attn"]["qkv"], a8=a8)
     q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, N, D]
     if cfg.qk_normalization:
         # qk-RMSNorm over the flattened (head, head_dim) axis
         # (modeling_intern_vit.py:143-146).
         q = rms_norm(q, layer["attn"]["q_norm"]["scale"], cfg.layer_norm_eps)
         k = rms_norm(k, layer["attn"]["k_norm"]["scale"], cfg.layer_norm_eps)
-    q = q.reshape(b, n, h, hd)
-    k = k.reshape(b, n, h, hd)
-    v = v.reshape(b, n, h, hd)
-    attn_out = attention(q, k, v, causal=False, impl=attn_impl).reshape(b, n, d)
-    attn_out = dense(attn_out, layer["attn"]["proj"])
+    if fused_valid_len is not None:
+        from omchat_tpu.ops.flash_attention import packed_self_attention
+
+        attn_out = packed_self_attention(
+            q,
+            k,
+            v,
+            num_heads=h,
+            valid_len=fused_valid_len,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        q = q.reshape(b, n, h, hd)
+        k = k.reshape(b, n, h, hd)
+        v = v.reshape(b, n, h, hd)
+        attn_out = attention(q, k, v, causal=False, impl=attn_impl).reshape(b, n, d)
+    attn_out = dense(attn_out, layer["attn"]["proj"], a8=a8)
     x = x + attn_out * layer["ls1"]
 
     # MLP (exact GELU, as transformers ACT2FN['gelu'])
     y = apply_norm(x, layer["norm2"], cfg.layer_norm_eps)
-    y = jax.nn.gelu(dense(y, layer["mlp"]["fc1"]), approximate=False)
-    y = dense(y, layer["mlp"]["fc2"])
+    y = jax.nn.gelu(dense(y, layer["mlp"]["fc1"], a8=a8), approximate=False)
+    y = dense(y, layer["mlp"]["fc2"], a8=a8)
     return x + y * layer["ls2"]
 
 
@@ -160,8 +185,25 @@ def intern_vit_forward(
     ``hidden_states[-1]`` (modeling_omchat.py:750-753). Negative indices count
     from the end as in the reference's Python list indexing; CLS is NOT dropped
     here (see :func:`feature_select`).
+
+    Fast path (TPU inference): when the Pallas impl is selected and the
+    geometry allows (head_dim % 128 == 0), the whole stack runs at the
+    sequence length padded once to a multiple of 64 — every op except
+    attention is row-local, and attention masks the pad columns — so no
+    per-layer pad/slice/transpose materializes around the attention kernel
+    (the 1025-token 6B shape would otherwise repack 3×33MB per layer).
     """
+    from omchat_tpu.ops.attention import default_impl
+    from omchat_tpu.ops.flash_attention import packed_seq_supported
+
     x = embeddings(params, cfg, pixel_values)
+    s = x.shape[1]
+
+    impl = attn_impl or default_impl()
+    fused = impl == "pallas" and packed_seq_supported(s, cfg.head_dim) and not remat
+    sp = (s + 63) // 64 * 64 if fused else s
+    if fused and sp != s:
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
     num_layers = cfg.num_hidden_layers
     n_run = num_layers + 1 + feature_layer if feature_layer < 0 else feature_layer
@@ -171,7 +213,9 @@ def intern_vit_forward(
     if n_run < num_layers:
         layers = jax.tree.map(lambda a: a[:n_run], layers)
 
-    body = functools.partial(_layer_forward, cfg, attn_impl=attn_impl)
+    body = functools.partial(
+        _layer_forward, cfg, attn_impl=attn_impl, fused_valid_len=s if fused else None
+    )
     if remat:
         body = jax.checkpoint(body)
 
@@ -179,6 +223,8 @@ def intern_vit_forward(
         return body(carry, layer), None
 
     x, _ = jax.lax.scan(scan_body, x, layers)
+    if fused and sp != s:
+        x = x[:, :s]
     return x
 
 

@@ -51,9 +51,13 @@ def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
-def _mlp(y: jax.Array, p: dict) -> jax.Array:
+def _mlp(y: jax.Array, p: dict, a8: bool = False) -> jax.Array:
     """SwiGLU: down(silu(gate(y)) * up(y))."""
-    return dense(jax.nn.silu(dense(y, p["gate_proj"])) * dense(y, p["up_proj"]), p["down_proj"])
+    return dense(
+        jax.nn.silu(dense(y, p["gate_proj"], a8=a8)) * dense(y, p["up_proj"], a8=a8),
+        p["down_proj"],
+        a8=a8,
+    )
 
 
 def _attn_block(
@@ -72,9 +76,13 @@ def _attn_block(
     h, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.attn_head_dim
     p = layer["self_attn"]
 
-    q = dense(x, p["q_proj"])
-    k = dense(x, p["k_proj"])
-    v = dense(x, p["v_proj"])
+    # w8a8 serves the compute-bound prefill; the single-token decode step is
+    # HBM-bound and keeps the weight-only int8 path (quantizing one row of
+    # activations would add passes without MXU benefit).
+    a8 = cfg.w8a8 and s > 1
+    q = dense(x, p["q_proj"], a8=a8)
+    k = dense(x, p["k_proj"], a8=a8)
+    v = dense(x, p["v_proj"], a8=a8)
     q = q.reshape(b, s, h, hd)
     k = k.reshape(b, s, kvh, hd)
     v = v.reshape(b, s, kvh, hd)
@@ -105,7 +113,7 @@ def _attn_block(
     else:
         out = attention(q, k, v, causal=True, impl=attn_impl)
 
-    out = dense(out.reshape(b, s, h * hd), p["o_proj"])
+    out = dense(out.reshape(b, s, h * hd), p["o_proj"], a8=a8)
     return out, k_cache, v_cache
 
 
@@ -118,7 +126,7 @@ def _layer_forward(cfg, attn_impl, carry, xs):
     )
     x = x + attn_out
     y = rms_norm(x, layer["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-    x = x + _mlp(y, layer["mlp"])
+    x = x + _mlp(y, layer["mlp"], a8=cfg.w8a8 and x.shape[1] > 1)
     return (x, cos, sin, write_pos, kv_len), (k_cache, v_cache)
 
 

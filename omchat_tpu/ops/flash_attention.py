@@ -259,3 +259,92 @@ def flash_attention(
     )(scalars, q, k, v)
 
     return out[:, :, :S].transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout ViT attention (non-causal, single kv block, full softmax)
+# ---------------------------------------------------------------------------
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
+    """One (batch, head): full-row softmax attention with the entire sequence
+    in VMEM.  Refs are [1, SP, D] lane slices of the packed [B, SP, H*D]
+    arrays."""
+    sp = q_ref.shape[1]
+    qv = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    s = jax.lax.dot_general(
+        qv, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [SP, SP]
+    if valid_len < sp:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid_len, s, -jnp.inf)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    # Row sums on the MXU (p @ 1) — the VPU's cross-lane reduce is the slow
+    # path at this width.
+    l_inv = 1.0 / jax.lax.dot(p, jnp.ones((sp, 1), jnp.float32), preferred_element_type=jnp.float32)
+    o = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
+    o_ref[0] = (o * l_inv).astype(o_ref.dtype)
+
+
+# VMEM budget for the fp32 score matrix (plus q/k/v/o blocks); SP beyond this
+# must use the blocked online-softmax kernel above.
+_PACKED_MAX_SEQ = 1600
+
+
+def packed_seq_supported(seq_len: int, head_dim: int) -> bool:
+    return head_dim % 128 == 0 and seq_len <= _PACKED_MAX_SEQ
+
+
+def packed_self_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    num_heads: int,
+    valid_len: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Non-causal self-attention over packed head-layout activations.
+
+    The ViT fast path (reference hot loop: intern_vit flash shim,
+    intern_vit_6b/flash_attention.py:51-73).  q/k/v stay in the layout the qkv
+    matmul produces — [B, SP, H*D] with heads as 128-wide lane slices — so no
+    transpose/reshape materializes between the matmul and the kernel.  Each
+    grid step (b, h) holds the whole (padded) sequence in VMEM and runs a
+    single full-row softmax: at ViT scale (S≈1k) this beats online-softmax
+    tiling because the QK^T/PV matmuls (K=D thin contractions) dominate and
+    tile-level revisits of the m/l statistics only add VPU passes.
+
+    Args:
+      q, k, v: [B, SP, H*D]; SP must be a multiple of 8 (pad before calling;
+        run the whole encoder stack padded — pad rows are masked here and
+        row-local everywhere else).
+      num_heads: H; head_dim = (H*D)/H must be a multiple of 128.
+      valid_len: true sequence length; kv columns ≥ valid_len are masked.
+        Output rows ≥ valid_len are garbage (slice them off at the end).
+
+    Returns [B, SP, H*D] in q.dtype.
+    """
+    B, SP, HD = q.shape
+    D = HD // num_heads
+    if D % 128 != 0:
+        raise ValueError(f"packed_self_attention requires head_dim % 128 == 0, got {D}")
+    if SP % 8 != 0:
+        raise ValueError(f"padded seq len must be a multiple of 8, got {SP}")
+    if SP > _PACKED_MAX_SEQ:
+        raise ValueError(f"seq len {SP} exceeds the VMEM budget; use flash_attention")
+    valid_len = SP if valid_len is None else valid_len
+
+    kernel = functools.partial(_packed_kernel, valid_len=valid_len, scale=D**-0.5)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, num_heads),
+        in_specs=[pl.BlockSpec((1, SP, D), lambda b, h: (b, 0, h))] * 3,
+        out_specs=pl.BlockSpec((1, SP, D), lambda b, h: (b, 0, h)),
+        out_shape=jax.ShapeDtypeStruct((B, SP, HD), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v)

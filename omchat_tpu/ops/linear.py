@@ -1,10 +1,18 @@
-"""Linear layer helper with optional int8 weight-only quantization.
+"""Linear layer helper with int8 weight-only and weight+activation quantization.
 
-Serving feature the reference lacks (it relies on fp16 + ``device_map="auto"``
-to fit 13B on GPUs, builder.py:22-28): per-output-channel int8 weights halve
-HBM footprint and bandwidth; the int8→bf16 convert fuses into the matmul so
-the MXU still runs its native bf16 path.  This is what lets the full 13B
-flagship (ViT-6B + Qwen2-7B) serve on a single 16GB TPU chip.
+Serving features the reference lacks (it relies on fp16 + ``device_map="auto"``
+to fit 13B on GPUs, builder.py:22-28):
+
+- **w8 (weight-only)**: per-output-channel int8 weights halve HBM footprint and
+  bandwidth; the int8→bf16 convert fuses into the matmul so the MXU runs its
+  native bf16 path.  This is what lets the full 13B flagship (ViT-6B +
+  Qwen2-7B) serve on a single 16GB TPU chip, and is the right mode for the
+  bandwidth-bound decode step.
+- **w8a8 (weight + dynamic activation)**: activations quantize per token
+  (symmetric, dynamic amax) so the matmul runs int8×int8→int32 on the MXU —
+  ~2× the bf16 MXU rate on v5e (394 vs 197 TOP/s peak).  The right mode for
+  the compute-bound paths: ViT encode and LLM prefill.  Dequantization is a
+  rank-1 rescale (row scales ⊗ column scales) fused into the epilogue by XLA.
 
 A param dict is either
   {"kernel": [in, out], "bias"?}                          — dense
@@ -17,9 +25,38 @@ import jax
 import jax.numpy as jnp
 
 
-def dense(x: jax.Array, p: dict) -> jax.Array:
-    """y = x @ W (+ bias), transparently dequantizing int8 weights."""
+def quantize_activations(x: jax.Array):
+    """Dynamic symmetric per-token (last-axis) int8 quantization.
+
+    Returns (x_q int8, row_scale fp32 [..., 1]) with x ≈ x_q * row_scale.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    row_scale = jnp.maximum(amax, 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / row_scale), -127, 127).astype(jnp.int8)
+    return xq, row_scale
+
+
+def _dense_w8a8(x: jax.Array, p: dict) -> jax.Array:
+    xq, row_scale = quantize_activations(x)
+    acc = jax.lax.dot_general(
+        xq, p["kernel_q"], (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = (acc.astype(jnp.float32) * row_scale * p["scale"].astype(jnp.float32)).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def dense(x: jax.Array, p: dict, *, a8: bool = False) -> jax.Array:
+    """y = x @ W (+ bias), transparently dequantizing int8 weights.
+
+    ``a8=True`` additionally quantizes activations per token and runs the
+    matmul on the MXU's int8 path (no-op for unquantized params).
+    """
     if "kernel_q" in p:
+        if a8:
+            return _dense_w8a8(x, p)
         w = p["kernel_q"].astype(x.dtype)
         y = (x @ w) * p["scale"].astype(x.dtype)
     else:

@@ -98,6 +98,63 @@ def test_decode_group_not_multiple_of_8(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+def test_packed_self_attention_matches_xla(rng):
+    """ViT fast path: packed [B, SP, H*D] lane-sliced heads, pad-row masking."""
+    from omchat_tpu.ops.flash_attention import packed_self_attention
+
+    B, S, H, D = 2, 120, 3, 128
+    SP = 128  # padded to a multiple of 64 by the caller
+    q, k, v = (_rand(rng, B, S, H, D) for _ in range(3))
+    ref = _xla_attention(q, k, v, causal=False, q_offset=None, kv_len=None)
+
+    def pack(a):
+        flat = a.reshape(B, S, H * D)
+        return jnp.pad(flat, ((0, 0), (0, SP - S), (0, 0)))
+
+    out = packed_self_attention(
+        pack(q), pack(k), pack(v), num_heads=H, valid_len=S, interpret=True
+    )
+    out = out[:, :S].reshape(B, S, H, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_packed_self_attention_no_padding(rng):
+    from omchat_tpu.ops.flash_attention import packed_self_attention
+
+    B, S, H, D = 1, 64, 2, 128
+    q, k, v = (_rand(rng, B, S, H, D) for _ in range(3))
+    ref = _xla_attention(q, k, v, causal=False, q_offset=None, kv_len=None)
+    out = packed_self_attention(
+        q.reshape(B, S, H * D), k.reshape(B, S, H * D), v.reshape(B, S, H * D),
+        num_heads=H, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(B, S, H, D)), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_intern_vit_fused_path_matches_xla(rng):
+    """The padded-stack Pallas path produces the same features as the XLA path
+    (head_dim=128 geometry so the packed kernel engages; interpret on CPU)."""
+    from omchat_tpu.config import VisionConfig
+    from omchat_tpu.models.intern_vit import init_params, intern_vit_forward
+
+    cfg = VisionConfig(
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=2,  # head_dim 128
+        image_size=56,
+        patch_size=14,  # 4x4+1 = 17 tokens -> pads to 64
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    px = jnp.asarray(rng.standard_normal((2, 3, 56, 56)).astype(np.float32))
+    ref = intern_vit_forward(params, cfg, px, attn_impl="xla")
+    out = intern_vit_forward(params, cfg, px, attn_impl="pallas")
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
 def test_segment_ids_packing(rng):
     """Packed multi-document attention: two documents in one row behave like
     two separate rows (the varlen-packing contract)."""

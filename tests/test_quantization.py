@@ -51,6 +51,41 @@ def test_quantized_generation_argmax_stable(rng):
     assert out.token_ids[0][0] == ref.token_ids[0][0]
 
 
+def test_w8a8_dense_close_to_dequant(rng):
+    """Dynamic-activation int8 matmul tracks the weight-only path within the
+    expected quantization error (per-token row scales ⊗ per-channel col
+    scales)."""
+    w = rng.standard_normal((128, 64)).astype(np.float32)
+    p = quantize_linear({"kernel": jnp.asarray(w), "bias": jnp.asarray(rng.standard_normal(64, ).astype(np.float32))})
+    x = jnp.asarray(rng.standard_normal((16, 128)).astype(np.float32))
+    y_ref = np.asarray(dense(x, {"kernel": jnp.asarray(w), "bias": p["bias"]}))
+    y_a8 = np.asarray(dense(x, p, a8=True))
+    rel = np.abs(y_a8 - y_ref).max() / (np.abs(y_ref).max() + 1e-6)
+    assert rel < 0.03, rel
+
+
+def test_w8a8_generation_argmax_stable(rng):
+    """w8a8 serving mode: first greedy token matches the fp32 reference on a
+    tiny model (compute path: int8×int8 MXU matmuls on prefill)."""
+    import dataclasses
+
+    from tests.test_sharding import _tiny_params
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    qparams = quantize_tree(params)
+    a8cfg = dataclasses.replace(
+        cfg,
+        vision=dataclasses.replace(cfg.vision, w8a8=True),
+        text=dataclasses.replace(cfg.text, w8a8=True),
+    )
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+    ids = [5, 6, 7, 8, 9]
+    ref = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=8).generate([ids], None, gen)
+    out = OmChatEngine(a8cfg, qparams, attn_impl="xla", prompt_bucket=8).generate([ids], None, gen)
+    assert out.token_ids[0][0] == ref.token_ids[0][0]
+
+
 def test_fp8_kv_cache(rng):
     """fp8(e4m3) KV cache: generation runs and matches bf16-cache argmax on
     the first tokens (cache dequantized on load)."""
