@@ -112,15 +112,16 @@ def make_handler(model, logger, batch_engine=None):
                 )
                 t0 = time.time()
                 inputs = model.processor(question, images=images, history=history, system=system)
-                # the continuous batch decodes greedily; sampled requests take
-                # the single-request path so their sampling params are honored
-                if batch_engine is not None and not gen.do_sample:
+                # sampled requests ride the continuous batch too: the decode
+                # step takes per-slot generation params (sample_batch)
+                if batch_engine is not None:
                     with lock:
                         rid = batch_engine.submit(
                             inputs["input_ids"][0].tolist(),
                             inputs.get("images"),
                             max_new_tokens=gen.max_new_tokens,
                             eos_token_id=gen.eos_token_id,
+                            generation=gen,
                         )
                     deadline = time.time() + 60 + 0.5 * gen.max_new_tokens
                     while not batch_engine.finished(rid):

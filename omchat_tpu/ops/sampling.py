@@ -50,3 +50,40 @@ def sample(
     logits = apply_top_k(logits, cfg.top_k)
     logits = apply_top_p(logits, cfg.top_p)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def sample_batch(
+    logits: jax.Array,
+    key: jax.Array,
+    do_sample: jax.Array,
+    temperature: jax.Array,
+    top_k: jax.Array,
+    top_p: jax.Array,
+) -> jax.Array:
+    """Per-row mixed greedy/sampled decoding for continuous batching.
+
+    Every slot of a serving batch can carry its own request's generation
+    params: do_sample [B] bool, temperature/top_p [B] fp32, top_k [B] int32
+    (<=0 disables).  One descending sort serves both top-k (k-th value as the
+    threshold) and top-p (smallest prefix with cumulative prob >= p); greedy
+    rows take the plain argmax.
+    """
+    b, v = logits.shape
+    g = greedy(logits)
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+    # top-k threshold: value at rank k-1 (k<=0 -> keep everything)
+    k_idx = jnp.clip(top_k - 1, 0, v - 1)
+    kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
+    kth = jnp.where(top_k[:, None] > 0, kth, -jnp.inf)
+    # top-p threshold on the same sort
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < top_p[:, None]  # always keeps rank 0
+    pth = jnp.min(jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True)
+
+    masked = jnp.where(scaled < jnp.maximum(kth, pth), -jnp.inf, scaled)
+    keys = jax.random.split(key, b)
+    sampled = jax.vmap(lambda k, l: jax.random.categorical(k, l))(keys, masked).astype(jnp.int32)
+    return jnp.where(do_sample, sampled, g)

@@ -30,8 +30,9 @@ import numpy as np
 
 from omchat_tpu.config import GenerationConfig, OmChatConfig
 from omchat_tpu.models.omchat import fuse_embeddings, plan_multimodal_merge
-from omchat_tpu.models.qwen2 import KVCache, embed_tokens, init_kv_cache, lm_head, qwen2_forward
-from omchat_tpu.ops.sampling import greedy
+from omchat_tpu.models.decoder import decoder_forward
+from omchat_tpu.models.qwen2 import KVCache, embed_tokens, init_kv_cache, lm_head
+from omchat_tpu.ops.sampling import greedy, sample_batch
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnames=("cache",))
@@ -53,7 +54,7 @@ def _slot_prefill_chunk_jit(
     embeds = fuse_embeddings(params, token_ids, is_image, image_index, image_features)
     kc = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)
     vc = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
-    hidden, slot_cache = qwen2_forward(
+    hidden, slot_cache = decoder_forward(
         params["language_model"],
         cfg.text,
         embeds,
@@ -71,16 +72,37 @@ def _slot_prefill_chunk_jit(
     return logits[0], KVCache(k, v)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnames=("cache",))
-def _batch_decode_step_jit(params, cfg: OmChatConfig, tokens, kv_len, active, cache: KVCache, attn_impl=None):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "attn_impl", "any_sampled"), donate_argnames=("cache",)
+)
+def _batch_decode_step_jit(
+    params,
+    cfg: OmChatConfig,
+    tokens,
+    kv_len,
+    active,
+    cache: KVCache,
+    attn_impl=None,
+    *,
+    any_sampled: bool = False,
+    rng_key=None,
+    do_sample=None,
+    temperature=None,
+    top_k=None,
+    top_p=None,
+):
     """One decode step over all slots.  Inactive slots (free / mid-prefill)
     must not corrupt cache content: their write position parks at the last
     cache row (overwritten by a real write before it could ever be read) and
-    their outputs are ignored host-side."""
+    their outputs are ignored host-side.
+
+    Each slot carries its own request's generation params (per-slot arrays);
+    ``any_sampled=False`` compiles the pure-greedy program with no sort in the
+    step."""
     max_len = cache.max_len
     wp = jnp.where(active, kv_len, max_len - 1)
     embeds = embed_tokens(params["language_model"], tokens[:, None])
-    hidden, cache = qwen2_forward(
+    hidden, cache = decoder_forward(
         params["language_model"],
         cfg.text,
         embeds,
@@ -91,7 +113,10 @@ def _batch_decode_step_jit(params, cfg: OmChatConfig, tokens, kv_len, active, ca
         attn_impl=attn_impl,
     )
     logits = lm_head(params["language_model"], cfg.text, hidden)[:, 0]
-    next_tokens = greedy(logits)
+    if any_sampled:
+        next_tokens = sample_batch(logits, rng_key, do_sample, temperature, top_k, top_p)
+    else:
+        next_tokens = greedy(logits)
     return next_tokens, cache
 
 
@@ -102,6 +127,7 @@ class _Request:
     image_features: Optional[jax.Array]
     max_new_tokens: int
     eos_token_id: int
+    generation: Optional[GenerationConfig] = None
     # runtime state
     slot: Optional[int] = None
     prefill_pos: int = 0
@@ -109,6 +135,10 @@ class _Request:
     generated: List[int] = field(default_factory=list)
     done: bool = False
     last_token: Optional[int] = None
+
+    @property
+    def samples(self) -> bool:
+        return self.generation is not None and self.generation.do_sample
 
 
 class BatchEngine:
@@ -131,6 +161,7 @@ class BatchEngine:
         max_len: int = 4096,
         chunk_size: int = 512,
         attn_impl: Optional[str] = None,
+        rng_seed: int = 0,
     ):
         self.cfg = cfg
         self.params = params
@@ -151,6 +182,11 @@ class BatchEngine:
         # per-slot decode state (host mirrors)
         self._tokens = np.zeros(max_slots, np.int32)
         self._lengths = np.zeros(max_slots, np.int32)
+        self._key = jax.random.PRNGKey(rng_seed)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
 
     # -- client API ---------------------------------------------------------
 
@@ -160,13 +196,16 @@ class BatchEngine:
         images: Optional[np.ndarray] = None,
         max_new_tokens: int = 256,
         eos_token_id: int = 151645,
+        generation: Optional[GenerationConfig] = None,
     ) -> int:
+        """``generation`` carries per-request sampling knobs (temperature /
+        top-k / top-p); None or do_sample=False decodes greedily."""
         from omchat_tpu.runtime.generate import _encode_images_jit
 
         feats = None
         if images is not None:
             feats = _encode_images_jit(self.params, self.cfg, jnp.asarray(images), self.attn_impl)
-        req = _Request(next(self._ids), list(input_ids), feats, max_new_tokens, eos_token_id)
+        req = _Request(next(self._ids), list(input_ids), feats, max_new_tokens, eos_token_id, generation)
         plan = plan_multimodal_merge([req.input_ids], self.cfg.image_seq_len, bucket=self.chunk_size)
         # prefill writes cover the chunk-padded plan length; decode extends to
         # true_len + max_new — both extents must fit the slot cache
@@ -244,7 +283,12 @@ class BatchEngine:
             )
             req.prefill_pos += chunk_len
             if req.prefill_pos >= total:
-                first = int(np.asarray(greedy(logits[None]))[0])
+                if req.samples:
+                    from omchat_tpu.ops.sampling import sample
+
+                    first = int(np.asarray(sample(logits[None], self._next_key(), req.generation))[0])
+                else:
+                    first = int(np.asarray(greedy(logits[None]))[0])
                 req.last_token = first
                 self._lengths[req.slot] = total
                 if first == req.eos_token_id:
@@ -268,6 +312,27 @@ class BatchEngine:
         active = np.zeros(self.max_slots, bool)
         for r in decoding:
             active[r.slot] = True
+        any_sampled = any(r.samples for r in decoding)
+        sample_args = {}
+        if any_sampled:
+            do_sample = np.zeros(self.max_slots, bool)
+            temperature = np.ones(self.max_slots, np.float32)
+            top_k = np.zeros(self.max_slots, np.int32)
+            top_p = np.ones(self.max_slots, np.float32)
+            for r in decoding:
+                if r.samples:
+                    g = r.generation
+                    do_sample[r.slot] = True
+                    temperature[r.slot] = g.temperature
+                    top_k[r.slot] = g.top_k
+                    top_p[r.slot] = g.top_p
+            sample_args = dict(
+                rng_key=self._next_key(),
+                do_sample=jnp.asarray(do_sample),
+                temperature=jnp.asarray(temperature),
+                top_k=jnp.asarray(top_k),
+                top_p=jnp.asarray(top_p),
+            )
         next_tokens, self.cache = _batch_decode_step_jit(
             self.params,
             self.cfg,
@@ -276,6 +341,8 @@ class BatchEngine:
             jnp.asarray(active),
             self.cache,
             self.attn_impl,
+            any_sampled=any_sampled,
+            **sample_args,
         )
         next_np = np.asarray(next_tokens)
         for r in decoding:

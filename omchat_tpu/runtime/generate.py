@@ -30,7 +30,8 @@ from omchat_tpu.models.omchat import (
     plan_multimodal_merge,
     round_up_to_bucket,
 )
-from omchat_tpu.models.qwen2 import KVCache, embed_tokens, init_kv_cache, lm_head, qwen2_forward
+from omchat_tpu.models.decoder import decoder_forward
+from omchat_tpu.models.qwen2 import KVCache, embed_tokens, init_kv_cache, lm_head
 from omchat_tpu.ops.sampling import greedy, sample
 
 
@@ -65,7 +66,7 @@ def _prefill_jit(
     embeds = fuse_embeddings(params, token_ids, is_image, image_index, image_features)
     cache = init_kv_cache(cfg.text, b, cache_len, dtype=cache_dtype or embeds.dtype)
     write_pos = jnp.zeros((b,), jnp.int32)
-    hidden, cache = qwen2_forward(
+    hidden, cache = decoder_forward(
         params["language_model"],
         cfg.text,
         embeds,
@@ -103,7 +104,7 @@ def _prefill_chunk_jit(
     encode→prefill pipelining for multi-image/video streams (tiles of image i
     can prefill while image i+1 is still encoding)."""
     embeds = fuse_embeddings(params, token_ids, is_image, image_index, image_features)
-    hidden, cache = qwen2_forward(
+    hidden, cache = decoder_forward(
         params["language_model"],
         cfg.text,
         embeds,
@@ -124,7 +125,7 @@ def _decode_step_jit(params, cfg: OmChatConfig, tokens, kv_len, cache: KVCache, 
     """One decode step.  tokens: [B], kv_len: [B] current length (pre-write)."""
     embeds = embed_tokens(params["language_model"], tokens[:, None])
     positions = kv_len[:, None]
-    hidden, cache = qwen2_forward(
+    hidden, cache = decoder_forward(
         params["language_model"],
         cfg.text,
         embeds,
@@ -191,7 +192,7 @@ def _decode_loop_jit(
 
 def _decode_step_inner(params, cfg, tokens, kv_len, cache, attn_impl):
     embeds = embed_tokens(params["language_model"], tokens[:, None])
-    hidden, cache = qwen2_forward(
+    hidden, cache = decoder_forward(
         params["language_model"],
         cfg.text,
         embeds,

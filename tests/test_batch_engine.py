@@ -68,6 +68,55 @@ def test_late_join_does_not_disturb_running_request(setup):
     assert be.result(rb) == expected[1]
 
 
+def test_sample_batch_per_row_params(rng):
+    """Per-row mixed greedy/sampled: greedy rows take argmax; top_k=1 rows
+    sample the argmax regardless of temperature; all rows honor their own
+    knobs in one call."""
+    import jax
+    import jax.numpy as jnp
+
+    from omchat_tpu.ops.sampling import greedy, sample_batch
+
+    logits = jnp.asarray(rng.standard_normal((3, 64)).astype(np.float32)) * 3
+    key = jax.random.PRNGKey(1)
+    out = sample_batch(
+        logits,
+        key,
+        do_sample=jnp.asarray([False, True, True]),
+        temperature=jnp.asarray([1.0, 5.0, 1.0], jnp.float32),
+        top_k=jnp.asarray([0, 1, 0], jnp.int32),
+        top_p=jnp.asarray([1.0, 1.0, 1e-6], jnp.float32),
+    )
+    g = greedy(logits)
+    assert int(out[0]) == int(g[0])  # greedy row
+    assert int(out[1]) == int(g[1])  # top_k=1 forces argmax even at temp 5
+    assert int(out[2]) == int(g[2])  # top_p→0 keeps only the top token
+
+
+def test_batched_sampling_deterministic_and_mixed(setup):
+    """Sampled requests ride the continuous batch (serve honors temperature
+    under --continuous-batching); same seed → same tokens, and a concurrent
+    greedy request is undisturbed."""
+    cfg, params = setup
+    greedy_ids = [5, 6, 7, 8, 9, 10]
+    sampled_ids = [11, 12, 13]
+    expected_greedy = _reference_outputs(cfg, params, [(greedy_ids, None)], 6)[0]
+    gen = GenerationConfig(max_new_tokens=6, eos_token_id=-1, do_sample=True, temperature=0.8, top_p=0.95)
+
+    def run(seed):
+        be = BatchEngine(cfg, params, max_slots=2, max_len=128, chunk_size=16, attn_impl="xla", rng_seed=seed)
+        rg = be.submit(greedy_ids, None, max_new_tokens=6, eos_token_id=-1)
+        rs = be.submit(sampled_ids, None, max_new_tokens=6, eos_token_id=-1, generation=gen)
+        be.run_to_completion(max_ticks=500)
+        return be.result(rg), be.result(rs)
+
+    g1, s1 = run(0)
+    g2, s2 = run(0)
+    assert g1 == expected_greedy and g2 == expected_greedy
+    assert s1 == s2  # deterministic under a fixed engine seed
+    assert len(s1) == 6
+
+
 def test_more_requests_than_slots(setup):
     cfg, params = setup
     max_new = 4
