@@ -61,14 +61,21 @@ def attention(
       impl: 'xla' | 'pallas' | 'pallas_vjp' | None (auto).
       segment_ids: optional [B, S] int32 — multi-document packing (the TPU
         equivalent of flash-attn varlen cu_seqlens, SURVEY.md §2.2): tokens
-        attend only within their segment.  Requires S == T (self-attention);
-        XLA path only for now.
+        attend only within their segment; negative ids mark padding.
+        Requires S == T (self-attention).  Runs on the Pallas kernel (per-block
+        kv windows ride the scalar prefetch) or the XLA fallback.
 
     Returns [B, S, H, D] in q.dtype.
     """
     impl = impl or default_impl()
     if segment_ids is not None:
         assert kv_format == "btnd" and q.shape[1] == k.shape[1]
+        if impl == "pallas":
+            from omchat_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(
+                q, k, v, causal=causal, kv_len=kv_len, segment_ids=segment_ids
+            )
         return _xla_attention(
             q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len, segment_ids=segment_ids
         )

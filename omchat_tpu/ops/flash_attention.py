@@ -32,12 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _attn_kernel(
-    # scalar prefetch: [2, B] int32 — row 0: causal q offsets, row 1: kv valid lengths
-    scalars_ref,
+def _attn_core(
+    scalars_ref,  # [2, B] int32 — row 0: causal q offsets, row 1: kv valid lengths
+    segb_ref,  # [2, B, num_q_blocks] int32 kv-block range per q block, or None
     q_ref,  # [block_q, D]
     k_ref,  # [block_k, D]
     v_ref,  # [block_k, D]
+    sq_ref,  # [block_q, 1] int32 q segment ids, or None
+    sk_ref,  # [block_k, 1] int32 kv segment ids, or None
     o_ref,  # [block_q, D]
     m_scratch,  # [block_q, 128] fp32
     l_scratch,  # [block_q, 128] fp32
@@ -61,11 +63,14 @@ def _attn_kernel(
     q_off = scalars_ref[0, b]
     kv_len = scalars_ref[1, b]
 
-    # Tile-level skip: causal tiles fully above the diagonal and tiles fully
-    # past the valid kv length contribute nothing.
+    # Tile-level skip: causal tiles fully above the diagonal, tiles fully past
+    # the valid kv length, and (packed mode) tiles whose segments cannot
+    # overlap this q block's segments contribute nothing.
     row_max = qi * block_q + block_q - 1 + (q_off if causal else 0)
     in_range = (ki * block_k) < kv_len
     needed = in_range & ((ki * block_k) <= row_max) if causal else in_range
+    if segb_ref is not None:
+        needed &= (ki >= segb_ref[0, b, qi]) & (ki <= segb_ref[1, b, qi])
 
     @pl.when(needed)
     def _run():
@@ -84,6 +89,10 @@ def _attn_kernel(
                 + q_off
             )
             mask = mask & (col_ids <= row_ids)
+        if sq_ref is not None:
+            # multi-document packing: attend only within the own segment (the
+            # flash-attn cu_seqlens varlen contract, SURVEY.md §2.2)
+            mask = mask & (sq_ref[...] == sk_ref[...].reshape(1, block_k))
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scratch[...]  # [block_q, 128]
@@ -106,6 +115,14 @@ def _attn_kernel(
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+def _attn_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref, m, l, acc, **kw):
+    _attn_core(scalars_ref, None, q_ref, k_ref, v_ref, None, None, o_ref, m, l, acc, **kw)
+
+
+def _attn_kernel_seg(scalars_ref, segb_ref, q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, m, l, acc, **kw):
+    _attn_core(scalars_ref, segb_ref, q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, m, l, acc, **kw)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -150,6 +167,7 @@ def flash_attention(
     causal: bool = False,
     q_offset: Optional[jax.Array] = None,
     kv_len: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
     block_q: int = 1024,
     block_k: int = 512,
     kv_format: str = "btnd",
@@ -160,6 +178,12 @@ def flash_attention(
     q: [B, S, H, D]; k/v: [B, T, KVH, D] ("btnd") or [B, KVH, T, D] ("bntd").
     Returns [B, S, H, D] in q.dtype.  Semantics match
     :func:`omchat_tpu.ops.attention._xla_attention`.
+
+    ``segment_ids`` [B, S] int32 enables multi-document packing (self-attention
+    only, S == T): tokens attend within their own segment.  Negative ids mark
+    padding.  Per-q-block kv ranges ride the scalar prefetch so tiles between
+    documents are skipped, not just masked — the TPU equivalent of flash-attn's
+    cu_seqlens varlen entry point (intern_vit_6b/flash_attention.py:51-73).
     """
     B, S, H, D = q.shape
     if kv_format == "btnd":
@@ -190,6 +214,11 @@ def flash_attention(
         k = jnp.pad(k, pad_t)
         v = jnp.pad(v, pad_t)
 
+    if segment_ids is not None:
+        if S != T:
+            raise ValueError("segment_ids packing requires self-attention (S == T)")
+        if kv_len is None:
+            kv_len = jnp.sum(segment_ids >= 0, axis=1).astype(jnp.int32)
     if q_offset is None:
         q_offset = jnp.full((B,), T - S, jnp.int32)
     else:
@@ -203,13 +232,38 @@ def flash_attention(
     num_q_blocks = s_pad // block_q
     num_kv_blocks = t_pad // block_k
 
-    def q_index(b, h, qi, ki, scalars):
+    seg_args = ()
+    seg_in_specs = []
+    if segment_ids is not None:
+        seg = jnp.asarray(segment_ids, jnp.int32)
+        seg = jnp.pad(seg, ((0, 0), (0, s_pad - S)), constant_values=-1)
+        # Per-block segment ranges (pads excluded via ±sentinels) → the
+        # contiguous kv-block window each q block can touch.
+        hi_s = jnp.where(seg >= 0, seg, 2**30)
+        lo_s = jnp.where(seg >= 0, seg, -(2**30))
+        qmin = hi_s.reshape(B, num_q_blocks, block_q).min(-1)  # [B, nqb]
+        qmax = lo_s.reshape(B, num_q_blocks, block_q).max(-1)
+        kmin = hi_s.reshape(B, num_kv_blocks, block_k).min(-1)  # [B, nkb]
+        kmax = lo_s.reshape(B, num_kv_blocks, block_k).max(-1)
+        overlap = (kmax[:, None, :] >= qmin[:, :, None]) & (
+            kmin[:, None, :] <= qmax[:, :, None]
+        )  # [B, nqb, nkb]
+        any_overlap = overlap.any(axis=2)
+        lo = jnp.argmax(overlap, axis=2).astype(jnp.int32)
+        hi = (num_kv_blocks - 1 - jnp.argmax(overlap[:, :, ::-1], axis=2)).astype(jnp.int32)
+        hi = jnp.where(any_overlap, hi, -1)
+        seg_blocks = jnp.stack([lo, hi])  # [2, B, nqb]
+        seg3 = seg[:, :, None]  # [B, s_pad, 1] — 1-lane layout satisfies Mosaic tiling
+        seg_args = (seg3, seg3)
+
+    def q_index(b, h, qi, ki, *scal):
         return (b, h, qi, 0)
 
-    def kv_index(b, h, qi, ki, scalars):
-        # Clamp the kv tile to the last tile this (b, qi) actually needs, so
+    def kv_index(b, h, qi, ki, *scal):
+        # Clamp the kv tile to the tile range this (b, qi) actually needs, so
         # skipped tiles re-fetch an already-needed tile instead of streaming
         # dead data from HBM.
+        scalars = scal[0]
         last_len = jnp.maximum(pl.cdiv(scalars[1, b], block_k) - 1, 0)
         if causal:
             row_max = qi * block_q + block_q - 1 + scalars[0, b]
@@ -218,18 +272,37 @@ def flash_attention(
         else:
             last = last_len
         ki = jnp.minimum(ki, last)
+        if len(scal) > 1:  # segment mode: window to the needed kv-block range
+            segb = scal[1]
+            lo = segb[0, b, qi]
+            hi = jnp.maximum(segb[1, b, qi], lo)
+            ki = jnp.clip(ki, lo, jnp.minimum(hi, jnp.maximum(last, lo)))
         return (b, h // group, ki, 0)
+
+    def sq_index(b, h, qi, ki, *scal):
+        return (b, qi, 0)
+
+    def sk_index(b, h, qi, ki, *scal):
+        idx = kv_index(b, h, qi, ki, *scal)
+        return (b, idx[2], 0)
 
     kv_block = (None, None, block_k, D)
 
+    if segment_ids is not None:
+        seg_in_specs = [
+            pl.BlockSpec((None, block_q, 1), sq_index),
+            pl.BlockSpec((None, block_k, 1), sk_index),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=1 if segment_ids is None else 2,
         grid=(B, H, num_q_blocks, num_kv_blocks),
         in_specs=[
             pl.BlockSpec((None, None, block_q, D), q_index),
             pl.BlockSpec(kv_block, kv_index),
             pl.BlockSpec(kv_block, kv_index),
-        ],
+        ]
+        + seg_in_specs,
         out_specs=pl.BlockSpec((None, None, block_q, D), q_index),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -241,13 +314,14 @@ def flash_attention(
     q = q * jnp.asarray(D**-0.5, q.dtype)  # fold sm_scale into q (one pass over q, not over scores)
 
     kernel = functools.partial(
-        _attn_kernel,
+        _attn_kernel if segment_ids is None else _attn_kernel_seg,
         causal=causal,
         block_q=block_q,
         block_k=block_k,
         num_kv_blocks=num_kv_blocks,
     )
 
+    prefetch = (scalars,) if segment_ids is None else (scalars, seg_blocks)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -256,7 +330,7 @@ def flash_attention(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(scalars, q, k, v)
+    )(*prefetch, q, k, v, *seg_args)
 
     return out[:, :, :S].transpose(0, 2, 1, 3)
 

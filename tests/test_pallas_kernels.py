@@ -98,6 +98,56 @@ def test_decode_group_not_multiple_of_8(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+def test_segment_ids_pallas_matches_xla(rng):
+    """Pallas varlen packing (scalar-prefetched kv-block windows) == XLA
+    segment-ids path — causal and non-causal, multiple kv blocks, padding."""
+    B, S, H, D = 2, 384, 2, 128
+    q, k, v = (_rand(rng, B, S, H, D) for _ in range(3))
+    # batch 0: 3 docs + pad; batch 1: one doc + long pad
+    seg = np.full((B, S), -1, np.int32)
+    seg[0, :100] = 0
+    seg[0, 100:260] = 1
+    seg[0, 260:300] = 2
+    seg[1, :180] = 0
+    seg = jnp.asarray(seg)
+    kv_len = jnp.asarray([300, 180], jnp.int32)
+
+    for causal in (False, True):
+        ref = _xla_attention(
+            q, k, v, causal=causal, q_offset=jnp.zeros(2, jnp.int32) if causal else None,
+            kv_len=kv_len, segment_ids=seg,
+        )
+        out = flash_attention(
+            q, k, v, causal=causal, segment_ids=seg,
+            block_q=128, block_k=128, interpret=True,
+        )
+        # valid rows only (pad rows are garbage in both impls)
+        for b, n in enumerate([300, 180]):
+            np.testing.assert_allclose(
+                np.asarray(out)[b, :n], np.asarray(ref)[b, :n], atol=2e-5, rtol=1e-4,
+                err_msg=f"causal={causal} b={b}",
+            )
+
+
+def test_segment_ids_pallas_matches_unpacked(rng):
+    """Two packed documents behave exactly like two separate rows."""
+    B, S, H, D = 1, 256, 2, 128
+    q, k, v = (_rand(rng, B, S, H, D) for _ in range(3))
+    seg = jnp.asarray(np.concatenate([np.zeros(150, np.int32), np.ones(106, np.int32)])[None])
+
+    packed = flash_attention(
+        q, k, v, causal=True, segment_ids=seg, block_q=128, block_k=128, interpret=True
+    )
+    doc0 = _xla_attention(
+        q[:, :150], k[:, :150], v[:, :150], causal=True, q_offset=None, kv_len=None
+    )
+    doc1 = _xla_attention(
+        q[:, 150:], k[:, 150:], v[:, 150:], causal=True, q_offset=None, kv_len=None
+    )
+    np.testing.assert_allclose(np.asarray(packed[:, :150]), np.asarray(doc0), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(packed[:, 150:]), np.asarray(doc1), atol=2e-5, rtol=1e-4)
+
+
 def test_packed_self_attention_matches_xla(rng):
     """ViT fast path: packed [B, SP, H*D] lane-sliced heads, pad-row masking."""
     from omchat_tpu.ops.flash_attention import packed_self_attention
