@@ -24,9 +24,10 @@ def main():
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--no-history", action="store_true", help="reference-exact: drop history each turn")
     parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     args = parser.parse_args()
 
-    model = load_pretrained_model(args.model_path, quantize_int8=args.int8)
+    model = load_pretrained_model(args.model_path, quantize_int8=args.int8, tp=args.tp)
     image = Image.open(args.image_path).convert("RGB") if args.image_path else None
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens)
 

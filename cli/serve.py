@@ -174,10 +174,11 @@ def main():
     parser.add_argument("--continuous-batching", action="store_true", help="BatchEngine scheduler (concurrent requests share decode steps)")
     parser.add_argument("--max-slots", type=int, default=4)
     parser.add_argument("--max-len", type=int, default=8192)
+    parser.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (Megatron shardings over the device mesh)")
     args = parser.parse_args()
 
     logger = build_logger("omchat.serve", "serve.log")
-    model = load_pretrained_model(args.model_path, quantize_int8=args.int8)
+    model = load_pretrained_model(args.model_path, quantize_int8=args.int8, tp=args.tp)
 
     batch_engine = None
     if args.continuous_batching:
@@ -189,6 +190,7 @@ def main():
             max_slots=args.max_slots,
             max_len=args.max_len,
             attn_impl=model.engine.attn_impl,
+            mesh=model.engine.mesh,
         )
 
         def scheduler():

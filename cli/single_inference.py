@@ -22,9 +22,10 @@ def main():
     parser.add_argument("--question", type=str, required=True)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--int8", action="store_true", help="int8 weight-only quantization")
+    parser.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     args = parser.parse_args()
 
-    model = load_pretrained_model(args.model_path, quantize_int8=args.int8)
+    model = load_pretrained_model(args.model_path, quantize_int8=args.int8, tp=args.tp)
     image = Image.open(args.image_path).convert("RGB")
 
     from omchat_tpu.runtime.generate import make_stdout_streamer

@@ -86,8 +86,15 @@ def load_pretrained_model(
     *,
     quantize_int8: bool = False,
     attn_impl: Optional[str] = None,
+    tp: int = 1,
 ) -> OmChatModel:
-    """Load an OmChat checkpoint directory (HF-bundle or repo-native layout)."""
+    """Load an OmChat checkpoint directory (HF-bundle or repo-native layout).
+
+    ``tp > 1`` shards the weights Megatron-style over a (1, tp) device mesh
+    (pjit/GSPMD inserts the ICI collectives) — the genuinely-parallel
+    replacement for the reference's sequential ``device_map="auto"`` layer
+    placement (builder.py:22-28).
+    """
     from transformers import AutoTokenizer
 
     tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=True)
@@ -96,7 +103,17 @@ def load_pretrained_model(
         from omchat_tpu.ops.linear import quantize_tree
 
         params = quantize_tree(params)
-    engine = OmChatEngine(config, params, attn_impl=attn_impl)
+    mesh = None
+    if tp > 1:
+        import jax
+
+        from omchat_tpu.parallel.mesh import create_mesh
+        from omchat_tpu.parallel.sharding import omchat_param_specs, shard_params
+
+        # serving mesh is pure TP: exactly tp devices, no data axis
+        mesh = create_mesh(tp=tp, devices=jax.devices()[:tp])
+        params = shard_params(params, mesh, omchat_param_specs(config, params))
+    engine = OmChatEngine(config, params, attn_impl=attn_impl, mesh=mesh)
     image_processor = OmChatImageProcessor(
         crop_size=config.vision.image_size,
         shortest_edge=config.vision.image_size,

@@ -137,19 +137,43 @@ def omchat_param_specs(cfg: OmChatConfig, params: dict, *, fsdp: bool = False) -
     }
 
 
-def kv_cache_specs(cfg: TextConfig, mesh: Mesh):
-    """Cache [L, B, KVH, T, D]: batch over data, kv heads over model (when
-    divisible; otherwise the cache replicates over model)."""
+def kv_cache_specs(cfg: TextConfig, mesh: Mesh, batch: Optional[int] = None):
+    """Cache [L, B, KVH, T, D]: batch over data, kv heads over model — each
+    axis only when it divides evenly (otherwise that axis replicates; e.g.
+    Qwen2-7B's 4 kv heads replicate at tp=8, at 2× cache HBM per chip)."""
     from omchat_tpu.models.qwen2 import KVCache
 
     tp = mesh.shape["model"]
+    dp = mesh.shape["data"]
     head_axis = "model" if cfg.num_key_value_heads % tp == 0 else None
-    spec = P(None, "data", head_axis, None, None)
+    batch_axis = "data" if (batch is None or batch % dp == 0) else None
+    spec = P(None, batch_axis, head_axis, None, None)
     return KVCache(k=spec, v=spec)
+
+
+def adapt_specs_to_quantized(specs, params):
+    """Rewrite a spec tree for an int8-quantized param tree.
+
+    ``quantize_tree`` replaces {"kernel"} leaves with {"kernel_q", "scale"}:
+    kernel_q keeps the kernel's spec; the per-output-channel scale drops the
+    contraction (second-to-last) axis of the kernel spec."""
+    if isinstance(specs, dict) and isinstance(params, dict):
+        if "kernel" in specs and "kernel_q" in params:
+            kspec = specs["kernel"]
+            out = dict(specs)
+            out.pop("kernel")
+            out["kernel_q"] = kspec
+            out["scale"] = P(*(kspec[:-2] + kspec[-1:])) if len(kspec) >= 2 else P()
+            if "bias" in out and "bias" not in params:
+                out.pop("bias")
+            return out
+        return {k: adapt_specs_to_quantized(v, params.get(k, {})) for k, v in specs.items()}
+    return specs
 
 
 def shard_params(params: dict, mesh: Mesh, specs: dict) -> dict:
     """Place a param pytree onto the mesh per the spec pytree."""
+    specs = adapt_specs_to_quantized(specs, params)
     # Traverse the spec tree (PartitionSpec is a tuple subclass, so it must be
     # the first tree with an is_leaf guard, or tree.map would descend into it).
     return jax.tree.map(

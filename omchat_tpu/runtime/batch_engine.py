@@ -162,7 +162,11 @@ class BatchEngine:
         chunk_size: int = 512,
         attn_impl: Optional[str] = None,
         rng_seed: int = 0,
+        mesh=None,
     ):
+        """mesh: optional device mesh — shards the shared KV cache per
+        kv_cache_specs (kv heads over `model` when divisible, replicated
+        otherwise) so TP serving keeps the cache distributed across chips."""
         self.cfg = cfg
         self.params = params
         self.max_slots = max_slots
@@ -174,6 +178,15 @@ class BatchEngine:
 
         dtype = params["language_model"]["embed_tokens"].dtype
         self.cache = init_kv_cache(cfg.text, max_slots, max_len, dtype=dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from omchat_tpu.parallel.sharding import kv_cache_specs
+
+            cache_spec = kv_cache_specs(cfg.text, mesh, batch=max_slots)
+            self.cache = jax.tree.map(
+                lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), self.cache, cache_spec
+            )
         self._dtype = dtype
         self._ids = itertools.count()
         self.queue: List[_Request] = []

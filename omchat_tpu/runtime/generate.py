@@ -265,15 +265,22 @@ class OmChatEngine:
         attn_impl: Optional[str] = None,
         prompt_bucket: int = 128,
         cache_dtype=None,
+        mesh=None,
     ):
         """cache_dtype: override the KV-cache storage dtype — e.g.
         ``jnp.float8_e4m3fn`` halves cache HBM (long-context serving); kernels
-        dequantize on load."""
+        dequantize on load.
+
+        mesh: the device mesh the params are sharded over (tensor parallel);
+        recorded so serving layers (BatchEngine, serve.py) can shard their
+        long-lived caches consistently — the jitted stages themselves follow
+        the param shardings via GSPMD propagation."""
         self.cfg = cfg
         self.params = params
         self.attn_impl = attn_impl
         self.prompt_bucket = prompt_bucket
         self.cache_dtype = cache_dtype
+        self.mesh = mesh
 
     # -- stages ------------------------------------------------------------
 

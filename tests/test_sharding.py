@@ -54,6 +54,87 @@ def test_tp_generation_matches_single_device(tp, rng):
     assert out.token_ids == ref.token_ids
 
 
+@pytest.mark.parametrize("tp", [2])
+def test_tp_chunked_prefill_matches_single_device(tp, rng):
+    """The serve-path incremental prefill (prefill_chunked) under TP produces
+    the same first-token logits path as the unsharded one-shot prefill."""
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    ids = [5, 6, 7, -200, 8, 9, 10, 11, 12]
+    pixels = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+
+    ref = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=8).generate([ids], pixels, gen)
+
+    mesh = create_mesh(tp=tp)
+    sharded = shard_params(params, mesh, omchat_param_specs(cfg, params))
+    engine = OmChatEngine(cfg, sharded, attn_impl="xla", prompt_bucket=8, mesh=mesh)
+    feats = engine.encode_images(pixels)
+    plan = engine.plan([ids])
+    logits, cache = engine.prefill_chunked(plan, feats, gen.max_new_tokens, chunk_size=8)
+    from omchat_tpu.ops.sampling import greedy
+    from omchat_tpu.runtime.generate import _decode_step_jit
+
+    toks = [int(np.asarray(greedy(logits))[0])]
+    kv_len = jnp.asarray(plan.lengths)
+    for _ in range(3):
+        logits, cache = _decode_step_jit(sharded, cfg, jnp.asarray([toks[-1]]), kv_len, cache, "xla")
+        kv_len = kv_len + 1
+        toks.append(int(np.asarray(greedy(logits))[0]))
+    assert toks == ref.token_ids[0]
+
+
+@pytest.mark.parametrize("tp", [2, 8])
+def test_tp_batch_engine_matches_single_device(tp, rng):
+    """BatchEngine under TP with the kv-head-sharded shared cache == unsharded.
+    tp=8 exercises the KVH % tp != 0 replication fallback (tiny cfg has 2 kv
+    heads — the same situation as Qwen2-7B's 4 kv heads at tp=8)."""
+    from omchat_tpu.runtime.batch_engine import BatchEngine
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    reqs = [[5, 6, 7, 8, 9], [11, 12, 13]]
+    expected = []
+    eng = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=16)
+    for ids in reqs:
+        expected.append(
+            eng.generate([ids], None, GenerationConfig(max_new_tokens=5, eos_token_id=-1)).token_ids[0]
+        )
+
+    mesh = create_mesh(tp=tp, devices=jax.devices()[:tp])  # pure-TP serving mesh
+    from omchat_tpu.parallel.sharding import kv_cache_specs
+
+    cache_spec = kv_cache_specs(cfg.text, mesh, batch=2)
+    expected_head_axis = "model" if cfg.text.num_key_value_heads % tp == 0 else None
+    assert cache_spec.k[2] == expected_head_axis
+
+    sharded = shard_params(params, mesh, omchat_param_specs(cfg, params))
+    be = BatchEngine(cfg, sharded, max_slots=2, max_len=64, chunk_size=16, attn_impl="xla", mesh=mesh)
+    rids = [be.submit(ids, None, max_new_tokens=5, eos_token_id=-1) for ids in reqs]
+    be.run_to_completion(max_ticks=300)
+    for rid, exp in zip(rids, expected):
+        assert be.result(rid) == exp
+
+
+def test_tp_quantized_params_shard(rng):
+    """int8-quantized trees shard through the same specs (kernel_q keeps the
+    kernel spec; per-channel scales drop the contraction axis)."""
+    from omchat_tpu.ops.linear import quantize_tree
+
+    cfg = OmChatConfig.tiny()
+    qparams = quantize_tree(_tiny_params(cfg))
+    mesh = create_mesh(tp=2)
+    sharded = shard_params(qparams, mesh, omchat_param_specs(cfg, qparams))
+    gate = sharded["language_model"]["layers"]["mlp"]["gate_proj"]
+    assert gate["kernel_q"].sharding.spec == P(None, None, "model")
+    assert gate["scale"].sharding.spec == P(None, "model")
+
+    gen = GenerationConfig(max_new_tokens=3, eos_token_id=-1)
+    ref = OmChatEngine(cfg, qparams, attn_impl="xla", prompt_bucket=8).generate([[5, 6, 7]], None, gen)
+    out = OmChatEngine(cfg, sharded, attn_impl="xla", prompt_bucket=8).generate([[5, 6, 7]], None, gen)
+    assert out.token_ids == ref.token_ids
+
+
 def test_fsdp_param_sharding_applies(rng):
     cfg = OmChatConfig.tiny()
     params = _tiny_params(cfg)
