@@ -14,13 +14,10 @@ import sys
 
 # runnable from a checkout without installation
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import json
-import shutil
-
 import jax.numpy as jnp
 
 from omchat_tpu.checkpoint.loader import load_omchat_checkpoint
-from omchat_tpu.checkpoint.save import save_hf_safetensors
+from omchat_tpu.checkpoint.save import export_hf_bundle
 
 
 def main():
@@ -32,13 +29,7 @@ def main():
 
     dtype = getattr(jnp, args.dtype)
     config, params = load_omchat_checkpoint(args.input, dtype)
-
-    os.makedirs(args.output, exist_ok=True)
-    save_hf_safetensors(params, args.output)
-    # carry config + tokenizer files over
-    for name in os.listdir(args.input):
-        if name == "config.json" or "token" in name or name.endswith(".model"):
-            shutil.copy(os.path.join(args.input, name), os.path.join(args.output, name))
+    export_hf_bundle(config, params, args.output, source_dir=args.input)
     print(f"wrote {args.output}")
 
 

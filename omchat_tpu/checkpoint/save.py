@@ -145,6 +145,56 @@ def save_hf_safetensors(params: dict, directory: str, max_shard_bytes: int = 4 <
             json.dump({"metadata": {"total_size": total}, "weight_map": weight_map}, f)
 
 
+def export_hf_bundle(config, params: dict, directory: str, source_dir: Optional[str] = None) -> None:
+    """Write a complete loadable HF-bundle directory — the full
+    ``save_pretrained``-equivalent surface of the reference converter
+    (convert_omchat_to_hf.py:104-106): sharded safetensors (+ index when
+    multi-file), config.json, preprocessor_config.json / processor_config.json,
+    and the tokenizer files carried over from ``source_dir``."""
+    import json
+    import shutil
+
+    os.makedirs(directory, exist_ok=True)
+    save_hf_safetensors(params, directory)
+
+    # config.json: start from the source checkpoint's config (preserves keys we
+    # don't model) and overlay the canonical HF-bundle fields.
+    base = {}
+    if source_dir:
+        src_cfg = os.path.join(source_dir, "config.json")
+        if os.path.exists(src_cfg):
+            with open(src_cfg) as f:
+                base = json.load(f)
+    base.update(config.to_hf_dict())
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(base, f, indent=2)
+
+    # Image-processor config (hf/image_processing_omchat.py preprocess params).
+    pre = {
+        "image_processor_type": "OmChatImageProcessor",
+        "processor_class": "OmChatProcessor",
+        "crop_size": {"height": config.vision.image_size, "width": config.vision.image_size},
+        "size": {"shortest_edge": config.vision.image_size},
+        "image_grid_pinpoints": [list(p) for p in config.image_grid_pinpoints],
+        "image_mean": [0.485, 0.456, 0.406],
+        "image_std": [0.229, 0.224, 0.225],
+        "do_resize": True,
+        "do_center_crop": True,
+        "do_rescale": True,
+        "do_normalize": True,
+        "rescale_factor": 1 / 255,
+    }
+    with open(os.path.join(directory, "preprocessor_config.json"), "w") as f:
+        json.dump(pre, f, indent=2)
+    with open(os.path.join(directory, "processor_config.json"), "w") as f:
+        json.dump({"processor_class": "OmChatProcessor"}, f, indent=2)
+
+    if source_dir:
+        for name in os.listdir(source_dir):
+            if "token" in name or name.endswith(".model") or name == "generation_config.json":
+                shutil.copy(os.path.join(source_dir, name), os.path.join(directory, name))
+
+
 class TrainCheckpointer:
     """orbax-backed train-state save + latest-scan auto-resume
     (the working replacement for multimodal_encoder/utils.py:444-517)."""

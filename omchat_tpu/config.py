@@ -233,7 +233,10 @@ class OmChatConfig:
     def from_hf_dict(d: dict) -> "OmChatConfig":
         vision = VisionConfig.from_hf_dict(d.get("vision_config", {}) or {})
         text = TextConfig.from_hf_dict(d.get("text_config", {}) or {})
-        proj = ProjectorConfig.from_type(d.get("mm_projector_type", "mlp2x_gelu"))
+        proj = ProjectorConfig.from_type(
+            d.get("mm_projector_type", "mlp2x_gelu"),
+            n_query=d.get("mm_projector_n_query") or 144,  # builder.py:45-48
+        )
         pin = d.get("image_grid_pinpoints")
         pinpoints = tuple(tuple(p) for p in pin) if pin else OmChatConfig.image_grid_pinpoints
         return OmChatConfig(
@@ -246,6 +249,38 @@ class OmChatConfig:
             tokenizer_model_max_length=d.get("tokenizer_model_max_length"),
             tokenizer_padding_side=d.get("tokenizer_padding_side", "right"),
         )
+
+    def to_hf_dict(self) -> dict:
+        """Inverse of :meth:`from_hf_dict`: the loadable HF-bundle config.json
+        content (the shape hf/configuration_omchat.py:99-198 serializes).
+        Serving-only fields (w8a8) are not checkpoint keys and are omitted."""
+        vision = dataclasses.asdict(self.vision)
+        vision.pop("w8a8", None)
+        text = dataclasses.asdict(self.text)
+        text.pop("w8a8", None)
+        text["mlp_only_layers"] = list(self.text.mlp_only_layers)
+        if self.text.rope_scaling is not None:
+            text["rope_scaling"] = {
+                "rope_type": self.text.rope_scaling.rope_type,
+                "factor": self.text.rope_scaling.factor,
+            }
+        d = {
+            "model_type": "omchat",
+            "architectures": ["OmChatForConditionalGeneration"],
+            "vision_config": vision,
+            "text_config": text,
+            "mm_projector_type": self.projector.projector_type,
+            "mm_projector_n_query": self.projector.n_query,
+            "image_grid_pinpoints": [list(p) for p in self.image_grid_pinpoints],
+            "vision_feature_layer": self.vision_feature_layer,
+            "vision_feature_select_strategy": self.vision_feature_select_strategy,
+            "image_token_index": self.image_token_index,
+            "ignore_index": self.ignore_index,
+            "tokenizer_padding_side": self.tokenizer_padding_side,
+        }
+        if self.tokenizer_model_max_length is not None:
+            d["tokenizer_model_max_length"] = self.tokenizer_model_max_length
+        return d
 
     @staticmethod
     def from_json(path: str) -> "OmChatConfig":

@@ -67,6 +67,61 @@ def test_repo_native_key_layout_loads(tmp_path):
     )
 
 
+def test_config_hf_dict_roundtrip():
+    """to_hf_dict → from_hf_dict is the identity on the modeled fields."""
+    import dataclasses
+
+    from omchat_tpu.config import ProjectorConfig, RopeScalingConfig, TextConfig
+
+    cfg = OmChatConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        projector=ProjectorConfig.from_type("cabstract", n_query=36),
+        text=dataclasses.replace(
+            cfg.text, rope_scaling=RopeScalingConfig(rope_type="dynamic", factor=2.0)
+        ),
+        tokenizer_model_max_length=4096,
+    )
+    assert OmChatConfig.from_hf_dict(cfg.to_hf_dict()) == cfg
+
+
+def test_export_hf_bundle_loads_end_to_end(tmp_path):
+    """cli/convert's export_hf_bundle writes a complete directory that
+    load_pretrained_model opens and generates from (the full save_pretrained
+    surface of the reference converter, convert_omchat_to_hf.py:80-106)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tests")
+    from tests.test_api_e2e import _write_tiny_checkpoint, _write_tiny_tokenizer
+
+    from omchat_tpu.api import load_pretrained_model
+    from omchat_tpu.checkpoint.loader import load_omchat_checkpoint
+    from omchat_tpu.checkpoint.save import export_hf_bundle
+    from omchat_tpu.config import GenerationConfig
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_tiny_tokenizer(str(src))
+    _write_tiny_checkpoint(str(src))
+
+    out = tmp_path / "hf_bundle"
+    config, params = load_omchat_checkpoint(str(src), jnp.float32)
+    export_hf_bundle(config, params, str(out), source_dir=str(src))
+
+    names = {p.name for p in out.iterdir()}
+    assert "config.json" in names and "preprocessor_config.json" in names
+    assert "processor_config.json" in names
+    assert any(n.endswith(".safetensors") for n in names)
+    cfg_json = json.loads((out / "config.json").read_text())
+    assert cfg_json["model_type"] == "omchat"
+    assert OmChatConfig.from_hf_dict(cfg_json) == config
+
+    model = load_pretrained_model(str(out), dtype=jnp.float32, attn_impl="xla")
+    reply = model.chat("hi", generation=GenerationConfig(max_new_tokens=3, eos_token_id=-1))
+    assert isinstance(reply, str)
+
+
 def test_orbax_train_checkpoint_resume(tmp_path):
     import optax
 
