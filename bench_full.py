@@ -80,9 +80,19 @@ def measure(engine, params, cfg, name, n_tiles, text_tokens, history_tokens=0, d
     return row
 
 
+def _w8a8(cfg: OmChatConfig) -> OmChatConfig:
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        vision=dataclasses.replace(cfg.vision, w8a8=True),
+        text=dataclasses.replace(cfg.text, w8a8=True),
+    )
+
+
 def main():
     rng = np.random.default_rng(0)
-    cfg = OmChatConfig.omchat_v2_13b()
+    cfg = _w8a8(OmChatConfig.omchat_v2_13b())
     params = _synth_params(cfg, rng)
     engine = OmChatEngine(cfg, params)
 
@@ -95,7 +105,7 @@ def main():
     # Video is the OmChat-2.1-8B configuration (InternViT-300M + Qwen2-7B,
     # README.md:187-200); the 13B + 33k-token cache exceeds one 16GB chip.
     del params, engine
-    cfg8 = OmChatConfig(vision=VisionConfig.internvit_300m())
+    cfg8 = _w8a8(OmChatConfig(vision=VisionConfig.internvit_300m()))
     params8 = _synth_params(cfg8, rng)
     engine8 = OmChatEngine(cfg8, params8)
     rows.append(
@@ -105,7 +115,7 @@ def main():
     with open("BENCH.md", "w") as f:
         f.write(
             "# BENCH.md — measured on one TPU chip (v5e-class via axon), "
-            "omchat-v2.0-13B geometry, int8 weights\n\n"
+            "omchat-v2.0-13B geometry, int8 weights (w8a8 serving mode)\n\n"
             "Five BASELINE.json configs; TTFT = image encode + prefill to first-token logits;\n"
             "decode via the on-device while_loop (greedy). Synthetic weights (no published\n"
             "checkpoint offline); see bench.py for methodology + the vs_baseline assumption.\n\n"

@@ -136,6 +136,42 @@ def anyres_tile_images(
     return [thumbnail] + patches, best_resolution
 
 
+def _pick_tile_grid(
+    size: Tuple[int, int], min_num: int, max_num: int, tile: int
+) -> Tuple[int, int]:
+    """Choose a (cols, rows) tile grid whose aspect ratio best matches the
+    image.
+
+    Behavior is pinned golden to the reference's find_closest_aspect_ratio
+    (mm_utils.py:325-338) including its two quirks, reproduced deliberately:
+    candidate grids are ordered by tile count (ascending, set-dedup order for
+    ties), and an equal-ratio-diff candidate only replaces the incumbent when
+    the image covers more than half the candidate grid's pixel area — i.e.
+    large images tie-break toward MORE tiles, small ones keep fewer.
+    """
+    w, h = size
+    grids = sorted(
+        {
+            (cols, rows)
+            for total in range(min_num, max_num + 1)
+            for cols in range(1, total + 1)
+            for rows in range(1, total + 1)
+            if min_num <= cols * rows <= max_num
+        },
+        key=lambda g: g[0] * g[1],
+    )
+    want = w / h
+    best, best_diff = (1, 1), float("inf")
+    for grid in grids:
+        diff = abs(want - grid[0] / grid[1])
+        takes = diff < best_diff or (
+            diff == best_diff and w * h > 0.5 * tile * tile * grid[0] * grid[1]
+        )
+        if takes:
+            best, best_diff = grid, diff
+    return best
+
+
 def dynamic_tile_images(
     image: Image.Image,
     min_num: int = 1,
@@ -146,53 +182,24 @@ def dynamic_tile_images(
     """InternVL-style aspect-ratio-bucketed dynamic tiling.
 
     This is the OmChat-2.1 multi-image/video preprocessing
-    (reference: mm_utils.py:276-338 ``dynamic_preprocess`` +
-    ``find_closest_aspect_ratio``); thumbnail inserted at index 0
-    (mm_utils.py:312).
+    (reference: mm_utils.py:276-338 ``dynamic_preprocess``); the image is
+    resized onto the chosen grid and cropped raster-order, with the thumbnail
+    inserted at index 0 (mm_utils.py:312) — note anyres puts its thumbnail
+    first as well but via concatenation (process_anyres_image).
     """
-    orig_width, orig_height = image.size
-    aspect_ratio = orig_width / orig_height
+    cols, rows = _pick_tile_grid(image.size, min_num, max_num, image_size)
+    resized = image.resize((image_size * cols, image_size * rows))
 
-    target_ratios = set(
-        (i, j)
-        for n in range(min_num, max_num + 1)
-        for i in range(1, n + 1)
-        for j in range(1, n + 1)
-        if min_num <= i * j <= max_num
-    )
-    target_ratios = sorted(target_ratios, key=lambda x: x[0] * x[1])
-
-    best_ratio_diff = float("inf")
-    best_ratio = (1, 1)
-    area = orig_width * orig_height
-    for ratio in target_ratios:
-        target_aspect_ratio = ratio[0] / ratio[1]
-        ratio_diff = abs(aspect_ratio - target_aspect_ratio)
-        if ratio_diff < best_ratio_diff:
-            best_ratio_diff = ratio_diff
-            best_ratio = ratio
-        elif ratio_diff == best_ratio_diff:
-            if area > 0.5 * image_size * image_size * ratio[0] * ratio[1]:
-                best_ratio = ratio
-
-    target_width = image_size * best_ratio[0]
-    target_height = image_size * best_ratio[1]
-    blocks = best_ratio[0] * best_ratio[1]
-
-    resized_img = image.resize((target_width, target_height))
-    processed_images = []
-    cols = target_width // image_size
-    for i in range(blocks):
-        box = (
-            (i % cols) * image_size,
-            (i // cols) * image_size,
-            ((i % cols) + 1) * image_size,
-            ((i // cols) + 1) * image_size,
+    tiles = [
+        resized.crop(
+            (c * image_size, r * image_size, (c + 1) * image_size, (r + 1) * image_size)
         )
-        processed_images.append(resized_img.crop(box))
-    if use_thumbnail and len(processed_images) != 1:
-        processed_images.insert(0, image.resize((image_size, image_size)))
-    return processed_images
+        for r in range(rows)
+        for c in range(cols)
+    ]
+    if use_thumbnail and len(tiles) != 1:
+        tiles.insert(0, image.resize((image_size, image_size)))
+    return tiles
 
 
 def expand2square(pil_img: Image.Image, background_color) -> Image.Image:

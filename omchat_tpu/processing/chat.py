@@ -48,30 +48,29 @@ def tokenizer_image_token(
     every indexed tag also maps to the single ``-200`` sentinel).
     """
     if "<image_0>" in prompt:
-        prompt_chunks = re.split(r"<image_[0-9]+>", prompt)
-        image_tags = _INDEXED_IMAGE_RE.findall(prompt)
-        input_ids: List[int] = []
-        for i, chunk in enumerate(prompt_chunks):
-            input_ids.extend(_encode(tokenizer, chunk))
-            if i < len(image_tags):
-                input_ids.append(IMAGE_TOKEN_INDEX)
-        return input_ids
+        pieces = re.split(r"<image_[0-9]+>", prompt)
+        n_tags = len(_INDEXED_IMAGE_RE.findall(prompt))
+        ids: List[int] = []
+        for i, piece in enumerate(pieces):
+            ids.extend(_encode(tokenizer, piece))
+            if i < n_tags:
+                ids.append(IMAGE_TOKEN_INDEX)
+        return ids
 
-    prompt_chunks = [_encode(tokenizer, chunk) for chunk in prompt.split(DEFAULT_IMAGE_TOKEN)]
+    chunks = [_encode(tokenizer, part) for part in prompt.split(DEFAULT_IMAGE_TOKEN)]
 
-    def insert_separator(X, sep):
-        return [ele for sublist in zip(X, [sep] * len(X)) for ele in sublist][:-1]
-
-    input_ids = []
-    offset = 0
+    # Sentencepiece-style tokenizers prepend BOS to *every* encode call; keep
+    # it once up front and drop it from each chunk (the reference handles this
+    # with an offset-sliced separator interleave, mm_utils.py:211-229 — the
+    # token stream here is identical).
     bos = getattr(tokenizer, "bos_token_id", None)
-    if len(prompt_chunks) > 0 and len(prompt_chunks[0]) > 0 and bos is not None and prompt_chunks[0][0] == bos:
-        offset = 1
-        input_ids.append(prompt_chunks[0][0])
-
-    for x in insert_separator(prompt_chunks, [image_token_index] * (offset + 1)):
-        input_ids.extend(x[offset:])
-    return input_ids
+    has_bos = bool(chunks and chunks[0]) and bos is not None and chunks[0][0] == bos
+    ids = [bos] if has_bos else []
+    for i, chunk in enumerate(chunks):
+        if i:
+            ids.append(image_token_index)
+        ids.extend(chunk[1:] if has_bos else chunk)
+    return ids
 
 
 def make_context(
@@ -96,54 +95,46 @@ def make_context(
     if chat_format != "chatml":
         raise NotImplementedError(f"Unknown chat format {chat_format!r}")
 
-    im_start, im_end = "<|im_start|>", "<|im_end|>"
-    im_start_tokens = [IM_START_TOKEN_ID]
-    im_end_tokens = [IM_END_TOKEN_ID]
-    nl_tokens = _encode(tokenizer, "\n")
+    nl = _encode(tokenizer, "\n")
 
-    def _tokenize_str(role: str, content: str) -> Tuple[str, List[int]]:
+    def turn(role: str, content: str) -> Tuple[str, List[int]]:
+        """One ``<|im_start|>role\\ncontent<|im_end|>`` block as (text, tokens);
+        ``<image>`` in the content splices the −200 sentinel."""
         if DEFAULT_IMAGE_TOKEN in content:
             body = tokenizer_image_token(content, tokenizer, IMAGE_TOKEN_INDEX)
         else:
             body = _encode(tokenizer, content)
-        return f"{role}\n{content}", _encode(tokenizer, role) + nl_tokens + body
+        text = f"<|im_start|>{role}\n{content}<|im_end|>"
+        tokens = [IM_START_TOKEN_ID] + _encode(tokenizer, role) + nl + body + [IM_END_TOKEN_ID]
+        return text, tokens
 
-    system_text, system_tokens_part = _tokenize_str("system", system)
-    system_tokens = im_start_tokens + system_tokens_part + im_end_tokens
+    sys_text, sys_tokens = turn("system", system)
 
-    raw_text = ""
-    context_tokens: List[int] = []
-
-    for turn_query, turn_response in reversed(history):
-        query_text, query_tokens_part = _tokenize_str("user", turn_query)
-        query_tokens = im_start_tokens + query_tokens_part + im_end_tokens
-        response_text, response_tokens_part = _tokenize_str("assistant", turn_response)
-        response_tokens = im_start_tokens + response_tokens_part + im_end_tokens
-
-        next_context_tokens = nl_tokens + query_tokens + nl_tokens + response_tokens
-        prev_chat = f"\n{im_start}{query_text}{im_end}\n{im_start}{response_text}{im_end}"
-
-        current_context_size = len(system_tokens) + len(next_context_tokens) + len(context_tokens)
-        if current_context_size < max_window_size:
-            context_tokens = next_context_tokens + context_tokens
-            raw_text = prev_chat + raw_text
-        else:
+    # History fills newest-first until the budget would overflow (reference
+    # semantics: a turn is kept only while system+history stays strictly under
+    # max_window_size, make_context.py:106-126).
+    hist_text, hist_tokens = "", []
+    for past_query, past_reply in reversed(history):
+        q_text, q_tokens = turn("user", past_query)
+        a_text, a_tokens = turn("assistant", past_reply)
+        block = nl + q_tokens + nl + a_tokens
+        if len(sys_tokens) + len(block) + len(hist_tokens) >= max_window_size:
             break
+        hist_tokens = block + hist_tokens
+        hist_text = f"\n{q_text}\n{a_text}" + hist_text
 
-    context_tokens = system_tokens + context_tokens
-    raw_text = f"{im_start}{system_text}{im_end}" + raw_text
-    context_tokens += (
-        nl_tokens
-        + im_start_tokens
-        + _tokenize_str("user", query)[1]
-        + im_end_tokens
-        + nl_tokens
-        + im_start_tokens
+    user_text, user_tokens = turn("user", query)
+    context_tokens = (
+        sys_tokens
+        + hist_tokens
+        + nl
+        + user_tokens
+        + nl
+        + [IM_START_TOKEN_ID]
         + _encode(tokenizer, "assistant")
-        + nl_tokens
+        + nl
     )
-    raw_text += f"\n{im_start}user\n{query}{im_end}\n{im_start}assistant\n"
-
+    raw_text = sys_text + hist_text + f"\n{user_text}\n<|im_start|>assistant\n"
     return raw_text, context_tokens
 
 

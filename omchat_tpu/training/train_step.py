@@ -14,9 +14,10 @@ framework needs to be complete: a jitted train step with
   (modeling_intern_vit.py:242).
 
 bf16 params + fp32 loss; no GradScaler needed on TPU (SURVEY.md §2.2).
-Attention defaults to the XLA path here — the Pallas kernels are forward-only
-(a custom-VJP backward kernel is future work), and XLA's fused attention
-differentiates and shards cleanly.
+Attention defaults to the custom-VJP Pallas flash kernel on TPU — measured
+2.4-2.8x faster fwd+bwd than XLA fused attention at LLM-prefill shapes on v5e
+(BENCH.md "training attention" table) — and to the XLA path elsewhere
+(differentiates and shards cleanly on any backend).
 """
 
 from __future__ import annotations
@@ -34,6 +35,11 @@ from omchat_tpu.constants import IGNORE_INDEX
 from omchat_tpu.models.omchat import encode_images, fuse_embeddings
 from omchat_tpu.models.qwen2 import lm_head, qwen2_forward
 from omchat_tpu.ops.cross_entropy import cross_entropy_loss
+
+
+def default_train_attn_impl() -> str:
+    """pallas_vjp (custom-VJP flash kernel) on TPU, xla elsewhere."""
+    return "pallas_vjp" if jax.default_backend() == "tpu" else "xla"
 
 
 class TrainState(NamedTuple):
@@ -55,11 +61,12 @@ def loss_fn(
     cfg: OmChatConfig,
     batch: dict,
     *,
-    attn_impl: Optional[str] = "xla",
+    attn_impl: Optional[str] = None,
     remat: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """batch: token_ids [B,M], is_image [B,M], image_index [B,M], positions
     [B,M], labels [B,M] (−100 on ignored rows), pixel_values [N,3,H,W]."""
+    attn_impl = attn_impl or default_train_attn_impl()
     pixel_values = batch.get("pixel_values")
     if pixel_values is not None:
         feats = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
@@ -85,7 +92,7 @@ def train_step(
     batch: dict,
     optimizer: optax.GradientTransformation,
     *,
-    attn_impl: Optional[str] = "xla",
+    attn_impl: Optional[str] = None,
     remat: bool = True,
 ) -> Tuple[TrainState, jax.Array]:
     (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -102,7 +109,7 @@ def make_sharded_train_step(
     param_specs: dict,
     optimizer: optax.GradientTransformation,
     *,
-    attn_impl: Optional[str] = "xla",
+    attn_impl: Optional[str] = None,
     remat: bool = True,
 ):
     """jit the train step with explicit in/out shardings over the mesh.
@@ -123,6 +130,13 @@ def make_sharded_train_step(
         return jax.tree.map(
             lambda s: NamedSharding(mesh, s), tree, is_leaf=lambda x: isinstance(x, P)
         )
+
+    # Resolve the attention impl from the MESH's platform, not the default
+    # backend: a CPU validation mesh (dryrun_multichip) must not pick the TPU
+    # Pallas kernels just because a TPU plugin is registered.
+    if attn_impl is None:
+        platform = next(iter(mesh.devices.flat)).platform
+        attn_impl = "pallas_vjp" if platform == "tpu" else "xla"
 
     step_fn = functools.partial(train_step, optimizer=optimizer, attn_impl=attn_impl, remat=remat)
 
