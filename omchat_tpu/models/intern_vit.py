@@ -201,7 +201,9 @@ def intern_vit_forward(
 
     impl = attn_impl or default_impl()
     fused = impl == "pallas" and packed_seq_supported(s, cfg.head_dim) and not remat
-    sp = (s + 63) // 64 * 64 if fused else s
+    # Pad to the sublane multiple (8) only — every extra row costs 0.1% of the
+    # whole stack's matmul FLOPs (1025 → 1032 is 0.7% waste vs 6.1% at 1088).
+    sp = (s + 7) // 8 * 8 if fused else s
     if fused and sp != s:
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
