@@ -292,6 +292,7 @@ def main():
                     "decode_tokens": DECODE_TOKENS,
                     "batch4_decode_tokens_per_sec": round(batch_decode_toks, 2),
                     "baseline_assumption": "30 tok/s: A100 fp16 HF-4.41 generate (reference stack)",
+                    "bf16_decode_note": "13B bf16 weights (26GB) exceed one 16GB v5e chip; int8 weight-only is the single-chip serving dtype (bf16 needs TP>=2). Decode is HBM-bound, so bf16 at TP=2 ~= the same tok/s as int8 at TP=1.",
                 },
             }
         )

@@ -15,6 +15,7 @@ once and are cached by jit.
 from __future__ import annotations
 
 import functools
+import time
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence
 
@@ -399,9 +400,14 @@ class OmChatEngine:
         gen = generation or GenerationConfig()
         stopper = KeywordStopper(stop_keywords, tokenizer) if stop_keywords else None
 
-        feats = self.encode_images(images) if images is not None else None
+        from omchat_tpu.utils.profiling import trace_span
+
+        self.spans: dict = {}
+        with trace_span("encode_images", self.spans):
+            feats = self.encode_images(images) if images is not None else None
         plan = self.plan(batch_input_ids)
-        logits, cache = self.prefill(plan, feats, gen.max_new_tokens)
+        with trace_span("prefill", self.spans):
+            logits, cache = self.prefill(plan, feats, gen.max_new_tokens)
 
         b = plan.token_ids.shape[0]
         kv_len = jnp.asarray(plan.lengths)
@@ -410,6 +416,7 @@ class OmChatEngine:
         generated: List[List[int]] = [[] for _ in range(b)]
         done = np.zeros(b, bool)
         tokens = None
+        decode_t0 = time.perf_counter()
         for step in range(gen.max_new_tokens):
             if gen.do_sample:
                 key, sub = jax.random.split(key)
@@ -432,6 +439,7 @@ class OmChatEngine:
             logits, cache = _decode_step_jit(self.params, self.cfg, tokens, kv_len, cache, self.attn_impl)
             kv_len = kv_len + 1
 
+        self.spans["decode"] = time.perf_counter() - decode_t0
         return GenerateOutput(token_ids=generated, prompt_len=plan.lengths)
 
     def generate_ondevice(

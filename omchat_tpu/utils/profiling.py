@@ -17,12 +17,16 @@ import jax
 
 
 @contextlib.contextmanager
-def trace_span(name: str):
-    """jax.profiler annotation + wall-clock span (works without a profiler too)."""
+def trace_span(name: str, spans: Optional[Dict[str, float]] = None):
+    """jax.profiler annotation; pass ``spans`` to also record the wall-clock
+    duration (seconds) under ``name``."""
     with jax.profiler.TraceAnnotation(name):
         t0 = time.perf_counter()
-        yield
-        _ = time.perf_counter() - t0
+        try:
+            yield
+        finally:
+            if spans is not None:
+                spans[name] = spans.get(name, 0.0) + time.perf_counter() - t0
 
 
 @contextlib.contextmanager
