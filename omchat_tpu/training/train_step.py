@@ -63,9 +63,15 @@ def loss_fn(
     *,
     attn_impl: Optional[str] = None,
     remat: bool = True,
+    act_sharding=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """batch: token_ids [B,M], is_image [B,M], image_index [B,M], positions
-    [B,M], labels [B,M] (−100 on ignored rows), pixel_values [N,3,H,W]."""
+    [B,M], labels [B,M] (−100 on ignored rows), pixel_values [N,3,H,W].
+
+    ``act_sharding``: optional NamedSharding for the [B, M, D] trunk
+    activations — P("data", "model", None) gives Megatron-style sequence
+    parallelism (norms/elementwise run sequence-sharded; GSPMD inserts the
+    gather/scatter around the TP attention/MLP blocks)."""
     attn_impl = attn_impl or default_train_attn_impl()
     pixel_values = batch.get("pixel_values")
     if pixel_values is not None:
@@ -74,6 +80,8 @@ def loss_fn(
     else:
         feats = None
     embeds = fuse_embeddings(params, batch["token_ids"], batch["is_image"], batch["image_index"], feats)
+    if act_sharding is not None:
+        embeds = jax.lax.with_sharding_constraint(embeds, act_sharding)
     hidden, _ = qwen2_forward(
         params["language_model"], cfg.text, embeds, batch["positions"], attn_impl=attn_impl, remat=remat
     )
@@ -94,9 +102,10 @@ def train_step(
     *,
     attn_impl: Optional[str] = None,
     remat: bool = True,
+    act_sharding=None,
 ) -> Tuple[TrainState, jax.Array]:
     (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params, cfg, batch, attn_impl=attn_impl, remat=remat
+        state.params, cfg, batch, attn_impl=attn_impl, remat=remat, act_sharding=act_sharding
     )
     updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
@@ -111,11 +120,14 @@ def make_sharded_train_step(
     *,
     attn_impl: Optional[str] = None,
     remat: bool = True,
+    sequence_parallel: bool = False,
 ):
     """jit the train step with explicit in/out shardings over the mesh.
 
     Batch arrays shard over ``data`` on their leading axis; params/opt state
-    follow ``param_specs``.
+    follow ``param_specs``.  ``sequence_parallel=True`` additionally shards
+    the trunk activations' sequence axis over ``model`` (Megatron SP —
+    SURVEY.md §2.3; requires seq_len % tp == 0).
     """
     batch_spec = {
         "token_ids": P("data"),
@@ -138,7 +150,13 @@ def make_sharded_train_step(
         platform = next(iter(mesh.devices.flat)).platform
         attn_impl = "pallas_vjp" if platform == "tpu" else "xla"
 
-    step_fn = functools.partial(train_step, optimizer=optimizer, attn_impl=attn_impl, remat=remat)
+    act_sharding = (
+        NamedSharding(mesh, P("data", "model", None)) if sequence_parallel else None
+    )
+    step_fn = functools.partial(
+        train_step, optimizer=optimizer, attn_impl=attn_impl, remat=remat,
+        act_sharding=act_sharding,
+    )
 
     # GSPMD propagates shardings from the placed operands (params/opt state per
     # param_specs, batch per batch_spec); callers place inputs with the returned

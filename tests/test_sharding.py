@@ -209,6 +209,48 @@ def test_train_step_runs_sharded(rng):
     assert int(state3.step) == 2
 
 
+def test_sequence_parallel_train_step_matches(rng):
+    """Megatron-SP activation sharding (sequence over `model`) produces the
+    same loss as the plain TP step."""
+    from omchat_tpu.models.omchat import plan_multimodal_merge
+    from omchat_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_sharded_train_step,
+    )
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    mesh = create_mesh(tp=2, dp=4)
+    specs = omchat_param_specs(cfg, params)
+    optimizer = make_optimizer(lr=1e-4)
+
+    ids = [5, 6, 7, 8, 9, 10, 11, 12]  # merged len buckets to 8 (seq % tp == 0)
+    plan = plan_multimodal_merge([ids] * 4, cfg.image_seq_len, bucket=8)
+    labels = np.where(plan.is_image, -100, plan.token_ids)
+    batch_np = {
+        "token_ids": plan.token_ids,
+        "is_image": plan.is_image,
+        "image_index": plan.image_index,
+        "positions": plan.positions,
+        "labels": labels,
+    }
+
+    losses = []
+    for sp in (False, True):
+        step_fn, batch_shardings, _ = make_sharded_train_step(
+            cfg, mesh, specs, optimizer, sequence_parallel=sp
+        )
+        sharded = shard_params(params, mesh, specs)
+        state = init_train_state(sharded, optimizer)
+        batch = {
+            k: jax.device_put(jnp.asarray(v), batch_shardings[k]) for k, v in batch_np.items()
+        }
+        _, loss = step_fn(state, cfg, batch)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+
 def test_moe_expert_parallel_matches_single_device(rng):
     """Expert-parallel (expert axis over `model`) MoE forward == unsharded."""
     import jax.numpy as jnp
