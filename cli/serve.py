@@ -96,6 +96,53 @@ def make_handler(model, logger, batch_engine=None):
             else:
                 self._json(404, {"error": "not found"})
 
+        # -- SSE streaming ------------------------------------------------
+
+        def _sse_start(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+
+        def _sse_chunk(self, delta, finish_reason=None):
+            payload = {
+                "object": "chat.completion.chunk",
+                "model": "omchat-tpu",
+                "choices": [{"index": 0, "delta": delta, "finish_reason": finish_reason}],
+            }
+            self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
+            self.wfile.flush()
+
+        def _stream_completion(self, inputs, gen):
+            """OpenAI-style SSE: role chunk, content deltas, finish, [DONE].
+            Incremental text uses a bounded decode window (full-prefix
+            re-decode per token is O(n²))."""
+            self._sse_start()
+            self._sse_chunk({"role": "assistant"})
+            tok = model.tokenizer
+            emitted = []
+
+            def on_token(token_id: int):
+                emitted.append(token_id)
+                tail = emitted[-24:]
+                text = tok.decode(tail, skip_special_tokens=True)
+                prev = tok.decode(tail[:-1], skip_special_tokens=True)
+                piece = text[len(prev):]
+                if piece:
+                    self._sse_chunk({"content": piece})
+
+            with lock:
+                out = model.engine.generate(
+                    [inputs["input_ids"][0].tolist()],
+                    inputs.get("images"),
+                    gen,
+                    stream_callback=on_token,
+                )
+            n_new = len(out.token_ids[0])
+            self._sse_chunk({}, finish_reason="stop" if n_new < gen.max_new_tokens else "length")
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
         def do_POST(self):
             if self.path not in ("/v1/chat/completions", "/chat"):
                 self._json(404, {"error": "not found"})
@@ -112,6 +159,11 @@ def make_handler(model, logger, batch_engine=None):
                 )
                 t0 = time.time()
                 inputs = model.processor(question, images=images, history=history, system=system)
+                if req.get("stream"):
+                    # SSE path runs the single-request engine (per-token host
+                    # callbacks); concurrent requests still ride the batch.
+                    self._stream_completion(inputs, gen)
+                    return
                 # sampled requests ride the continuous batch too: the decode
                 # step takes per-slot generation params (sample_batch)
                 if batch_engine is not None:

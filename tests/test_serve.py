@@ -72,6 +72,25 @@ def test_text_completion(server_port):
     assert out["usage"]["completion_tokens"] <= 4
 
 
+def test_streaming_completion(server_port):
+    """SSE path: role chunk first, content deltas, finish_reason, [DONE]."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/v1/chat/completions",
+        data=json.dumps(
+            {"messages": [{"role": "user", "content": "hi"}], "max_tokens": 4, "stream": True}
+        ).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        lines = [l for l in resp.read().decode().split("\n") if l.startswith("data: ")]
+    assert lines[-1] == "data: [DONE]"
+    chunks = [json.loads(l[len("data: "):]) for l in lines[:-1]]
+    assert chunks[0]["choices"][0]["delta"] == {"role": "assistant"}
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+
+
 def test_image_completion(server_port, rng):
     img = Image.fromarray(rng.integers(0, 255, (80, 60, 3), dtype=np.uint8))
     buf = io.BytesIO()
