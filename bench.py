@@ -154,23 +154,12 @@ def _build_engine():
     The tunneled TPU service has been observed to leak HBM from killed client
     sessions until a server-side timeout; degrade 13B → 8B (InternViT-300M +
     Qwen2-7B, the OmChat-2.1 geometry) rather than crash the round's bench."""
-    import dataclasses
-
     from omchat_tpu.config import VisionConfig
-
-    def _w8a8(cfg: OmChatConfig) -> OmChatConfig:
-        # Serving mode: int8×int8 MXU matmuls on the compute-bound paths (ViT
-        # encode + LLM prefill); decode stays weight-only int8 (HBM-bound).
-        return dataclasses.replace(
-            cfg,
-            vision=dataclasses.replace(cfg.vision, w8a8=True),
-            text=dataclasses.replace(cfg.text, w8a8=True),
-        )
 
     rng = np.random.default_rng(0)
     candidates = [
-        ("omchat-v2.0-13B geometry (InternViT-6B + Qwen2-7B), int8 w8a8", _w8a8(OmChatConfig.omchat_v2_13b())),
-        ("omchat-2.1-8B geometry (InternViT-300M + Qwen2-7B), int8 w8a8", _w8a8(OmChatConfig(vision=VisionConfig.internvit_300m()))),
+        ("omchat-v2.0-13B geometry (InternViT-6B + Qwen2-7B), int8 w8a8", OmChatConfig.omchat_v2_13b().with_w8a8()),
+        ("omchat-2.1-8B geometry (InternViT-300M + Qwen2-7B), int8 w8a8", OmChatConfig(vision=VisionConfig.internvit_300m()).with_w8a8()),
     ]
     for name, cfg in candidates:
         try:

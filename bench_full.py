@@ -80,19 +80,9 @@ def measure(engine, params, cfg, name, n_tiles, text_tokens, history_tokens=0, d
     return row
 
 
-def _w8a8(cfg: OmChatConfig) -> OmChatConfig:
-    import dataclasses
-
-    return dataclasses.replace(
-        cfg,
-        vision=dataclasses.replace(cfg.vision, w8a8=True),
-        text=dataclasses.replace(cfg.text, w8a8=True),
-    )
-
-
 def main():
     rng = np.random.default_rng(0)
-    cfg = _w8a8(OmChatConfig.omchat_v2_13b())
+    cfg = OmChatConfig.omchat_v2_13b().with_w8a8()
     params = _synth_params(cfg, rng)
     engine = OmChatEngine(cfg, params)
 
@@ -105,7 +95,7 @@ def main():
     # Video is the OmChat-2.1-8B configuration (InternViT-300M + Qwen2-7B,
     # README.md:187-200); the 13B + 33k-token cache exceeds one 16GB chip.
     del params, engine
-    cfg8 = _w8a8(OmChatConfig(vision=VisionConfig.internvit_300m()))
+    cfg8 = OmChatConfig(vision=VisionConfig.internvit_300m()).with_w8a8()
     params8 = _synth_params(cfg8, rng)
     engine8 = OmChatEngine(cfg8, params8)
     rows.append(

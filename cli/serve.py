@@ -116,13 +116,19 @@ def make_handler(model, logger, batch_engine=None):
         def _stream_completion(self, inputs, gen):
             """OpenAI-style SSE: role chunk, content deltas, finish, [DONE].
             Incremental text uses a bounded decode window (full-prefix
-            re-decode per token is O(n²))."""
+            re-decode per token is O(n²)).
+
+            With continuous batching, the request joins the shared batch and
+            this handler POLLS its growing token list — the global lock is
+            held only for submit, so a streaming client never serializes the
+            other requests.  Without a batch engine the single-request engine
+            necessarily holds the lock for the whole generation."""
             self._sse_start()
             self._sse_chunk({"role": "assistant"})
             tok = model.tokenizer
             emitted = []
 
-            def on_token(token_id: int):
+            def emit(token_id: int):
                 emitted.append(token_id)
                 tail = emitted[-24:]
                 text = tok.decode(tail, skip_special_tokens=True)
@@ -131,14 +137,42 @@ def make_handler(model, logger, batch_engine=None):
                 if piece:
                     self._sse_chunk({"content": piece})
 
-            with lock:
-                out = model.engine.generate(
-                    [inputs["input_ids"][0].tolist()],
-                    inputs.get("images"),
-                    gen,
-                    stream_callback=on_token,
-                )
-            n_new = len(out.token_ids[0])
+            if batch_engine is not None:
+                with lock:
+                    rid = batch_engine.submit(
+                        inputs["input_ids"][0].tolist(),
+                        inputs.get("images"),
+                        max_new_tokens=gen.max_new_tokens,
+                        eos_token_id=gen.eos_token_id,
+                        generation=gen,
+                    )
+                deadline = time.time() + 60 + 0.5 * gen.max_new_tokens
+                sent = 0
+                req_state = batch_engine.requests[rid]
+                while True:
+                    tokens = list(req_state.generated)
+                    for t in tokens[sent:]:
+                        emit(t)
+                    sent = len(tokens)
+                    if batch_engine.finished(rid):
+                        # drain anything appended between the snapshot and done
+                        for t in list(req_state.generated)[sent:]:
+                            emit(t)
+                        break
+                    if getattr(batch_engine, "dead", False) or time.time() > deadline:
+                        break
+                    time.sleep(0.005)
+                batch_engine.pop_result(rid)
+                n_new = len(emitted)
+            else:
+                with lock:
+                    out = model.engine.generate(
+                        [inputs["input_ids"][0].tolist()],
+                        inputs.get("images"),
+                        gen,
+                        stream_callback=emit,
+                    )
+                n_new = len(out.token_ids[0])
             self._sse_chunk({}, finish_reason="stop" if n_new < gen.max_new_tokens else "length")
             self.wfile.write(b"data: [DONE]\n\n")
             self.wfile.flush()

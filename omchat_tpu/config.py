@@ -250,6 +250,15 @@ class OmChatConfig:
             tokenizer_padding_side=d.get("tokenizer_padding_side", "right"),
         )
 
+    def with_w8a8(self) -> "OmChatConfig":
+        """Serving mode: int8×int8 MXU matmuls on the compute-bound paths
+        (ViT encode + LLM prefill); decode stays weight-only int8."""
+        return dataclasses.replace(
+            self,
+            vision=dataclasses.replace(self.vision, w8a8=True),
+            text=dataclasses.replace(self.text, w8a8=True),
+        )
+
     def to_hf_dict(self) -> dict:
         """Inverse of :meth:`from_hf_dict`: the loadable HF-bundle config.json
         content (the shape hf/configuration_omchat.py:99-198 serializes).

@@ -11,7 +11,7 @@ RegStage blocks follow the timm==0.9.11 Bottleneck the reference instantiates
 groups == channels); SE (rd = in_chs/4, 1×1 convs with bias, sigmoid gate);
 1×1 conv→LN; residual through a conv1x1+LN shortcut on channel change;
 post-residual SiLU.  Convs inside ConvNormAct are bias-free; LayerNorm eps is
-torch's default 1e-5.  Parity-tested against the reference honeybee module
+timm's 1e-6 default.  Parity-tested against the reference honeybee module
 driven through the RegStage shim (tests/test_cabstractor_parity.py).
 """
 
@@ -28,7 +28,7 @@ import numpy as np
 from omchat_tpu.config import ProjectorConfig
 from omchat_tpu.ops.norms import layer_norm
 
-_LN_EPS = 1e-5  # torch nn.LayerNorm default (timm LayerNorm2d)
+_LN_EPS = 1e-6  # timm LayerNorm2d default (timm/layers/norm.py), not torch's 1e-5
 
 
 def _conv(x: jax.Array, kernel: jax.Array, *, depthwise: bool = False) -> jax.Array:
@@ -171,11 +171,9 @@ def convert_honeybee_state_dict(
         v = state[k]
         return np.asarray(v if isinstance(v, np.ndarray) else v.detach().cpu().numpy())
 
-    def conv_kernel(k, depthwise=False):
-        w = _a(k)  # torch OIHW ([C,1,3,3] when depthwise)
-        if depthwise:
-            return jnp.asarray(w.transpose(2, 3, 1, 0), dtype)  # → [3,3,1,C]
-        return jnp.asarray(w.transpose(2, 3, 1, 0), dtype)  # OIHW → HWIO
+    def conv_kernel(k):
+        # torch OIHW → HWIO; depthwise [C,1,3,3] lands as [3,3,1,C] the same way
+        return jnp.asarray(_a(k).transpose(2, 3, 1, 0), dtype)
 
     def norm(prefix):
         return {"scale": jnp.asarray(_a(f"{prefix}.weight"), dtype),
@@ -185,7 +183,7 @@ def convert_honeybee_state_dict(
         p = {
             "conv1": {"kernel": conv_kernel(f"{prefix}.conv1.conv.weight")},
             "norm1": norm(f"{prefix}.conv1.bn"),
-            "conv2": {"kernel": conv_kernel(f"{prefix}.conv2.conv.weight", depthwise=True)},
+            "conv2": {"kernel": conv_kernel(f"{prefix}.conv2.conv.weight")},
             "norm2": norm(f"{prefix}.conv2.bn"),
             "se": {
                 "fc1": {

@@ -74,7 +74,7 @@ def attention(
             from omchat_tpu.ops.flash_attention import flash_attention
 
             return flash_attention(
-                q, k, v, causal=causal, kv_len=kv_len, segment_ids=segment_ids
+                q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len, segment_ids=segment_ids
             )
         return _xla_attention(
             q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len, segment_ids=segment_ids

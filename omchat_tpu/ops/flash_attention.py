@@ -236,15 +236,16 @@ def flash_attention(
     seg_in_specs = []
     if segment_ids is not None:
         seg = jnp.asarray(segment_ids, jnp.int32)
-        seg = jnp.pad(seg, ((0, 0), (0, s_pad - S)), constant_values=-1)
+        # q and kv tilings may pad the sequence differently (block_q !=
+        # block_k); pad a copy to each extent.
+        seg_q = jnp.pad(seg, ((0, 0), (0, s_pad - S)), constant_values=-1)
+        seg_k = jnp.pad(seg, ((0, 0), (0, t_pad - S)), constant_values=-1)
         # Per-block segment ranges (pads excluded via ±sentinels) → the
         # contiguous kv-block window each q block can touch.
-        hi_s = jnp.where(seg >= 0, seg, 2**30)
-        lo_s = jnp.where(seg >= 0, seg, -(2**30))
-        qmin = hi_s.reshape(B, num_q_blocks, block_q).min(-1)  # [B, nqb]
-        qmax = lo_s.reshape(B, num_q_blocks, block_q).max(-1)
-        kmin = hi_s.reshape(B, num_kv_blocks, block_k).min(-1)  # [B, nkb]
-        kmax = lo_s.reshape(B, num_kv_blocks, block_k).max(-1)
+        qmin = jnp.where(seg_q >= 0, seg_q, 2**30).reshape(B, num_q_blocks, block_q).min(-1)
+        qmax = jnp.where(seg_q >= 0, seg_q, -(2**30)).reshape(B, num_q_blocks, block_q).max(-1)
+        kmin = jnp.where(seg_k >= 0, seg_k, 2**30).reshape(B, num_kv_blocks, block_k).min(-1)
+        kmax = jnp.where(seg_k >= 0, seg_k, -(2**30)).reshape(B, num_kv_blocks, block_k).max(-1)
         overlap = (kmax[:, None, :] >= qmin[:, :, None]) & (
             kmin[:, None, :] <= qmax[:, :, None]
         )  # [B, nqb, nkb]
@@ -253,8 +254,8 @@ def flash_attention(
         hi = (num_kv_blocks - 1 - jnp.argmax(overlap[:, :, ::-1], axis=2)).astype(jnp.int32)
         hi = jnp.where(any_overlap, hi, -1)
         seg_blocks = jnp.stack([lo, hi])  # [2, B, nqb]
-        seg3 = seg[:, :, None]  # [B, s_pad, 1] — 1-lane layout satisfies Mosaic tiling
-        seg_args = (seg3, seg3)
+        # [B, pad, 1] — 1-lane layout satisfies Mosaic tiling
+        seg_args = (seg_q[:, :, None], seg_k[:, :, None])
 
     def q_index(b, h, qi, ki, *scal):
         return (b, h, qi, 0)

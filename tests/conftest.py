@@ -33,19 +33,6 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
-# Build the native host library from source if missing (the .so is a build
-# artifact, not vendored in git); tests that need it skip if the build fails.
-_native_so = os.path.join(REPO_ROOT, "native", "libomchat_host.so")
-if not os.path.exists(_native_so):
-    import subprocess
-
-    subprocess.run(
-        ["make", "-C", os.path.join(REPO_ROOT, "native")],
-        check=False,
-        capture_output=True,
-    )
-
-
 @pytest.fixture(scope="session")
 def reference_path():
     """Path to the read-only reference checkout; adds it to sys.path on use."""

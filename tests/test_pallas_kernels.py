@@ -129,6 +129,28 @@ def test_segment_ids_pallas_matches_xla(rng):
             )
 
 
+def test_segment_ids_mismatched_block_padding(rng):
+    """Regression: block_q != block_k pads the sequence to different extents
+    (s_pad != t_pad); the segment arrays must be padded per tiling or the
+    per-block stats reshape crashes at trace time."""
+    B, S, H, D = 1, 200, 2, 128  # s_pad=256 (bq=128) vs t_pad=384 (bk=192)
+    q, k, v = (_rand(rng, B, S, H, D) for _ in range(3))
+    seg = np.full((B, S), -1, np.int32)
+    seg[0, :90] = 0
+    seg[0, 90:170] = 1
+    seg = jnp.asarray(seg)
+    ref = _xla_attention(
+        q, k, v, causal=True, q_offset=jnp.zeros(1, jnp.int32),
+        kv_len=jnp.asarray([170]), segment_ids=seg,
+    )
+    out = flash_attention(
+        q, k, v, causal=True, segment_ids=seg, block_q=128, block_k=192, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[0, :170], np.asarray(ref)[0, :170], atol=2e-5, rtol=1e-4
+    )
+
+
 def test_segment_ids_pallas_matches_unpacked(rng):
     """Two packed documents behave exactly like two separate rows."""
     B, S, H, D = 1, 256, 2, 128
