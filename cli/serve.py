@@ -261,6 +261,9 @@ def main():
     parser.add_argument("--max-slots", type=int, default=4)
     parser.add_argument("--max-len", type=int, default=8192)
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (Megatron shardings over the device mesh)")
+    parser.add_argument("--paged", action="store_true", help="paged KV pool instead of contiguous slots (ragged-length memory efficiency)")
+    parser.add_argument("--num-pages", type=int, default=1024)
+    parser.add_argument("--page-size", type=int, default=64)
     args = parser.parse_args()
 
     logger = build_logger("omchat.serve", "serve.log")
@@ -268,16 +271,28 @@ def main():
 
     batch_engine = None
     if args.continuous_batching:
-        from omchat_tpu.runtime.batch_engine import BatchEngine
+        if args.paged:
+            from omchat_tpu.runtime.paged_engine import PagedBatchEngine
 
-        batch_engine = BatchEngine(
-            model.config,
-            model.engine.params,
-            max_slots=args.max_slots,
-            max_len=args.max_len,
-            attn_impl=model.engine.attn_impl,
-            mesh=model.engine.mesh,
-        )
+            batch_engine = PagedBatchEngine(
+                model.config,
+                model.engine.params,
+                max_slots=args.max_slots,
+                num_pages=args.num_pages,
+                page_size=args.page_size,
+                attn_impl=model.engine.attn_impl,
+            )
+        else:
+            from omchat_tpu.runtime.batch_engine import BatchEngine
+
+            batch_engine = BatchEngine(
+                model.config,
+                model.engine.params,
+                max_slots=args.max_slots,
+                max_len=args.max_len,
+                attn_impl=model.engine.attn_impl,
+                mesh=model.engine.mesh,
+            )
 
         def scheduler():
             while True:

@@ -155,6 +155,40 @@ def paged_flash_decode(
     return out[:, :, :group].reshape(B, 1, H, D)
 
 
+def paged_decode_attention(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    page_tables: jax.Array,
+    *,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Dispatcher: Pallas paged kernel on TPU, gather + dense attention as the
+    cross-backend reference (and CPU test oracle)."""
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return paged_flash_decode(q, k_pages, v_pages, lengths, page_tables)
+
+    from omchat_tpu.ops.attention import _xla_attention
+
+    # gather the logical KV per request: [B, KVH, max_pages*page_size, D]
+    k = jnp.take(k_pages, page_tables, axis=1)  # [KVH, B, max_pages, ps, D]
+    v = jnp.take(v_pages, page_tables, axis=1)
+    kvh, b, mp, ps, d = k.shape
+    k = k.transpose(1, 0, 2, 3, 4).reshape(b, kvh, mp * ps, d)
+    v = v.transpose(1, 0, 2, 3, 4).reshape(b, kvh, mp * ps, d)
+    return _xla_attention(
+        q,
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=False,
+        q_offset=None,
+        kv_len=lengths,
+    )
+
+
 class PageAllocator:
     """Host-side free-list allocator for the shared page pool."""
 

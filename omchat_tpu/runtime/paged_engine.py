@@ -1,0 +1,391 @@
+"""Paged continuous-batching engine — ragged KV memory for serving.
+
+The slot engine (:mod:`omchat_tpu.runtime.batch_engine`) reserves
+``max_len`` cache rows per slot; with mixed-length traffic most of that HBM
+sits idle.  Here KV lives in a shared page pool ([L, KVH, P, page, D] per
+tower half) and each request maps logical blocks to physical pages — the
+ragged-paged-attention serving design, sized by *actual* tokens:
+
+- **prefill** runs once per request through a contiguous scratch cache (the
+  same jitted bucket programs as the single-request engine), then one jitted
+  scatter commits the request's K/V into freshly allocated pages;
+- **decode** is one jitted step over all active requests: per layer, the new
+  token's K/V scatter into each request's current page/offset and attention
+  runs over the page pool (Pallas paged kernel on TPU, gather+dense on CPU);
+- pages are allocated up front for prompt+max_new (no mid-decode OOM) and
+  returned to the free list on completion.
+
+The reference has no serving runtime at all (SURVEY.md §5); this goes beyond
+the contiguous-slot engine for memory efficiency under many variable-length
+requests.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omchat_tpu.config import OmChatConfig
+from omchat_tpu.models.qwen2 import embed_tokens, lm_head
+from omchat_tpu.ops.linear import dense
+from omchat_tpu.ops.norms import rms_norm
+from omchat_tpu.ops.paged_attention import PageAllocator, paged_decode_attention
+from omchat_tpu.ops.rope import apply_rope, rope_cos_sin
+from omchat_tpu.ops.sampling import greedy, sample_batch
+
+
+@functools.partial(jax.jit, static_argnames=("page_size",), donate_argnames=("k_pool", "v_pool"))
+def _commit_pages_jit(slot_k, slot_v, k_pool, v_pool, table, n_pages, page_size: int):
+    """Scatter one request's contiguous K/V ([L, 1, KVH, T, D]) into its pages.
+
+    T is a multiple of page_size (prompt buckets are); chunks beyond the
+    request's valid page count are skipped, so no foreign page is touched.
+    """
+    l, _, kvh, t, d = slot_k.shape
+    chunks_k = slot_k[:, 0].reshape(l, kvh, t // page_size, page_size, d)
+    chunks_v = slot_v[:, 0].reshape(l, kvh, t // page_size, page_size, d)
+
+    def body(i, pools):
+        kp, vp = pools
+        page = table[i]
+        kp = jax.lax.dynamic_update_slice(kp, chunks_k[:, :, i][:, :, None], (0, 0, page, 0, 0))
+        vp = jax.lax.dynamic_update_slice(vp, chunks_v[:, :, i][:, :, None], (0, 0, page, 0, 0))
+        return kp, vp
+
+    # static trip count (t // page_size); chunks beyond the request's valid
+    # page count are skipped
+    def body_clamped(i, pools):
+        return jax.lax.cond(i < n_pages, lambda p: body(i, p), lambda p: p, pools)
+
+    k_pool, v_pool = jax.lax.fori_loop(0, t // page_size, body_clamped, (k_pool, v_pool))
+    return k_pool, v_pool
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "page_size", "attn_impl", "any_sampled"),
+    donate_argnames=("k_pool", "v_pool"),
+)
+def _paged_decode_step_jit(
+    params,
+    cfg: OmChatConfig,
+    tokens,  # [S] int32
+    lengths,  # [S] int32 valid tokens already in pages
+    active,  # [S] bool
+    tables,  # [S, max_pages] int32
+    k_pool,  # [L, KVH, P, page, D]
+    v_pool,
+    page_size: int,
+    attn_impl: Optional[str] = None,
+    *,
+    any_sampled: bool = False,
+    rng_key=None,
+    do_sample=None,
+    temperature=None,
+    top_k=None,
+    top_p=None,
+):
+    """One decode step over all active requests against the page pool."""
+    tc = cfg.text
+    s = tokens.shape[0]
+    h, kvh, hd = tc.num_attention_heads, tc.num_key_value_heads, tc.attn_head_dim
+
+    x = embed_tokens(params["language_model"], tokens[:, None])  # [S, 1, D]
+    positions = lengths[:, None]
+    cos, sin = rope_cos_sin(
+        positions, hd, theta=tc.rope_theta, scaling=tc.rope_scaling,
+        max_position_embeddings=tc.max_position_embeddings, dtype=x.dtype,
+    )
+    # inactive slots hold parked tables (every entry = the reserved parking
+    # page), so their writes land on scratch no request owns
+    page_idx = jnp.take_along_axis(
+        tables, (lengths // page_size)[:, None], axis=1
+    )[:, 0]
+    offsets = lengths % page_size
+
+    def layer(carry, xs):
+        xx = carry
+        lp, kp, vp = xs
+        y = rms_norm(xx, lp["input_layernorm"]["scale"], tc.rms_norm_eps)
+        p = lp["self_attn"]
+        q = dense(y, p["q_proj"]).reshape(s, 1, h, hd)
+        k = dense(y, p["k_proj"]).reshape(s, 1, kvh, hd)
+        v = dense(y, p["v_proj"]).reshape(s, 1, kvh, hd)
+        q, k = apply_rope(q, k, cos, sin)
+
+        # scatter each request's new K/V at (page, offset)
+        def write(i, pools):
+            kpp, vpp = pools
+            upd_k = k[i, 0].astype(kpp.dtype)[:, None, None]  # [KVH,1,1,D]
+            upd_v = v[i, 0].astype(vpp.dtype)[:, None, None]
+            kpp = jax.lax.dynamic_update_slice(kpp, upd_k, (0, page_idx[i], offsets[i], 0))
+            vpp = jax.lax.dynamic_update_slice(vpp, upd_v, (0, page_idx[i], offsets[i], 0))
+            return kpp, vpp
+
+        kp, vp = jax.lax.fori_loop(0, s, write, (kp, vp))
+        out = paged_decode_attention(
+            q, kp, vp, jnp.where(active, lengths + 1, 1), tables, impl=attn_impl
+        )
+        xx = xx + dense(out.reshape(s, 1, h * hd), p["o_proj"])
+        y = rms_norm(xx, lp["post_attention_layernorm"]["scale"], tc.rms_norm_eps)
+        from omchat_tpu.models.qwen2 import _mlp
+
+        xx = xx + _mlp(y, lp["mlp"])
+        return xx, (kp, vp)
+
+    (xf), (k_pool, v_pool) = jax.lax.scan(
+        layer, x, (params["language_model"]["layers"], k_pool, v_pool)
+    )
+    xf = rms_norm(xf, params["language_model"]["norm"]["scale"], tc.rms_norm_eps)
+    logits = lm_head(params["language_model"], tc, xf)[:, 0]
+    if any_sampled:
+        next_tokens = sample_batch(logits, rng_key, do_sample, temperature, top_k, top_p)
+    else:
+        next_tokens = greedy(logits)
+    return next_tokens, k_pool, v_pool
+
+
+@dataclass
+class _PagedRequest:
+    request_id: int
+    input_ids: List[int]
+    image_features: Optional[jax.Array]
+    max_new_tokens: int
+    eos_token_id: int
+    generation: Optional[object] = None
+    pages: List[int] = field(default_factory=list)
+    slot: Optional[int] = None
+    plan: Optional[object] = None
+    prefilled: bool = False
+    generated: List[int] = field(default_factory=list)
+    done: bool = False
+    last_token: Optional[int] = None
+    prompt_len: int = 0
+
+    @property
+    def samples(self) -> bool:
+        return self.generation is not None and self.generation.do_sample
+
+
+class PagedBatchEngine:
+    """Continuous batching over a shared page pool (API mirrors BatchEngine)."""
+
+    def __init__(
+        self,
+        cfg: OmChatConfig,
+        params: dict,
+        *,
+        max_slots: int = 4,
+        num_pages: int = 256,
+        page_size: int = 64,
+        attn_impl: Optional[str] = None,
+        prompt_bucket: int = 128,
+        rng_seed: int = 0,
+    ):
+        assert prompt_bucket % page_size == 0, "prompt buckets must align to pages"
+        self.cfg = cfg
+        self.params = params
+        self.page_size = page_size
+        self.max_slots = max_slots
+        self.attn_impl = attn_impl
+
+        from omchat_tpu.runtime.generate import OmChatEngine
+
+        # contiguous prefill reuses the single-request engine's jitted buckets
+        self._prefiller = OmChatEngine(cfg, params, attn_impl=attn_impl, prompt_bucket=prompt_bucket)
+
+        tc = cfg.text
+        dtype = params["language_model"]["embed_tokens"].dtype
+        # one extra physical page parks writes from inactive slots (their
+        # table rows point at it, so a freed/reassigned page is never touched)
+        shape = (tc.num_hidden_layers, tc.num_key_value_heads, num_pages + 1, page_size, tc.attn_head_dim)
+        self.k_pool = jnp.zeros(shape, dtype)
+        self.v_pool = jnp.zeros(shape, dtype)
+        self.allocator = PageAllocator(num_pages)
+        self._parking = num_pages
+        # max pages a single request may map (fixed table width per compile)
+        self.max_pages = num_pages
+
+        self._ids = itertools.count()
+        self.queue: List[_PagedRequest] = []
+        self.slots: List[Optional[_PagedRequest]] = [None] * max_slots
+        self.requests: Dict[int, _PagedRequest] = {}
+        self._tokens = np.zeros(max_slots, np.int32)
+        self._lengths = np.zeros(max_slots, np.int32)
+        self._tables = np.full((max_slots, self.max_pages), self._parking, np.int32)
+        self._key = jax.random.PRNGKey(rng_seed)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- client API ---------------------------------------------------------
+
+    def submit(
+        self,
+        input_ids: Sequence[int],
+        images: Optional[np.ndarray] = None,
+        max_new_tokens: int = 256,
+        eos_token_id: int = 151645,
+        generation=None,
+    ) -> int:
+        feats = None
+        if images is not None:
+            feats = self._prefiller.encode_images(images)
+        req = _PagedRequest(next(self._ids), list(input_ids), feats, max_new_tokens, eos_token_id, generation)
+        self.queue.append(req)
+        self.requests[req.request_id] = req
+        return req.request_id
+
+    def finished(self, request_id: int) -> bool:
+        return self.requests[request_id].done
+
+    def result(self, request_id: int) -> List[int]:
+        return list(self.requests[request_id].generated)
+
+    def pop_result(self, request_id: int):
+        req = self.requests.pop(request_id)
+        return list(req.generated), req.prompt_len
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(r is not None for r in self.slots)
+
+    # -- scheduler ----------------------------------------------------------
+
+    def _n_pages_for(self, total_tokens: int) -> int:
+        return -(-total_tokens // self.page_size)
+
+    def _admit(self):
+        for i in range(self.max_slots):
+            if self.slots[i] is not None or not self.queue:
+                continue
+            req = self.queue[0]
+            plan = self._prefiller.plan([req.input_ids])
+            need = self._n_pages_for(int(plan.lengths[0]) + req.max_new_tokens)
+            if need > self.allocator.available:
+                break  # head-of-line waits for pages to free
+            self.queue.pop(0)
+            req.pages = self.allocator.alloc(need)
+            req.slot = i
+            req.plan = plan
+            self.slots[i] = req
+            self._tables[i, :] = self._parking
+            self._tables[i, : len(req.pages)] = req.pages
+
+    def _release(self, req: _PagedRequest):
+        self.allocator.release(req.pages)
+        req.pages = []
+        # park the slot's table so post-release decode writes never touch a
+        # freed (possibly reassigned) page
+        self._tables[req.slot, :] = self._parking
+        self._lengths[req.slot] = 0
+        self.slots[req.slot] = None
+        req.slot = None
+        req.done = True
+        req.image_features = None
+
+    def _prefill(self, req: _PagedRequest):
+        plan = req.plan
+        total = int(plan.lengths[0])
+        req.prompt_len = total
+        logits, cache = self._prefiller.prefill(plan, req.image_features, 0)
+        n_pages = self._n_pages_for(total)
+        # commit the scratch cache's valid rows into the request's pages; the
+        # scratch cache length is a prompt-bucket multiple (page-aligned)
+        self.k_pool, self.v_pool = _commit_pages_jit(
+            cache.k,
+            cache.v,
+            self.k_pool,
+            self.v_pool,
+            jnp.asarray(self._tables[req.slot]),
+            jnp.int32(n_pages),
+            self.page_size,
+        )
+        req.prefilled = True
+        if req.samples:
+            from omchat_tpu.ops.sampling import sample
+
+            first = int(np.asarray(sample(logits, self._next_key(), req.generation))[0])
+        else:
+            first = int(np.asarray(greedy(logits))[0])
+        req.last_token = first
+        self._lengths[req.slot] = total
+        if first == req.eos_token_id:
+            self._release(req)
+        else:
+            req.generated.append(first)
+            if len(req.generated) >= req.max_new_tokens:
+                self._release(req)
+
+    def step(self):
+        self._admit()
+        for req in [r for r in self.slots if r is not None and not r.prefilled]:
+            self._prefill(req)
+            break  # one prefill per tick bounds decode-latency impact
+
+        decoding = [r for r in self.slots if r is not None and r.prefilled and r.last_token is not None]
+        if not decoding:
+            return
+        active = np.zeros(self.max_slots, bool)
+        for r in decoding:
+            self._tokens[r.slot] = r.last_token
+            active[r.slot] = True
+        any_sampled = any(r.samples for r in decoding)
+        sample_args = {}
+        if any_sampled:
+            do_sample = np.zeros(self.max_slots, bool)
+            temperature = np.ones(self.max_slots, np.float32)
+            top_k = np.zeros(self.max_slots, np.int32)
+            top_p = np.ones(self.max_slots, np.float32)
+            for r in decoding:
+                if r.samples:
+                    g = r.generation
+                    do_sample[r.slot] = True
+                    temperature[r.slot] = g.temperature
+                    top_k[r.slot] = g.top_k
+                    top_p[r.slot] = g.top_p
+            sample_args = dict(
+                rng_key=self._next_key(),
+                do_sample=jnp.asarray(do_sample),
+                temperature=jnp.asarray(temperature),
+                top_k=jnp.asarray(top_k),
+                top_p=jnp.asarray(top_p),
+            )
+        next_tokens, self.k_pool, self.v_pool = _paged_decode_step_jit(
+            self.params,
+            self.cfg,
+            jnp.asarray(self._tokens),
+            jnp.asarray(self._lengths),
+            jnp.asarray(active),
+            jnp.asarray(self._tables),
+            self.k_pool,
+            self.v_pool,
+            self.page_size,
+            self.attn_impl,
+            any_sampled=any_sampled,
+            **sample_args,
+        )
+        next_np = np.asarray(next_tokens)
+        for r in decoding:
+            tok = int(next_np[r.slot])
+            self._lengths[r.slot] += 1
+            r.last_token = tok
+            if tok == r.eos_token_id:
+                self._release(r)
+                continue
+            r.generated.append(tok)
+            if len(r.generated) >= r.max_new_tokens:
+                self._release(r)
+
+    def run_to_completion(self, max_ticks: int = 100000):
+        ticks = 0
+        while self.has_work() and ticks < max_ticks:
+            self.step()
+            ticks += 1
+        return ticks
