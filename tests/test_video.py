@@ -46,3 +46,22 @@ def test_video_generation_e2e(rng):
     gen = GenerationConfig(max_new_tokens=3, eos_token_id=-1)
     out = engine.generate([ids], frames, gen)
     assert len(out.token_ids[0]) == 3
+
+
+def test_device_pipeline_tracks_host_path(rng):
+    """Jitted on-device preprocessing ~= the PIL host path (bicubic impls
+    differ slightly at edges; serving-grade tolerance)."""
+    from omchat_tpu.processing.device_pipeline import (
+        device_preprocess_frames,
+        frames_to_device_batch,
+    )
+
+    frames = [
+        Image.fromarray(rng.integers(0, 255, (90, 120, 3), dtype=np.uint8)) for _ in range(6)
+    ]
+    host = process_video_frames(frames, tile_size=56, num_samples=4)
+    batch = frames_to_device_batch(frames, num_samples=4)
+    dev = np.asarray(device_preprocess_frames(jnp.asarray(batch), tile_size=56))
+    assert dev.shape == host.shape
+    # mean abs error well under typical ImageNet-normalized activation scale
+    assert np.abs(dev - host).mean() < 0.05, np.abs(dev - host).mean()
