@@ -265,6 +265,8 @@ def main():
     parser.add_argument("--num-pages", type=int, default=1024)
     parser.add_argument("--page-size", type=int, default=64)
     args = parser.parse_args()
+    if args.paged and not args.continuous_batching:
+        args.continuous_batching = True  # --paged implies the batch scheduler
 
     logger = build_logger("omchat.serve", "serve.log")
     model = load_pretrained_model(args.model_path, quantize_int8=args.int8, tp=args.tp)
@@ -280,7 +282,9 @@ def main():
                 max_slots=args.max_slots,
                 num_pages=args.num_pages,
                 page_size=args.page_size,
+                max_len=args.max_len,
                 attn_impl=model.engine.attn_impl,
+                mesh=model.engine.mesh,
             )
         else:
             from omchat_tpu.runtime.batch_engine import BatchEngine

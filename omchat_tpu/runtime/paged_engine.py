@@ -167,6 +167,7 @@ class _PagedRequest:
     done: bool = False
     last_token: Optional[int] = None
     prompt_len: int = 0
+    n_pages_needed: int = 0
 
     @property
     def samples(self) -> bool:
@@ -187,12 +188,19 @@ class PagedBatchEngine:
         attn_impl: Optional[str] = None,
         prompt_bucket: int = 128,
         rng_seed: int = 0,
+        max_len: int = 8192,
+        mesh=None,
     ):
+        """``max_len`` caps one request's prompt+generation (it sets the page
+        TABLE width, so per-step attention cost scales with the request cap,
+        not the pool size); ``mesh`` shards the page pools' kv-head axis for
+        tensor-parallel serving (replicated when KVH % tp != 0)."""
         assert prompt_bucket % page_size == 0, "prompt buckets must align to pages"
         self.cfg = cfg
         self.params = params
         self.page_size = page_size
         self.max_slots = max_slots
+        self.max_len = max_len
         self.attn_impl = attn_impl
 
         from omchat_tpu.runtime.generate import OmChatEngine
@@ -207,10 +215,19 @@ class PagedBatchEngine:
         shape = (tc.num_hidden_layers, tc.num_key_value_heads, num_pages + 1, page_size, tc.attn_head_dim)
         self.k_pool = jnp.zeros(shape, dtype)
         self.v_pool = jnp.zeros(shape, dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tp = mesh.shape["model"]
+            head_axis = "model" if cfg.text.num_key_value_heads % tp == 0 else None
+            sh = NamedSharding(mesh, P(None, head_axis, None, None, None))
+            self.k_pool = jax.device_put(self.k_pool, sh)
+            self.v_pool = jax.device_put(self.v_pool, sh)
         self.allocator = PageAllocator(num_pages)
         self._parking = num_pages
-        # max pages a single request may map (fixed table width per compile)
-        self.max_pages = num_pages
+        # max pages one request may map — the fixed table width per compile;
+        # per-step attention spans max_len, not the whole pool
+        self.max_pages = -(-max_len // page_size)
 
         self._ids = itertools.count()
         self.queue: List[_PagedRequest] = []
@@ -239,6 +256,16 @@ class PagedBatchEngine:
         if images is not None:
             feats = self._prefiller.encode_images(images)
         req = _PagedRequest(next(self._ids), list(input_ids), feats, max_new_tokens, eos_token_id, generation)
+        # plan once here (image-token expansion is O(prompt)); reject requests
+        # no allocation could ever satisfy instead of deadlocking the queue
+        req.plan = self._prefiller.plan([req.input_ids])
+        need = self._n_pages_for(int(req.plan.lengths[0]) + max_new_tokens)
+        if need > min(self.max_pages, self.allocator.num_pages):
+            raise ValueError(
+                f"request needs {need} pages (> cap {self.max_pages} / pool {self.allocator.num_pages}); "
+                "raise max_len/num_pages or shorten the request"
+            )
+        req.n_pages_needed = need
         self.queue.append(req)
         self.requests[req.request_id] = req
         return req.request_id
@@ -266,14 +293,11 @@ class PagedBatchEngine:
             if self.slots[i] is not None or not self.queue:
                 continue
             req = self.queue[0]
-            plan = self._prefiller.plan([req.input_ids])
-            need = self._n_pages_for(int(plan.lengths[0]) + req.max_new_tokens)
-            if need > self.allocator.available:
-                break  # head-of-line waits for pages to free
+            if req.n_pages_needed > self.allocator.available:
+                break  # head-of-line waits for running requests to free pages
             self.queue.pop(0)
-            req.pages = self.allocator.alloc(need)
+            req.pages = self.allocator.alloc(req.n_pages_needed)
             req.slot = i
-            req.plan = plan
             self.slots[i] = req
             self._tables[i, :] = self._parking
             self._tables[i, : len(req.pages)] = req.pages

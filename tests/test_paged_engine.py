@@ -63,7 +63,8 @@ def test_paged_engine_matches_single_request(setup, rng):
     expected = _expected(cfg, params, reqs, max_new)
 
     be = PagedBatchEngine(
-        cfg, params, max_slots=2, num_pages=12, page_size=8, attn_impl="xla", prompt_bucket=16
+        cfg, params, max_slots=2, num_pages=12, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=96,
     )
     rids = [be.submit(ids, images, max_new_tokens=max_new, eos_token_id=-1) for ids, images in reqs]
     ticks = be.run_to_completion(max_ticks=500)
@@ -74,23 +75,32 @@ def test_paged_engine_matches_single_request(setup, rng):
 
 
 def test_pages_are_reused_across_waves(setup):
-    """The pool is smaller than the total demand; requests queue for pages and
-    freed pages serve later waves without corrupting earlier outputs."""
+    """The pool is smaller than the total demand; requests queue for PAGES
+    (not just slots) and freed pages serve later waves uncorrupted."""
     cfg, params = setup
-    max_new = 4
-    reqs = [([20 + i, 30 + i, 40 + i], None) for i in range(6)]
+    max_new = 14  # each request needs ceil((3+14)/8) = 3 pages
+    reqs = [([20 + i, 30 + i, 40 + i], None) for i in range(4)]
     expected = _expected(cfg, params, reqs, max_new)
 
-    # each request needs ceil((3 + 4)/8)=1... with prompt bucket 16: prompt
-    # rows bucket to 16 -> 2 pages + decode -> 3 pages; pool of 7 forces waves
+    # pool of 5 pages, 2 slots: the second request (3 pages) cannot join while
+    # the first holds 3 of 5 — admission stalls on pages, not slots
     be = PagedBatchEngine(
-        cfg, params, max_slots=2, num_pages=7, page_size=8, attn_impl="xla", prompt_bucket=16
+        cfg, params, max_slots=2, num_pages=5, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=64,
     )
     rids = [be.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1) for ids, _ in reqs]
     be.run_to_completion(max_ticks=1000)
     for rid, exp in zip(rids, expected):
         assert be.result(rid) == exp
-    assert be.allocator.available == 7  # everything returned
+    assert be.allocator.available == 5  # everything returned
+
+
+def test_oversize_request_rejected(setup):
+    cfg, params = setup
+    be = PagedBatchEngine(cfg, params, max_slots=1, num_pages=4, page_size=8,
+                          attn_impl="xla", prompt_bucket=16, max_len=64)
+    with pytest.raises(ValueError, match="pages"):
+        be.submit(list(range(10, 20)), None, max_new_tokens=100, eos_token_id=-1)
 
 
 def test_paged_sampling_deterministic(setup):
@@ -103,7 +113,7 @@ def test_paged_sampling_deterministic(setup):
 
     def run(seed):
         be = PagedBatchEngine(cfg, params, max_slots=2, num_pages=12, page_size=8,
-                              attn_impl="xla", prompt_bucket=16, rng_seed=seed)
+                              attn_impl="xla", prompt_bucket=16, rng_seed=seed, max_len=96)
         rg = be.submit(greedy_ids, None, max_new_tokens=5, eos_token_id=-1)
         rs = be.submit([11, 12, 13], None, max_new_tokens=5, eos_token_id=-1, generation=gen)
         be.run_to_completion(max_ticks=300)

@@ -116,6 +116,29 @@ def test_tp_batch_engine_matches_single_device(tp, rng):
         assert be.result(rid) == exp
 
 
+@pytest.mark.parametrize("tp", [2])
+def test_tp_paged_engine_matches_single_device(tp, rng):
+    """Paged engine under TP: pools sharded over kv heads; greedy parity."""
+    from omchat_tpu.runtime.paged_engine import PagedBatchEngine
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    ids = [5, 6, 7, 8, 9]
+    expected = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=16).generate(
+        [ids], None, GenerationConfig(max_new_tokens=5, eos_token_id=-1)
+    ).token_ids[0]
+
+    mesh = create_mesh(tp=tp, devices=jax.devices()[:tp])
+    sharded = shard_params(params, mesh, omchat_param_specs(cfg, params))
+    be = PagedBatchEngine(
+        cfg, sharded, max_slots=2, num_pages=12, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=96, mesh=mesh,
+    )
+    rid = be.submit(ids, None, max_new_tokens=5, eos_token_id=-1)
+    be.run_to_completion(max_ticks=300)
+    assert be.result(rid) == expected
+
+
 def test_tp_quantized_params_shard(rng):
     """int8-quantized trees shard through the same specs (kernel_q keeps the
     kernel spec; per-channel scales drop the contraction axis)."""
