@@ -123,6 +123,7 @@ def main():
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--tp", type=int, default=1)
     parser.add_argument("--fsdp", action="store_true")
+    parser.add_argument("--sequence-parallel", action="store_true", help="Megatron SP: shard activation sequence axis over the model axis")
     parser.add_argument("--output-dir", default="./train_out")
     args = parser.parse_args()
 
@@ -147,11 +148,18 @@ def main():
         }
 
     total = args.synthetic or args.steps
+    if args.warmup >= total:
+        parser.error(f"--warmup {args.warmup} must be < total steps {total}")
     mesh = create_mesh(tp=args.tp)
+    dp = mesh.shape["data"]
+    if args.batch_size % dp != 0:
+        parser.error(f"--batch-size {args.batch_size} must be divisible by the data-parallel degree {dp} (= devices/tp)")
     specs = omchat_param_specs(cfg, params, fsdp=args.fsdp)
     schedule = warmup_cosine_schedule(args.lr, total_steps=total, warmup_steps=args.warmup)
     optimizer = optax.adamw(schedule, b1=0.9, b2=0.95)
-    step_fn, batch_shardings, _ = make_sharded_train_step(cfg, mesh, specs, optimizer)
+    step_fn, batch_shardings, _ = make_sharded_train_step(
+        cfg, mesh, specs, optimizer, sequence_parallel=args.sequence_parallel
+    )
 
     params = shard_params(params, mesh, specs)
     state = init_train_state(params, optimizer)
@@ -171,26 +179,46 @@ def main():
     rng = np.random.default_rng(0)
 
     if args.data:
+        import queue
+        import threading
+
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(args.model_path, use_fast=True)
-        data_iter = jsonl_batches(args.data, args.image_root, tokenizer, cfg, args.batch_size)
+        raw_iter = jsonl_batches(args.data, args.image_root, tokenizer, cfg, args.batch_size)
+        # background host preprocessing (tokenize/tile/pack) overlaps device steps
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def _feeder():
+            for b in raw_iter:
+                q.put(b)
+
+        threading.Thread(target=_feeder, daemon=True, name="data-prefetch").start()
+        data_iter = iter(q.get, None)
     else:
         data_iter = None
 
+    # loss readback is delayed one step so step N+1 dispatches while N runs
+    pending = None
     for step in range(start_step, total):
         batch = next(data_iter) if data_iter is not None else synthetic_batch(cfg, args.batch_size, rng)
         batch_shardings_step = {k: v for k, v in batch_shardings.items() if k in batch}
         batch = jax.tree.map(lambda a, s: jax.device_put(a, s), batch, batch_shardings_step)
         t0 = time.time()
         state, loss = step_fn(state, cfg, batch)
-        loss_f = float(loss)
-        meter.update(loss=loss_f, step_time=time.time() - t0)
-        metrics.update(step, loss=loss_f, lr=float(schedule(step)))
-        if step % 10 == 0:
-            logger.info(f"step {step}: {meter}")
+        if pending is not None:
+            p_step, p_loss, p_time = pending
+            loss_f = float(p_loss)
+            meter.update(loss=loss_f, step_time=p_time)
+            metrics.update(p_step, loss=loss_f, lr=float(schedule(p_step)))
+            if p_step % 10 == 0:
+                logger.info(f"step {p_step}: {meter}")
+        pending = (step, loss, time.time() - t0)
         if step > 0 and step % 50 == 0:
             ckpt.save(step, state)
+    if pending is not None:
+        p_step, p_loss, _ = pending
+        metrics.update(p_step, loss=float(p_loss), lr=float(schedule(p_step)))
     if ckpt.latest_step() != total - 1 and total > start_step:
         ckpt.save(total - 1, state)
     logger.info("done")
