@@ -27,8 +27,8 @@ import numpy as np
 
 from omchat_tpu.config import VisionConfig
 from omchat_tpu.ops.attention import attention
-from omchat_tpu.ops.linear import dense
-from omchat_tpu.ops.norms import apply_norm, rms_norm
+from omchat_tpu.ops.linear import dense, dense_prequant, quantize_activations
+from omchat_tpu.ops.norms import add_rmsnorm_quant, apply_norm, rms_norm
 
 
 # ---------------------------------------------------------------------------
@@ -139,10 +139,19 @@ def _layer_forward(
     y = apply_norm(x, layer["norm1"], cfg.layer_norm_eps)
     qkv = dense(y, layer["attn"]["qkv"], a8=a8)
     q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, N, D]
+    prescaled = False
     if cfg.qk_normalization:
         # qk-RMSNorm over the flattened (head, head_dim) axis
-        # (modeling_intern_vit.py:143-146).
-        q = rms_norm(q, layer["attn"]["q_norm"]["scale"], cfg.layer_norm_eps)
+        # (modeling_intern_vit.py:143-146).  On the fused path the softmax
+        # prescale (head_dim**-0.5 × log2e) folds into the q-norm's gamma —
+        # a free multiply inside the norm fusion instead of a kernel pass.
+        q_gamma = layer["attn"]["q_norm"]["scale"]
+        if fused_valid_len is not None:
+            from omchat_tpu.ops.flash_attention import packed_prescale
+
+            q_gamma = q_gamma * packed_prescale(hd)
+            prescaled = True
+        q = rms_norm(q, q_gamma, cfg.layer_norm_eps)
         k = rms_norm(k, layer["attn"]["k_norm"]["scale"], cfg.layer_norm_eps)
     if fused_valid_len is not None:
         from omchat_tpu.ops.flash_attention import packed_self_attention
@@ -153,6 +162,7 @@ def _layer_forward(
             v,
             num_heads=h,
             valid_len=fused_valid_len,
+            prescaled=prescaled,
             interpret=jax.default_backend() != "tpu",
         )
     else:
@@ -163,11 +173,70 @@ def _layer_forward(
     attn_out = dense(attn_out, layer["attn"]["proj"], a8=a8)
     x = x + attn_out * layer["ls1"]
 
-    # MLP (exact GELU, as transformers ACT2FN['gelu'])
+    # MLP. Parity mode: exact erf GELU (transformers ACT2FN['gelu']).  In w8a8
+    # serving mode the tanh approximation is used instead: the next op
+    # re-quantizes to int8 per token, and measured on the fc1 activation volume
+    # the approximation moves 0.26% of int8 codes by ±1 (below the quantizer's
+    # own noise) while cutting ~28% off the epilogue pass (dev/exp_gelu.py).
     y = apply_norm(x, layer["norm2"], cfg.layer_norm_eps)
-    y = jax.nn.gelu(dense(y, layer["mlp"]["fc1"], a8=a8), approximate=False)
+    y = jax.nn.gelu(dense(y, layer["mlp"]["fc1"], a8=a8), approximate=a8)
     y = dense(y, layer["mlp"]["fc2"], a8=a8)
     return x + y * layer["ls2"]
+
+
+def _attention_fused(cfg: VisionConfig, layer: dict, qkv: jax.Array, valid_len: int) -> jax.Array:
+    """qk-norm (prescale folded) + packed Pallas attention on [B, SP, 3D]."""
+    from omchat_tpu.ops.flash_attention import packed_prescale, packed_self_attention
+
+    h, hd = cfg.num_attention_heads, cfg.head_dim
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    prescaled = False
+    if cfg.qk_normalization:
+        q = rms_norm(q, layer["attn"]["q_norm"]["scale"] * packed_prescale(hd), cfg.layer_norm_eps)
+        k = rms_norm(k, layer["attn"]["k_norm"]["scale"], cfg.layer_norm_eps)
+        prescaled = True
+    return packed_self_attention(
+        q,
+        k,
+        v,
+        num_heads=h,
+        valid_len=valid_len,
+        prescaled=prescaled,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
+def _layer_forward_glue(
+    cfg: VisionConfig,
+    carry: tuple,
+    layer: dict,
+    *,
+    valid_len: int,
+) -> tuple:
+    """w8a8 fast-path block: the scan carry holds (x, int8 codes of norm(x),
+    row scales), so the residual add, the next norm, and the activation
+    quantization run as one fused Pallas pass (add_rmsnorm_quant) instead of
+    three XLA HBM passes.  ``layer['next_norm1_scale']`` is this stack's norm1
+    gamma rolled by one layer (the carry's codes are always "quantized input
+    of the next matmul").
+    """
+    x, xq, rs = carry
+    interpret = jax.default_backend() != "tpu"
+
+    qkv = dense_prequant(xq, rs, layer["attn"]["qkv"], dtype=x.dtype)
+    attn_out = _attention_fused(cfg, layer, qkv, valid_len)
+    attn_out = dense(attn_out, layer["attn"]["proj"], a8=True)
+    x, xq, rs = add_rmsnorm_quant(
+        x, attn_out, layer["ls1"], layer["norm2"]["scale"], cfg.layer_norm_eps, interpret=interpret
+    )
+
+    y = dense_prequant(xq, rs, layer["mlp"]["fc1"], dtype=x.dtype)
+    y = jax.nn.gelu(y, approximate=True)
+    y = dense(y, layer["mlp"]["fc2"], a8=True)
+    x, xq, rs = add_rmsnorm_quant(
+        x, y, layer["ls2"], layer["next_norm1_scale"], cfg.layer_norm_eps, interpret=interpret
+    )
+    return x, xq, rs
 
 
 def intern_vit_forward(
@@ -215,16 +284,31 @@ def intern_vit_forward(
     if n_run < num_layers:
         layers = jax.tree.map(lambda a: a[:n_run], layers)
 
-    body = functools.partial(
-        _layer_forward, cfg, attn_impl=attn_impl, fused_valid_len=s if fused else None
-    )
-    if remat:
-        body = jax.checkpoint(body)
+    # w8a8 + fused + RMSNorm: glue-carry path — the scan carries (x, int8
+    # codes of norm1(x), row scales) so residual/norm/quantize run as one
+    # Pallas pass per glue point (see _layer_forward_glue).
+    glue = fused and cfg.w8a8 and "bias" not in layers["norm1"] and n_run > 0
+    if glue:
+        layers = dict(layers)
+        layers["next_norm1_scale"] = jnp.roll(layers["norm1"]["scale"], -1, axis=0)
+        y = rms_norm(x, layers["norm1"]["scale"][0], cfg.layer_norm_eps)
+        xq, rs = quantize_activations(y)
 
-    def scan_body(carry, layer):
-        return body(carry, layer), None
+        def glue_scan(carry, layer):
+            return _layer_forward_glue(cfg, carry, layer, valid_len=s), None
 
-    x, _ = jax.lax.scan(scan_body, x, layers)
+        (x, _, _), _ = jax.lax.scan(glue_scan, (x, xq, rs), layers)
+    else:
+        body = functools.partial(
+            _layer_forward, cfg, attn_impl=attn_impl, fused_valid_len=s if fused else None
+        )
+        if remat:
+            body = jax.checkpoint(body)
+
+        def scan_body(carry, layer):
+            return body(carry, layer), None
+
+        x, _ = jax.lax.scan(scan_body, x, layers)
     if fused and sp != s:
         x = x[:, :s]
     return x

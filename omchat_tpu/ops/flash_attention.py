@@ -341,12 +341,25 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 
-def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
+_LOG2E = 1.4426950408889634
+
+
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: Optional[float]):
     """One (batch, head): full-row softmax attention with the entire sequence
     in VMEM.  Refs are [1, SP, D] lane slices of the packed [B, SP, H*D]
-    arrays."""
+    arrays.
+
+    The softmax runs in the exp2 domain (log2(e) folded into the q prescale;
+    ``scale=None`` means the caller already folded ``head_dim**-0.5 * log2(e)``
+    into q, e.g. into the qk-norm epilogue where the multiply is free).  Row
+    sums run on the VPU: measured at the ViT shape (SP≈1k) the cross-lane
+    reduce beats the p @ ones MXU dot, which costs a third PV-sized matmul
+    (dev/exp_attn.py: 0.66 vs 0.84 ms/layer)."""
     sp = q_ref.shape[1]
-    qv = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    if scale is not None:
+        qv = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    else:
+        qv = q_ref[0]
     s = jax.lax.dot_general(
         qv, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [SP, SP]
@@ -354,10 +367,8 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: float):
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < valid_len, s, -jnp.inf)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    # Row sums on the MXU (p @ 1) — the VPU's cross-lane reduce is the slow
-    # path at this width.
-    l_inv = 1.0 / jax.lax.dot(p, jnp.ones((sp, 1), jnp.float32), preferred_element_type=jnp.float32)
+    p = jnp.exp2(s - m)
+    l_inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
     o_ref[0] = (o * l_inv).astype(o_ref.dtype)
 
@@ -371,6 +382,12 @@ def packed_seq_supported(seq_len: int, head_dim: int) -> bool:
     return head_dim % 128 == 0 and seq_len <= _PACKED_MAX_SEQ
 
 
+def packed_prescale(head_dim: int) -> float:
+    """Fold this into q before calling packed_self_attention(prescaled=True):
+    the softmax scale and the exp→exp2 domain change in one multiply."""
+    return head_dim**-0.5 * _LOG2E
+
+
 def packed_self_attention(
     q: jax.Array,
     k: jax.Array,
@@ -378,6 +395,7 @@ def packed_self_attention(
     *,
     num_heads: int,
     valid_len: Optional[int] = None,
+    prescaled: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Non-causal self-attention over packed head-layout activations.
@@ -398,6 +416,8 @@ def packed_self_attention(
       num_heads: H; head_dim = (H*D)/H must be a multiple of 128.
       valid_len: true sequence length; kv columns ≥ valid_len are masked.
         Output rows ≥ valid_len are garbage (slice them off at the end).
+      prescaled: the caller already multiplied q by ``packed_prescale(D)``
+        (softmax scale × log2(e)); skips the in-kernel prescale pass.
 
     Returns [B, SP, H*D] in q.dtype.
     """
@@ -411,7 +431,9 @@ def packed_self_attention(
         raise ValueError(f"seq len {SP} exceeds the VMEM budget; use flash_attention")
     valid_len = SP if valid_len is None else valid_len
 
-    kernel = functools.partial(_packed_kernel, valid_len=valid_len, scale=D**-0.5)
+    kernel = functools.partial(
+        _packed_kernel, valid_len=valid_len, scale=None if prescaled else D**-0.5
+    )
     return pl.pallas_call(
         kernel,
         grid=(B, num_heads),

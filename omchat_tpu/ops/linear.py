@@ -48,6 +48,21 @@ def _dense_w8a8(x: jax.Array, p: dict) -> jax.Array:
     return y
 
 
+def dense_prequant(xq: jax.Array, row_scale: jax.Array, p: dict, dtype=jnp.bfloat16) -> jax.Array:
+    """w8a8 matmul over activations already quantized elsewhere (e.g. by the
+    fused add_rmsnorm_quant glue kernel): y = (xq @ Wq) * row_scale * w_scale.
+
+    xq: int8 [..., in]; row_scale: fp32 [..., 1]; p: quantized param dict.
+    """
+    acc = jax.lax.dot_general(
+        xq, p["kernel_q"], (((xq.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = (acc.astype(jnp.float32) * row_scale * p["scale"].astype(jnp.float32)).astype(dtype)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
 def dense(x: jax.Array, p: dict, *, a8: bool = False) -> jax.Array:
     """y = x @ W (+ bias), transparently dequantizing int8 weights.
 

@@ -245,3 +245,64 @@ def test_segment_ids_packing(rng):
     doc1 = attention(q[:, 10:], k[:, 10:], v[:, 10:], causal=True, q_offset=jnp.asarray([0]), impl="xla")
     np.testing.assert_allclose(np.asarray(packed[:, :10]), np.asarray(doc0), atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(packed[:, 10:]), np.asarray(doc1), atol=2e-5, rtol=1e-4)
+
+
+def test_add_rmsnorm_quant_matches_unfused(rng):
+    """The w8a8 glue kernel (residual + LayerScale + RMSNorm + int8 quantize)
+    is bit-identical to the unfused chain it replaces."""
+    from omchat_tpu.ops.linear import quantize_activations
+    from omchat_tpu.ops.norms import add_rmsnorm_quant, rms_norm
+
+    B, S, D = 2, 24, 256
+    x = jnp.asarray(rng.standard_normal((B, S, D)).astype(np.float32), jnp.bfloat16)
+    delta = jnp.asarray(rng.standard_normal((B, S, D)).astype(np.float32), jnp.bfloat16)
+    ls = jnp.asarray(rng.standard_normal(D).astype(np.float32) * 0.1, jnp.bfloat16)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(D).astype(np.float32), jnp.bfloat16)
+
+    xn, codes, rs = add_rmsnorm_quant(x, delta, ls, gamma, eps=1e-6, interpret=True)
+
+    x_ref = jax.jit(lambda x, d, l: x + d * l)(x, delta, ls)
+    codes_ref, rs_ref = quantize_activations(rms_norm(x_ref, gamma, 1e-6))
+    # x_new agrees to the last bf16 ulp (exact equality depends on how the
+    # backend fuses/rounds x + delta*ls — it differs even between CPU runs
+    # with different XLA flags); codes may differ by ±1 where the kernel's
+    # skipped bf16 intermediate rounding lands on a code boundary.
+    xn_f, xr_f = np.asarray(xn, np.float32), np.asarray(x_ref, np.float32)
+    np.testing.assert_allclose(xn_f, xr_f, rtol=1e-2, atol=1e-2)
+    c, cr = np.asarray(codes, np.int32), np.asarray(codes_ref, np.int32)
+    assert np.abs(c - cr).max() <= 1
+    assert (c == cr).mean() > 0.9
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(rs_ref), rtol=5e-3)
+
+
+def test_intern_vit_glue_path_matches_xla_w8a8(rng):
+    """w8a8 + fused Pallas: the glue-carry scan (fused residual/norm/quantize)
+    matches the unfused w8a8 XLA path."""
+    import dataclasses
+
+    from omchat_tpu.config import VisionConfig
+    from omchat_tpu.models.intern_vit import init_params, intern_vit_forward
+    from omchat_tpu.ops.linear import quantize_tree
+
+    cfg = VisionConfig(
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=3,
+        num_attention_heads=2,  # head_dim 128
+        image_size=56,
+        patch_size=14,
+    )
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    params = {
+        "layers": quantize_tree(params["layers"]),
+        **{k: v for k, v in params.items() if k != "layers"},
+    }
+    a8cfg = dataclasses.replace(cfg, w8a8=True)
+    px = jnp.asarray(rng.standard_normal((2, 3, 56, 56)).astype(np.float32))
+    ref = intern_vit_forward(params, a8cfg, px, attn_impl="xla")
+    out = intern_vit_forward(params, a8cfg, px, attn_impl="pallas")
+    assert out.shape == ref.shape
+    ref = np.asarray(ref, dtype=np.float32)
+    out = np.asarray(out, dtype=np.float32)
+    denom = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / denom < 2e-2
