@@ -35,15 +35,15 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _attn_core(
     scalars_ref,  # [2, B] int32 — row 0: causal q offsets, row 1: kv valid lengths
     segb_ref,  # [2, B, num_q_blocks] int32 kv-block range per q block, or None
-    q_ref,  # [block_q, D]
+    q_ref,  # [G, block_q, D] — all q heads of one kv-head group, stacked
     k_ref,  # [block_k, D]
     v_ref,  # [block_k, D]
     sq_ref,  # [block_q, 1] int32 q segment ids, or None
     sk_ref,  # [block_k, 1] int32 kv segment ids, or None
-    o_ref,  # [block_q, D]
-    m_scratch,  # [block_q, 128] fp32
-    l_scratch,  # [block_q, 128] fp32
-    acc_scratch,  # [block_q, D] fp32
+    o_ref,  # [G, block_q, D]
+    m_scratch,  # [G, block_q, 128] fp32
+    l_scratch,  # [G, block_q, 128] fp32
+    acc_scratch,  # [G, block_q, D] fp32
     *,
     causal: bool,
     block_q: int,
@@ -53,6 +53,7 @@ def _attn_core(
     b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
+    g = q_ref.shape[0]
 
     @pl.when(ki == 0)
     def _init():
@@ -72,49 +73,76 @@ def _attn_core(
     if segb_ref is not None:
         needed &= (ki >= segb_ref[0, b, qi]) & (ki <= segb_ref[1, b, qi])
 
-    @pl.when(needed)
-    def _run():
-        q = q_ref[...]  # pre-scaled by sm_scale in the wrapper
-        k = k_ref[...].astype(q.dtype)  # cache may be fp8; MXU runs bf16
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_q, block_k]
+    # Interior tiles (fully inside the causal triangle and the valid kv range)
+    # skip the iota/compare/select masking passes entirely — at prefill scale
+    # most tiles are interior and the VPU mask construction rivals the exp cost.
+    col_end = ki * block_k + block_k - 1
+    full = col_end < kv_len
+    if causal:
+        row_min = qi * block_q + q_off
+        full &= col_end <= row_min
+    if sq_ref is not None:
+        full &= False  # segment boundaries can cut through any tile
 
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
-        mask = col_ids < kv_len
-        if causal:
-            row_ids = (
-                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-                + qi * block_q
-                + q_off
+    def _tile(masked: bool):
+        # One kv fetch serves the whole GQA group; the per-head math below is
+        # the proven 2D kernel, statically unrolled over the group.
+        k = k_ref[...]
+        v = v_ref[...]
+
+        if masked:
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
+            mask = col_ids < kv_len
+            if causal:
+                row_ids = (
+                    jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                    + qi * block_q
+                    + q_off
+                )
+                mask = mask & (col_ids <= row_ids)
+            if sq_ref is not None:
+                # multi-document packing: attend only within the own segment
+                # (the flash-attn cu_seqlens varlen contract, SURVEY.md §2.2)
+                mask = mask & (sq_ref[...] == sk_ref[...].reshape(1, block_k))
+
+        for gi in range(g):
+            q = q_ref[gi]  # [block_q, D], pre-scaled by sm_scale*log2e
+            s = jax.lax.dot_general(
+                q, k.astype(q.dtype), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [block_q, block_k]
+            if masked:
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scratch[gi]  # [block_q, 128]
+            l_prev = l_scratch[gi]
+            m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
+            m_next = jnp.maximum(m_prev, m_curr)  # broadcast → [block_q, 128]
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s - m_next[:, :1])
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+            m_scratch[gi] = m_next
+            l_scratch[gi] = l_next
+
+            o_curr = jax.lax.dot(
+                p.astype(v.dtype), v.astype(q.dtype), preferred_element_type=jnp.float32
             )
-            mask = mask & (col_ids <= row_ids)
-        if sq_ref is not None:
-            # multi-document packing: attend only within the own segment (the
-            # flash-attn cu_seqlens varlen contract, SURVEY.md §2.2)
-            mask = mask & (sq_ref[...] == sk_ref[...].reshape(1, block_k))
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            acc_scratch[gi] = acc_scratch[gi] * alpha[:, : acc_scratch.shape[2]] + o_curr
 
-        m_prev = m_scratch[...]  # [block_q, 128]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_curr)  # broadcast → [block_q, 128]
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    @pl.when(needed & full)
+    def _run_full():
+        _tile(False)
 
-        m_scratch[...] = m_next
-        l_scratch[...] = l_next
-
-        v = v_ref[...].astype(q_ref.dtype)
-        o_curr = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + o_curr
+    @pl.when(needed & jnp.logical_not(full))
+    def _run_masked():
+        _tile(True)
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
-        l = l_scratch[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        for gi in range(g):
+            l = l_scratch[gi][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[gi] = (acc_scratch[gi] * l_inv).astype(o_ref.dtype)
 
 
 def _attn_kernel(scalars_ref, q_ref, k_ref, v_ref, o_ref, m, l, acc, **kw):
@@ -196,14 +224,21 @@ def flash_attention(
     group = H // KVH
     q = q.transpose(0, 2, 1, 3)  # [B, H, S, D]
 
-    block_q = pick_block(S, block_q)
-    block_k = pick_block(T, block_k)
-    # VMEM guard: keep the fp32 scores tile comfortably on-chip.
-    budget = 6 << 20
-    if block_q * block_k * 4 > budget:
-        block_k = max(256, (budget // (4 * block_q)) // 64 * 64)
-    if block_q * block_k * 4 > budget:
-        block_q = max(256, (budget // (4 * block_k)) // 64 * 64)
+    import os as _os
+
+    if _os.environ.get("OMCHAT_ATTN_BQ"):  # experiment override (dev/exp_causal.py)
+        block_q = int(_os.environ["OMCHAT_ATTN_BQ"])
+        block_k = int(_os.environ["OMCHAT_ATTN_BK"])
+    else:
+        # Large kv blocks amortize the online-softmax m/l bookkeeping (each kv
+        # revisit is ~5 VPU passes over [G*block_q, 128]); the q block then
+        # shrinks to keep the fp32 scores tile [group, block_q, block_k] in
+        # VMEM.  Swept on v5e at the Qwen2-7B prefill shape
+        # (dev/exp_causal.py): (448, 1024) = 2.27 ms/layer vs 3.17 for the
+        # per-head streaming layout and 4.4 for small-bk grouped configs.
+        block_k = _round_up(min(T, 1024), 64)
+        bq_budget = (13 << 20) // (4 * group * block_k)
+        block_q = min(pick_block(S, block_q), max(128, bq_budget // 64 * 64))
     s_pad = _round_up(S, block_q)
     t_pad = _round_up(T, block_k)
 
@@ -257,10 +292,10 @@ def flash_attention(
         # [B, pad, 1] — 1-lane layout satisfies Mosaic tiling
         seg_args = (seg_q[:, :, None], seg_k[:, :, None])
 
-    def q_index(b, h, qi, ki, *scal):
-        return (b, h, qi, 0)
+    def q_index(b, kvh, qi, ki, *scal):
+        return (b, kvh, 0, qi, 0)
 
-    def kv_index(b, h, qi, ki, *scal):
+    def kv_index(b, kvh, qi, ki, *scal):
         # Clamp the kv tile to the tile range this (b, qi) actually needs, so
         # skipped tiles re-fetch an already-needed tile instead of streaming
         # dead data from HBM.
@@ -278,13 +313,13 @@ def flash_attention(
             lo = segb[0, b, qi]
             hi = jnp.maximum(segb[1, b, qi], lo)
             ki = jnp.clip(ki, lo, jnp.minimum(hi, jnp.maximum(last, lo)))
-        return (b, h // group, ki, 0)
+        return (b, kvh, ki, 0)
 
-    def sq_index(b, h, qi, ki, *scal):
+    def sq_index(b, kvh, qi, ki, *scal):
         return (b, qi, 0)
 
-    def sk_index(b, h, qi, ki, *scal):
-        idx = kv_index(b, h, qi, ki, *scal)
+    def sk_index(b, kvh, qi, ki, *scal):
+        idx = kv_index(b, kvh, qi, ki, *scal)
         return (b, idx[2], 0)
 
     kv_block = (None, None, block_k, D)
@@ -295,24 +330,33 @@ def flash_attention(
             pl.BlockSpec((None, block_k, 1), sk_index),
         ]
 
+    # One grid step covers a whole GQA group: the q heads sharing a kv head
+    # ride the same kernel invocation as a [group, block_q, D] stack, so each
+    # kv tile is streamed from HBM once per group instead of once per q head
+    # (28-head/4-kv-head Qwen2: 7x less kv traffic — the prefill kernel is
+    # DMA-bound without this).
+    q = q.reshape(B, KVH, group, s_pad, D)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1 if segment_ids is None else 2,
-        grid=(B, H, num_q_blocks, num_kv_blocks),
+        grid=(B, KVH, num_q_blocks, num_kv_blocks),
         in_specs=[
-            pl.BlockSpec((None, None, block_q, D), q_index),
+            pl.BlockSpec((None, None, group, block_q, D), q_index),
             pl.BlockSpec(kv_block, kv_index),
             pl.BlockSpec(kv_block, kv_index),
         ]
         + seg_in_specs,
-        out_specs=pl.BlockSpec((None, None, block_q, D), q_index),
+        out_specs=pl.BlockSpec((None, None, group, block_q, D), q_index),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((group, block_q, 128), jnp.float32),
+            pltpu.VMEM((group, block_q, 128), jnp.float32),
+            pltpu.VMEM((group, block_q, D), jnp.float32),
         ],
     )
 
-    q = q * jnp.asarray(D**-0.5, q.dtype)  # fold sm_scale into q (one pass over q, not over scores)
+    # Fold sm_scale and the exp→exp2 domain change into q: one pass over q
+    # instead of one pass per scores tile.
+    q = q * jnp.asarray(D**-0.5 * _LOG2E, q.dtype)
 
     kernel = functools.partial(
         _attn_kernel if segment_ids is None else _attn_kernel_seg,
@@ -326,14 +370,14 @@ def flash_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, s_pad, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, group, s_pad, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*prefetch, q, k, v, *seg_args)
 
-    return out[:, :, :S].transpose(0, 2, 1, 3)
+    return out.reshape(B, H, s_pad, D)[:, :, :S].transpose(0, 2, 1, 3)
 
 
 # ---------------------------------------------------------------------------
