@@ -189,12 +189,32 @@ def main():
         # background host preprocessing (tokenize/tile/pack) overlaps device steps
         q: "queue.Queue" = queue.Queue(maxsize=2)
 
+        feeder_error: list = []
+
         def _feeder():
-            for b in raw_iter:
-                q.put(b)
+            # Always enqueue the None sentinel — on exhaustion OR failure —
+            # so the training loop's q.get() can never block forever; the
+            # exception is recorded for the main thread to re-raise.
+            try:
+                for b in raw_iter:
+                    q.put(b)
+            except BaseException as e:  # noqa: BLE001 — propagated below
+                feeder_error.append(e)
+            finally:
+                q.put(None)
 
         threading.Thread(target=_feeder, daemon=True, name="data-prefetch").start()
-        data_iter = iter(q.get, None)
+
+        def _drain():
+            while True:
+                b = q.get()
+                if b is None:
+                    if feeder_error:
+                        raise RuntimeError("data prefetch thread failed") from feeder_error[0]
+                    return
+                yield b
+
+        data_iter = _drain()
     else:
         data_iter = None
 

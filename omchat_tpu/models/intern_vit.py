@@ -138,34 +138,15 @@ def _layer_forward(
     # Attention
     y = apply_norm(x, layer["norm1"], cfg.layer_norm_eps)
     qkv = dense(y, layer["attn"]["qkv"], a8=a8)
-    q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, N, D]
-    prescaled = False
-    if cfg.qk_normalization:
-        # qk-RMSNorm over the flattened (head, head_dim) axis
-        # (modeling_intern_vit.py:143-146).  On the fused path the softmax
-        # prescale (head_dim**-0.5 × log2e) folds into the q-norm's gamma —
-        # a free multiply inside the norm fusion instead of a kernel pass.
-        q_gamma = layer["attn"]["q_norm"]["scale"]
-        if fused_valid_len is not None:
-            from omchat_tpu.ops.flash_attention import packed_prescale
-
-            q_gamma = q_gamma * packed_prescale(hd)
-            prescaled = True
-        q = rms_norm(q, q_gamma, cfg.layer_norm_eps)
-        k = rms_norm(k, layer["attn"]["k_norm"]["scale"], cfg.layer_norm_eps)
     if fused_valid_len is not None:
-        from omchat_tpu.ops.flash_attention import packed_self_attention
-
-        attn_out = packed_self_attention(
-            q,
-            k,
-            v,
-            num_heads=h,
-            valid_len=fused_valid_len,
-            prescaled=prescaled,
-            interpret=jax.default_backend() != "tpu",
-        )
+        attn_out = _attention_fused(cfg, layer, qkv, fused_valid_len)
     else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # each [B, N, D]
+        if cfg.qk_normalization:
+            # qk-RMSNorm over the flattened (head, head_dim) axis
+            # (modeling_intern_vit.py:143-146).
+            q = rms_norm(q, layer["attn"]["q_norm"]["scale"], cfg.layer_norm_eps)
+            k = rms_norm(k, layer["attn"]["k_norm"]["scale"], cfg.layer_norm_eps)
         q = q.reshape(b, n, h, hd)
         k = k.reshape(b, n, h, hd)
         v = v.reshape(b, n, h, hd)
@@ -284,10 +265,19 @@ def intern_vit_forward(
     if n_run < num_layers:
         layers = jax.tree.map(lambda a: a[:n_run], layers)
 
-    # w8a8 + fused + RMSNorm: glue-carry path — the scan carries (x, int8
-    # codes of norm1(x), row scales) so residual/norm/quantize run as one
-    # Pallas pass per glue point (see _layer_forward_glue).
-    glue = fused and cfg.w8a8 and "bias" not in layers["norm1"] and n_run > 0
+    # w8a8 + fused + RMSNorm + actually-quantized params: glue-carry path —
+    # the scan carries (x, int8 codes of norm1(x), row scales) so
+    # residual/norm/quantize run as one Pallas pass per glue point (see
+    # _layer_forward_glue).  The kernel_q check preserves dense()'s contract
+    # that a8=True is a no-op on unquantized params (a w8a8 config can be
+    # paired with bf16 weights).
+    glue = (
+        fused
+        and cfg.w8a8
+        and "bias" not in layers["norm1"]
+        and n_run > 0
+        and "kernel_q" in layers["attn"]["qkv"]
+    )
     if glue:
         layers = dict(layers)
         layers["next_norm1_scale"] = jnp.roll(layers["norm1"]["scale"], -1, axis=0)

@@ -196,8 +196,8 @@ def flash_attention(
     q_offset: Optional[jax.Array] = None,
     kv_len: Optional[jax.Array] = None,
     segment_ids: Optional[jax.Array] = None,
-    block_q: int = 1024,
-    block_k: int = 512,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     kv_format: str = "btnd",
     interpret: bool = False,
 ) -> jax.Array:
@@ -226,9 +226,16 @@ def flash_attention(
 
     import os as _os
 
-    if _os.environ.get("OMCHAT_ATTN_BQ"):  # experiment override (dev/exp_causal.py)
+    if _os.environ.get("OMCHAT_ATTN_BQ") and _os.environ.get("OMCHAT_ATTN_BK"):
+        # Experiment override (dev/exp_causal.py).  NOTE: read at trace time —
+        # the jit cache keys on shapes, not env, so sweeps must use one
+        # process per configuration.
         block_q = int(_os.environ["OMCHAT_ATTN_BQ"])
         block_k = int(_os.environ["OMCHAT_ATTN_BK"])
+    elif block_q is not None or block_k is not None:
+        # Caller-chosen blocks (tests exercising multi-tile paths; tuning).
+        block_q = pick_block(S, block_q or 1024)
+        block_k = pick_block(T, block_k or 512)
     else:
         # Large kv blocks amortize the online-softmax m/l bookkeeping (each kv
         # revisit is ~5 VPU passes over [G*block_q, 128]); the q block then
@@ -238,7 +245,11 @@ def flash_attention(
         # per-head streaming layout and 4.4 for small-bk grouped configs.
         block_k = _round_up(min(T, 1024), 64)
         bq_budget = (13 << 20) // (4 * group * block_k)
-        block_q = min(pick_block(S, block_q), max(128, bq_budget // 64 * 64))
+        while bq_budget < 128 and block_k > 128:
+            # MQA-like groups: shrink kv blocks until a >=128 q block fits.
+            block_k = max(128, (block_k - 128) // 64 * 64)
+            bq_budget = (13 << 20) // (4 * group * block_k)
+        block_q = min(pick_block(S, 1024), max(128, bq_budget // 64 * 64))
     s_pad = _round_up(S, block_q)
     t_pad = _round_up(T, block_k)
 

@@ -252,12 +252,9 @@ class PagedBatchEngine:
         eos_token_id: int = 151645,
         generation=None,
     ) -> int:
-        feats = None
-        if images is not None:
-            feats = self._prefiller.encode_images(images)
-        req = _PagedRequest(next(self._ids), list(input_ids), feats, max_new_tokens, eos_token_id, generation)
-        # plan once here (image-token expansion is O(prompt)); reject requests
-        # no allocation could ever satisfy instead of deadlocking the queue
+        req = _PagedRequest(next(self._ids), list(input_ids), None, max_new_tokens, eos_token_id, generation)
+        # plan + feasibility first (both need only input_ids): reject requests
+        # no allocation could ever satisfy before paying the ViT encode
         req.plan = self._prefiller.plan([req.input_ids])
         need = self._n_pages_for(int(req.plan.lengths[0]) + max_new_tokens)
         if need > min(self.max_pages, self.allocator.num_pages):
@@ -266,6 +263,8 @@ class PagedBatchEngine:
                 "raise max_len/num_pages or shorten the request"
             )
         req.n_pages_needed = need
+        if images is not None:
+            req.image_features = self._prefiller.encode_images(images)
         self.queue.append(req)
         self.requests[req.request_id] = req
         return req.request_id

@@ -306,3 +306,20 @@ def test_intern_vit_glue_path_matches_xla_w8a8(rng):
     out = np.asarray(out, dtype=np.float32)
     denom = np.abs(ref).max() + 1e-6
     assert np.abs(out - ref).max() / denom < 2e-2
+
+
+def test_grouped_gqa_multi_kv_tile_default_blocks(rng):
+    """The GQA group-stacked kernel with the default block heuristic and
+    num_kv_blocks > 1 (T > 1024): cross-tile online-softmax accumulation,
+    interior-tile fast path, and the kv clamp all engage."""
+    B, S, H, KVH, D = 1, 1408, 4, 2, 128
+    q = _rand(rng, B, S, H, D)
+    k = _rand(rng, B, S, KVH, D)
+    v = _rand(rng, B, S, KVH, D)
+    kv_len = jnp.asarray([1300], jnp.int32)
+    ref = _xla_attention(q, k, v, causal=True, q_offset=jnp.asarray([0], jnp.int32), kv_len=kv_len)
+    out = flash_attention(
+        q, k, v, causal=True, q_offset=jnp.asarray([0], jnp.int32), kv_len=kv_len,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
