@@ -102,19 +102,37 @@ def main():
         measure(engine8, params8, cfg8, "8B_video_32frames_chunked_prefill", n_tiles=32, text_tokens=32, chunked=True)
     )
 
+    # Refresh only the table at the top of BENCH.md — the hand-written
+    # roofline/analysis sections below the table must survive re-runs.
+    header = (
+        "# BENCH.md — measured on one TPU chip (v5e-class via axon), "
+        "omchat-v2.0-13B geometry, int8 weights (w8a8 serving mode)\n\n"
+        "Five BASELINE.json configs; TTFT = image encode + prefill to first-token logits;\n"
+        "decode via the on-device while_loop (greedy). Synthetic weights (no published\n"
+        "checkpoint offline); see bench.py for methodology + the vs_baseline assumption.\n\n"
+        "| config | prefill tokens | tiles | TTFT (ms) | decode tok/s |\n|---|---|---|---|---|\n"
+    )
+    table = "".join(
+        f"| {r['config']} | {r['prefill_tokens']} | {r['tiles']} | {r['ttft_ms']} | {r['decode_tokens_per_sec']} |\n"
+        for r in rows
+    )
+    tail = ""
+    try:
+        old = open("BENCH.md").read()
+        lines = old.splitlines(keepends=True)
+        rest = []
+        past_table = False
+        for i, line in enumerate(lines):
+            if line.startswith("|"):
+                past_table = True
+            elif past_table:
+                rest = lines[i:]
+                break
+        tail = "".join(rest)
+    except FileNotFoundError:
+        pass
     with open("BENCH.md", "w") as f:
-        f.write(
-            "# BENCH.md — measured on one TPU chip (v5e-class via axon), "
-            "omchat-v2.0-13B geometry, int8 weights (w8a8 serving mode)\n\n"
-            "Five BASELINE.json configs; TTFT = image encode + prefill to first-token logits;\n"
-            "decode via the on-device while_loop (greedy). Synthetic weights (no published\n"
-            "checkpoint offline); see bench.py for methodology + the vs_baseline assumption.\n\n"
-            "| config | prefill tokens | tiles | TTFT (ms) | decode tok/s |\n|---|---|---|---|---|\n"
-        )
-        for r in rows:
-            f.write(
-                f"| {r['config']} | {r['prefill_tokens']} | {r['tiles']} | {r['ttft_ms']} | {r['decode_tokens_per_sec']} |\n"
-            )
+        f.write(header + table + tail)
     print("wrote BENCH.md", flush=True)
 
 

@@ -18,7 +18,9 @@ sys.path.insert(0, ".")
 
 from omchat_tpu.ops.flash_attention import packed_self_attention
 
-B, SP, H, D = 5, 1032, 25, 128
+import os
+
+B, SP, H, D = 5, 1032, int(os.environ.get("EXP_H", "25")), 128
 VALID = 1025
 LAYERS = 45
 
@@ -162,6 +164,44 @@ def packed_v5(q, k, v):
     )(q, k, v)
 
 
+# --- V6: v4 + two heads per grid step (halve launch count) ------------------
+
+
+def _kernel_v6(q_ref, k_ref, v_ref, o_ref, *, valid_len: int):
+    sp = q_ref.shape[1]
+    for h0 in (0, D):
+        q = q_ref[0, :, h0:h0 + D]
+        k = k_ref[0, :, h0:h0 + D]
+        v = v_ref[0, :, h0:h0 + D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if valid_len < sp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_len, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l_inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h0:h0 + D] = (o * l_inv).astype(o_ref.dtype)
+
+
+def packed_v6(q, k, v):
+    if H % 2:
+        raise ValueError("even head count required")
+    scale = (D**-0.5) * 1.4426950408889634
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    kernel = functools.partial(_kernel_v6, valid_len=VALID)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // 2),
+        in_specs=[pl.BlockSpec((1, SP, 2 * D), lambda b, h: (b, 0, h))] * 3,
+        out_specs=pl.BlockSpec((1, SP, 2 * D), lambda b, h: (b, 0, h)),
+        out_shape=jax.ShapeDtypeStruct((B, SP, H * D), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+    )(q, k, v)
+
+
 # --- harness -----------------------------------------------------------------
 
 
@@ -195,15 +235,19 @@ def main():
     k = jax.random.normal(kk, (B, SP, H * D), jnp.bfloat16)
     v = jax.random.normal(kv, (B, SP, H * D), jnp.bfloat16)
 
+    if os.environ.get("EXP_V6_ONLY"):
+        variants = [("v4 exp2+vpu-rowsum", packed_v4), ("v6 two-heads/step", packed_v6)]
+    else:
+        variants = [
+            ("baseline packed", baseline),
+            ("v2 exp2+bf16p", packed_v2),
+            ("v3 exp2+fp32l", packed_v3),
+            ("v4 exp2+vpu-rowsum", packed_v4),
+            ("v5 v4+tailmask", packed_v5),
+            ("xla sdpa", xla_sdpa),
+        ]
     ref = None
-    for name, fn in [
-        ("baseline packed", baseline),
-        ("v2 exp2+bf16p", packed_v2),
-        ("v3 exp2+fp32l", packed_v3),
-        ("v4 exp2+vpu-rowsum", packed_v4),
-        ("v5 v4+tailmask", packed_v5),
-        ("xla sdpa", xla_sdpa),
-    ]:
+    for name, fn in variants:
         one = jax.jit(fn)(q, k, v)
         _sync(one)
         if ref is None:
