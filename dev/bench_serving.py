@@ -1,0 +1,92 @@
+"""Serving throughput: paged continuous-batching engine on one TPU chip.
+
+16 mixed-length text requests (64-512 prompt tokens, 64 generated each)
+through PagedBatchEngine at the 13B w8a8 geometry; reports aggregate
+generated tokens/s and requests/min.
+
+    python dev/bench_serving.py
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import bench
+from omchat_tpu.config import OmChatConfig
+from omchat_tpu.runtime.paged_engine import PagedBatchEngine
+
+N_REQUESTS = 16
+MAX_NEW = 64
+
+
+def main():
+    rng = np.random.default_rng(0)
+    cfg = OmChatConfig.omchat_v2_13b().with_w8a8()
+    params = bench._synth_params(cfg, rng)
+    bench._sync(params["language_model"]["norm"]["scale"])
+    bench._log("params built")
+
+    engine = PagedBatchEngine(
+        cfg,
+        params,
+        max_slots=8,
+        num_pages=160,
+        page_size=64,
+        prompt_bucket=128,
+        max_len=1024,
+        decode_roll=8,
+    )
+
+    lengths = [int(rng.integers(64, 513)) for _ in range(N_REQUESTS)]
+    reqs = []
+    for n in lengths:
+        ids = [151644] + [int(t) for t in rng.integers(2000, 20000, n - 1)]
+        reqs.append(ids)
+
+    # Warmup: compile every prompt bucket the workload will hit (128/256/384/
+    # 512), the page-commit scatter, and the decode step.
+    wids = []
+    for n in (100, 200, 380, 500):
+        ids = [151644] + [int(t) for t in rng.integers(2000, 20000, n - 1)]
+        wids.append(engine.submit(ids, max_new_tokens=4, eos_token_id=-1))
+    engine.run_to_completion()
+    for wid in wids:
+        engine.pop_result(wid)
+    bench._log("warmup/compile done")
+
+    t0 = time.perf_counter()
+    ids = [engine.submit(r, max_new_tokens=MAX_NEW, eos_token_id=-1) for r in reqs]
+    engine.run_to_completion()
+    dt = time.perf_counter() - t0
+    n_out = 0
+    for rid in ids:
+        out, _ = engine.pop_result(rid)
+        n_out += len(out)
+    assert n_out == N_REQUESTS * MAX_NEW, n_out
+
+    print(
+        json.dumps(
+            {
+                "metric": "serving_generated_tokens_per_sec",
+                "value": round(n_out / dt, 2),
+                "unit": "tokens/s",
+                "extra": {
+                    "requests": N_REQUESTS,
+                    "prompt_tokens_min_max": [min(lengths), max(lengths)],
+                    "max_new_tokens": MAX_NEW,
+                    "wall_s": round(dt, 2),
+                    "requests_per_min": round(N_REQUESTS / dt * 60, 1),
+                    "engine": "PagedBatchEngine slots=8 pages=160x64 decode_roll=8",
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -67,12 +67,7 @@ def _commit_pages_jit(slot_k, slot_v, k_pool, v_pool, table, n_pages, page_size:
     return k_pool, v_pool
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "page_size", "attn_impl", "any_sampled"),
-    donate_argnames=("k_pool", "v_pool"),
-)
-def _paged_decode_step_jit(
+def _decode_step_core(
     params,
     cfg: OmChatConfig,
     tokens,  # [S] int32
@@ -151,6 +146,68 @@ def _paged_decode_step_jit(
     return next_tokens, k_pool, v_pool
 
 
+_paged_decode_step_jit = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "page_size", "attn_impl", "any_sampled"),
+    donate_argnames=("k_pool", "v_pool"),
+)(_decode_step_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "page_size", "attn_impl", "steps", "any_sampled"),
+    donate_argnames=("k_pool", "v_pool"),
+)
+def _paged_decode_roll_jit(
+    params,
+    cfg: OmChatConfig,
+    tokens,
+    lengths,
+    active,
+    tables,
+    k_pool,
+    v_pool,
+    page_size: int,
+    attn_impl: Optional[str],
+    steps: int,
+    *,
+    any_sampled: bool = False,
+    rng_key=None,
+    do_sample=None,
+    temperature=None,
+    top_k=None,
+    top_p=None,
+):
+    """``steps`` decode iterations in one dispatch (multi-step scheduling).
+
+    The host sees one upload/readback per roll instead of per token — on a
+    remote/tunneled backend the per-step round trip dominates the serving
+    loop.  Requests that hit EOS or their budget mid-roll keep decoding into
+    their own allocated headroom pages (the engine allocates ``decode_roll``
+    extra positions); the host discards the surplus tokens.
+
+    Returns ([steps, S] tokens, k_pool, v_pool).
+    """
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+
+    def body(carry, _):
+        toks, lens, kp, vp, key = carry
+        key, sub = jax.random.split(key)
+        nt, kp, vp = _decode_step_core(
+            params, cfg, toks, lens, active, tables, kp, vp, page_size, attn_impl,
+            any_sampled=any_sampled, rng_key=sub, do_sample=do_sample,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+        )
+        lens = jnp.where(active, lens + 1, lens)
+        return (nt, lens, kp, vp, key), nt
+
+    (_, _, k_pool, v_pool, _), toks = jax.lax.scan(
+        body, (tokens, lengths, k_pool, v_pool, rng_key), None, length=steps
+    )
+    return toks, k_pool, v_pool
+
+
 @dataclass
 class _PagedRequest:
     request_id: int
@@ -190,11 +247,18 @@ class PagedBatchEngine:
         rng_seed: int = 0,
         max_len: int = 8192,
         mesh=None,
+        decode_roll: int = 1,
     ):
         """``max_len`` caps one request's prompt+generation (it sets the page
         TABLE width, so per-step attention cost scales with the request cap,
         not the pool size); ``mesh`` shards the page pools' kv-head axis for
-        tensor-parallel serving (replicated when KVH % tp != 0)."""
+        tensor-parallel serving (replicated when KVH % tp != 0).
+
+        ``decode_roll`` > 1 batches that many decode steps into one dispatch
+        when no request is waiting to be admitted or prefilled (multi-step
+        scheduling): one host round trip per roll instead of per token, at the
+        cost of up to ``decode_roll - 1`` wasted positions per finished
+        request (throughput mode; keep 1 for lowest per-token latency)."""
         assert prompt_bucket % page_size == 0, "prompt buckets must align to pages"
         self.cfg = cfg
         self.params = params
@@ -202,6 +266,7 @@ class PagedBatchEngine:
         self.max_slots = max_slots
         self.max_len = max_len
         self.attn_impl = attn_impl
+        self.decode_roll = max(1, int(decode_roll))
 
         from omchat_tpu.runtime.generate import OmChatEngine
 
@@ -254,9 +319,11 @@ class PagedBatchEngine:
     ) -> int:
         req = _PagedRequest(next(self._ids), list(input_ids), None, max_new_tokens, eos_token_id, generation)
         # plan + feasibility first (both need only input_ids): reject requests
-        # no allocation could ever satisfy before paying the ViT encode
+        # no allocation could ever satisfy before paying the ViT encode.
+        # decode_roll - 1 extra positions of headroom absorb mid-roll writes
+        # past a finished request's budget.
         req.plan = self._prefiller.plan([req.input_ids])
-        need = self._n_pages_for(int(req.plan.lengths[0]) + max_new_tokens)
+        need = self._n_pages_for(int(req.plan.lengths[0]) + max_new_tokens + self.decode_roll - 1)
         if need > min(self.max_pages, self.allocator.num_pages):
             raise ValueError(
                 f"request needs {need} pages (> cap {self.max_pages} / pool {self.allocator.num_pages}); "
@@ -380,31 +447,61 @@ class PagedBatchEngine:
                 top_k=jnp.asarray(top_k),
                 top_p=jnp.asarray(top_p),
             )
-        next_tokens, self.k_pool, self.v_pool = _paged_decode_step_jit(
-            self.params,
-            self.cfg,
-            jnp.asarray(self._tokens),
-            jnp.asarray(self._lengths),
-            jnp.asarray(active),
-            jnp.asarray(self._tables),
-            self.k_pool,
-            self.v_pool,
-            self.page_size,
-            self.attn_impl,
-            any_sampled=any_sampled,
-            **sample_args,
-        )
-        next_np = np.asarray(next_tokens)
+        # Multi-step roll whenever no occupied slot is waiting on its prefill
+        # (a queued request that couldn't be admitted this tick is blocked on
+        # slots/pages either way; the roll delays its admission by at most one
+        # roll of decode steps — the documented throughput/latency trade).
+        roll = 1
+        if self.decode_roll > 1 and all(r is None or r.prefilled for r in self.slots):
+            roll = self.decode_roll
+        if roll == 1:
+            next_tokens, self.k_pool, self.v_pool = _paged_decode_step_jit(
+                self.params,
+                self.cfg,
+                jnp.asarray(self._tokens),
+                jnp.asarray(self._lengths),
+                jnp.asarray(active),
+                jnp.asarray(self._tables),
+                self.k_pool,
+                self.v_pool,
+                self.page_size,
+                self.attn_impl,
+                any_sampled=any_sampled,
+                **sample_args,
+            )
+            toks_np = np.asarray(next_tokens)[None]  # [1, S]
+        else:
+            toks, self.k_pool, self.v_pool = _paged_decode_roll_jit(
+                self.params,
+                self.cfg,
+                jnp.asarray(self._tokens),
+                jnp.asarray(self._lengths),
+                jnp.asarray(active),
+                jnp.asarray(self._tables),
+                self.k_pool,
+                self.v_pool,
+                self.page_size,
+                self.attn_impl,
+                roll,
+                any_sampled=any_sampled,
+                **sample_args,
+            )
+            toks_np = np.asarray(toks)  # [roll, S]
         for r in decoding:
-            tok = int(next_np[r.slot])
-            self._lengths[r.slot] += 1
-            r.last_token = tok
-            if tok == r.eos_token_id:
-                self._release(r)
-                continue
-            r.generated.append(tok)
-            if len(r.generated) >= r.max_new_tokens:
-                self._release(r)
+            for i in range(toks_np.shape[0]):
+                tok = int(toks_np[i, r.slot])
+                # device-side lengths advanced by the full roll for active
+                # slots; continuing requests consume every step, finished ones
+                # are released (pages freed), so host lengths stay in sync
+                self._lengths[r.slot] += 1
+                r.last_token = tok
+                if tok == r.eos_token_id:
+                    self._release(r)
+                    break
+                r.generated.append(tok)
+                if len(r.generated) >= r.max_new_tokens:
+                    self._release(r)
+                    break
 
     def run_to_completion(self, max_ticks: int = 100000):
         ticks = 0

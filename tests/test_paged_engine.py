@@ -132,3 +132,27 @@ def test_allocator_exhaustion():
         alloc.alloc(2)
     alloc.release(got)
     assert alloc.available == 4
+
+
+def test_decode_roll_matches_single_step(setup, rng):
+    """decode_roll > 1 (multi-step scheduling) produces the same greedy tokens
+    as per-step dispatch, including mid-roll EOS/budget releases."""
+    cfg, params = setup
+    max_new = 7  # not a multiple of the roll → budget hits mid-roll
+    reqs = [
+        ([5, 6, 7, 8, 9, 10], None),
+        ([11, 12, 13], None),
+        ([5, 6, IMAGE_TOKEN_INDEX, 7], rng.standard_normal((1, 3, 56, 56)).astype(np.float32)),
+    ]
+    expected = _expected(cfg, params, reqs, max_new)
+
+    be = PagedBatchEngine(
+        cfg, params, max_slots=2, num_pages=14, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=96, decode_roll=4,
+    )
+    rids = [be.submit(ids, images, max_new_tokens=max_new, eos_token_id=-1) for ids, images in reqs]
+    ticks = be.run_to_completion(max_ticks=500)
+    assert ticks < 500
+    for rid, exp in zip(rids, expected):
+        assert be.result(rid) == exp
+    assert be.allocator.available == 14

@@ -323,3 +323,18 @@ def test_grouped_gqa_multi_kv_tile_default_blocks(rng):
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_grouped_gqa_group7(rng):
+    """group = H/KVH = 7 (Qwen2-7B): odd group count through the stacked
+    [group, block_q, D] q blocks."""
+    B, S, H, KVH, D = 1, 192, 14, 2, 128
+    q = _rand(rng, B, S, H, D)
+    k = _rand(rng, B, S, KVH, D)
+    v = _rand(rng, B, S, KVH, D)
+    ref = _xla_attention(q, k, v, causal=True, q_offset=jnp.asarray([0], jnp.int32), kv_len=None)
+    out = flash_attention(
+        q, k, v, causal=True, q_offset=jnp.asarray([0], jnp.int32),
+        block_q=64, block_k=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
