@@ -10,10 +10,12 @@ iterates kv tiles per q tile):
     dS = P ∘ (dP − di),   dP = dO Vᵀ
     dQ = dS K · scale,    dK = dSᵀ Q · scale
 
-GQA: dK/dV are produced per *query* head and group-summed outside the kernels
-(one cheap reduction in HBM), keeping both kernels embarrassingly parallel
-over (batch, head).  Blocks here are multiples of 128 — training shapes are
-bucketed — because the lse/di rows are tiled on their last dim.
+GQA: all q heads sharing a kv head ride one grid step as a stacked
+[group, block_q, D] block (same layout as the inference kernel), so each
+kv tile streams from HBM once per group instead of once per q head, and the
+dKV kernel accumulates directly into per-kv-head dK/dV (no per-q-head
+buffers or group-sum postpass).  Blocks here are multiples of 128 — training
+shapes are bucketed — because the lse/di rows are tiled on their last dim.
 
 Exposed as ``attention(..., impl="pallas_vjp")``.
 """
@@ -50,9 +52,12 @@ def _fwd_kernel(
     m_scratch, l_scratch, acc_scratch,
     *, causal, block_q, block_k, num_kv_blocks,
 ):
+    # q/o/lse refs are [G, block_q, *] — the whole GQA group per grid step;
+    # kv refs [block_k, D] are fetched once and reused across the group.
     b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
+    g = q_ref.shape[0]
 
     @pl.when(ki == 0)
     def _init():
@@ -67,26 +72,31 @@ def _fwd_kernel(
 
     @pl.when(needed)
     def _run():
-        s = jax.lax.dot_general(q_ref[...], k_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = jnp.where(_mask_for(block_q, block_k, qi, ki, q_off, kv_len, causal), s, DEFAULT_MASK_VALUE)
-        m_prev, l_prev = m_scratch[...], l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[...] = m_next
-        o_curr = jax.lax.dot(p.astype(v_ref.dtype), v_ref[...], preferred_element_type=jnp.float32)
-        acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + o_curr
+        mask = _mask_for(block_q, block_k, qi, ki, q_off, kv_len, causal)
+        k = k_ref[...]
+        v = v_ref[...]
+        for gi in range(g):
+            s = jax.lax.dot_general(q_ref[gi], k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            m_prev, l_prev = m_scratch[gi], l_scratch[gi]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_scratch[gi] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scratch[gi] = m_next
+            o_curr = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            acc_scratch[gi] = acc_scratch[gi] * alpha[:, : acc_scratch.shape[2]] + o_curr
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
-        l = l_scratch[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
-        m = m_scratch[...][:, :1]
-        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l))
-        lse_ref[...] = jnp.broadcast_to(lse, lse_ref.shape)
+        for gi in range(g):
+            l = l_scratch[gi][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[gi] = (acc_scratch[gi] * l_inv).astype(o_ref.dtype)
+            m = m_scratch[gi][:, :1]
+            lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l))
+            lse_ref[gi] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -103,6 +113,8 @@ def _bwd_dq_kernel(
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
+    g = q_ref.shape[0]
+
     @pl.when(ki == 0)
     def _init():
         acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
@@ -114,15 +126,18 @@ def _bwd_dq_kernel(
 
     @pl.when(needed)
     def _run():
-        s = jax.lax.dot_general(q_ref[...], k_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         mask = _mask_for(block_q, block_k, qi, ki, q_off, kv_len, causal)
-        lse = lse_ref[...][:, :1]
-        p = jnp.where(mask & jnp.isfinite(lse), jnp.exp(s - jnp.where(jnp.isfinite(lse), lse, 0.0)), 0.0)
-        dp = jax.lax.dot_general(
-            do_ref[...], v_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - di_ref[...][:, :1])
-        acc_scratch[...] += jax.lax.dot(ds.astype(k_ref.dtype), k_ref[...], preferred_element_type=jnp.float32)
+        k = k_ref[...]
+        v = v_ref[...]
+        for gi in range(g):
+            s = jax.lax.dot_general(q_ref[gi], k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            lse = lse_ref[gi][:, :1]
+            p = jnp.where(mask & jnp.isfinite(lse), jnp.exp(s - jnp.where(jnp.isfinite(lse), lse, 0.0)), 0.0)
+            dp = jax.lax.dot_general(
+                do_ref[gi], v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - di_ref[gi][:, :1])
+            acc_scratch[gi] += jax.lax.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
@@ -138,6 +153,8 @@ def _bwd_dkv_kernel(
     ki = pl.program_id(2)
     qi = pl.program_id(3)
 
+    g = q_ref.shape[0]
+
     @pl.when(qi == 0)
     def _init():
         dk_scratch[...] = jnp.zeros(dk_scratch.shape, jnp.float32)
@@ -152,22 +169,27 @@ def _bwd_dkv_kernel(
 
     @pl.when(needed)
     def _run():
-        s = jax.lax.dot_general(q_ref[...], k_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        # The group's contributions accumulate straight into per-kv-head
+        # dK/dV — no per-q-head buffers or group-sum postpass.
         mask = _mask_for(block_q, block_k, qi, ki, q_off, kv_len, causal)
-        lse = lse_ref[...][:, :1]
-        p = jnp.where(mask & jnp.isfinite(lse), jnp.exp(s - jnp.where(jnp.isfinite(lse), lse, 0.0)), 0.0)
-        # dV += P^T dO
-        dv_scratch[...] += jax.lax.dot_general(
-            p.astype(do_ref.dtype), do_ref[...], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(
-            do_ref[...], v_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - di_ref[...][:, :1])
-        # dK += dS^T Q
-        dk_scratch[...] += jax.lax.dot_general(
-            ds.astype(q_ref.dtype), q_ref[...], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        k = k_ref[...]
+        v = v_ref[...]
+        for gi in range(g):
+            s = jax.lax.dot_general(q_ref[gi], k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            lse = lse_ref[gi][:, :1]
+            p = jnp.where(mask & jnp.isfinite(lse), jnp.exp(s - jnp.where(jnp.isfinite(lse), lse, 0.0)), 0.0)
+            # dV += P^T dO
+            dv_scratch[...] += jax.lax.dot_general(
+                p.astype(do_ref.dtype), do_ref[gi], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dp = jax.lax.dot_general(
+                do_ref[gi], v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - di_ref[gi][:, :1])
+            # dK += dS^T Q
+            dk_scratch[...] += jax.lax.dot_general(
+                ds.astype(q_ref.dtype), q_ref[gi], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
 
     @pl.when(qi == num_q_blocks - 1)
     def _store():
@@ -191,6 +213,12 @@ def _prep(q, k, v, q_offset, kv_len, block_q, block_k):
 
     block_q = min(block_q, _round_up(S, 128))
     block_k = min(block_k, _round_up(T, 128))
+    # The whole GQA group rides one grid step ([group, block_q, *] q/do/lse/di
+    # blocks + group-sized scratch); shrink block_q until the working set fits
+    # scoped VMEM (double-buffered blocks + scratch, empirically ≲7MB of
+    # group-proportional state on v5e).
+    while group * block_q * (3 * 128 + 2 * D) * 4 > (7 << 20) and block_q > 128:
+        block_q -= 128
     s_pad = _round_up(S, block_q)
     t_pad = _round_up(T, block_k)
     if s_pad != S:
@@ -217,29 +245,30 @@ def _fwd(q, k, v, causal, q_offset, kv_len, block_q, block_k, interpret):
         q * jnp.asarray(D**-0.5, q.dtype), k, v, q_offset, kv_len, block_q, block_k
     )
     nq, nk = s_pad // block_q, t_pad // block_k
+    qh = qh.reshape(B, H // group, group, s_pad, D)
 
-    def q_index(b, h, qi, ki, sc):
-        return (b, h, qi, 0)
+    def q_index(b, kvh, qi, ki, sc):
+        return (b, kvh, 0, qi, 0)
 
-    def kv_index(b, h, qi, ki, sc):
-        return (b, h // group, ki, 0)
+    def kv_index(b, kvh, qi, ki, sc):
+        return (b, kvh, ki, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H, nq, nk),
+        grid=(B, H // group, nq, nk),
         in_specs=[
-            pl.BlockSpec((None, None, block_q, D), q_index),
+            pl.BlockSpec((None, None, group, block_q, D), q_index),
             pl.BlockSpec((None, None, block_k, D), kv_index),
             pl.BlockSpec((None, None, block_k, D), kv_index),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, block_q, D), q_index),
-            pl.BlockSpec((None, None, block_q, 128), lambda b, h, qi, ki, sc: (b, h, qi, 0)),
+            pl.BlockSpec((None, None, group, block_q, D), q_index),
+            pl.BlockSpec((None, None, group, block_q, 128), q_index),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((group, block_q, 128), jnp.float32),
+            pltpu.VMEM((group, block_q, 128), jnp.float32),
+            pltpu.VMEM((group, block_q, D), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -249,14 +278,16 @@ def _fwd(q, k, v, causal, q_offset, kv_len, block_q, block_k, interpret):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, s_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, s_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, H // group, group, s_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H // group, group, s_pad, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
         ),
         interpret=interpret,
     )(scalars, qh, kh, vh)
+    out = out.reshape(B, H, s_pad, D)
+    lse = lse.reshape(B, H, s_pad, 128)
     return out[:, :, :S].transpose(0, 2, 1, 3), lse[:, :, :S, 0]
 
 
@@ -281,65 +312,66 @@ def _bwd(causal, block_q, block_k, interpret, res, g):
         di = jnp.pad(di.transpose(0, 2, 1), ((0, 0), (0, 0), (0, s_pad - S)))
     else:
         di = di.transpose(0, 2, 1)
-    lse_b = jnp.broadcast_to(lse[..., None], (B, H, s_pad, 128))
-    di_b = jnp.broadcast_to(di[..., None], (B, H, s_pad, 128))
+    lse_b = jnp.broadcast_to(lse[..., None], (B, H, s_pad, 128)).reshape(B, KVH, group, s_pad, 128)
+    di_b = jnp.broadcast_to(di[..., None], (B, H, s_pad, 128)).reshape(B, KVH, group, s_pad, 128)
+    qh = qh.reshape(B, KVH, group, s_pad, D)
+    doh = doh.reshape(B, KVH, group, s_pad, D)
 
-    def q_index(b, h, qi, ki, sc):
-        return (b, h, qi, 0)
+    def q_index(b, kvh, qi, ki, sc):
+        return (b, kvh, 0, qi, 0)
 
-    def kv_index(b, h, qi, ki, sc):
-        return (b, h // group, ki, 0)
+    def kv_index(b, kvh, qi, ki, sc):
+        return (b, kvh, ki, 0)
 
     # ---- dQ ----
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H, nq, nk),
+        grid=(B, KVH, nq, nk),
         in_specs=[
-            pl.BlockSpec((None, None, block_q, D), q_index),
+            pl.BlockSpec((None, None, group, block_q, D), q_index),
             pl.BlockSpec((None, None, block_k, D), kv_index),
             pl.BlockSpec((None, None, block_k, D), kv_index),
-            pl.BlockSpec((None, None, block_q, D), q_index),
-            pl.BlockSpec((None, None, block_q, 128), q_index),
-            pl.BlockSpec((None, None, block_q, 128), q_index),
+            pl.BlockSpec((None, None, group, block_q, D), q_index),
+            pl.BlockSpec((None, None, group, block_q, 128), q_index),
+            pl.BlockSpec((None, None, group, block_q, 128), q_index),
         ],
-        out_specs=pl.BlockSpec((None, None, block_q, D), q_index),
-        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        out_specs=pl.BlockSpec((None, None, group, block_q, D), q_index),
+        scratch_shapes=[pltpu.VMEM((group, block_q, D), jnp.float32)],
     )
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, causal=causal, block_q=block_q, block_k=block_k, num_kv_blocks=nk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, s_pad, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, group, s_pad, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
         ),
         interpret=interpret,
     )(scalars, qh, kh, vh, doh, lse_b, di_b)
+    dq = dq.reshape(B, H, s_pad, D)
     dq = (dq[:, :, :S] * scale).transpose(0, 2, 1, 3).astype(q.dtype)
 
-    # ---- dK, dV (per q-head, kv tiles outer / q tiles inner) ----
-    def q_index2(b, h, ki, qi, sc):
-        return (b, h, qi, 0)
+    # ---- dK, dV (kv tiles outer / q tiles inner; the group's contributions
+    # accumulate in-kernel, so outputs are per kv head directly) ----
+    def q_index2(b, kvh, ki, qi, sc):
+        return (b, kvh, 0, qi, 0)
 
-    def kv_index2(b, h, ki, qi, sc):
-        return (b, h // group, ki, 0)
-
-    def dkv_index(b, h, ki, qi, sc):
-        return (b, h, ki, 0)
+    def kv_index2(b, kvh, ki, qi, sc):
+        return (b, kvh, ki, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H, nk, nq),
+        grid=(B, KVH, nk, nq),
         in_specs=[
-            pl.BlockSpec((None, None, block_q, D), q_index2),
+            pl.BlockSpec((None, None, group, block_q, D), q_index2),
             pl.BlockSpec((None, None, block_k, D), kv_index2),
             pl.BlockSpec((None, None, block_k, D), kv_index2),
-            pl.BlockSpec((None, None, block_q, D), q_index2),
-            pl.BlockSpec((None, None, block_q, 128), q_index2),
-            pl.BlockSpec((None, None, block_q, 128), q_index2),
+            pl.BlockSpec((None, None, group, block_q, D), q_index2),
+            pl.BlockSpec((None, None, group, block_q, 128), q_index2),
+            pl.BlockSpec((None, None, group, block_q, 128), q_index2),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, block_k, D), dkv_index),
-            pl.BlockSpec((None, None, block_k, D), dkv_index),
+            pl.BlockSpec((None, None, block_k, D), kv_index2),
+            pl.BlockSpec((None, None, block_k, D), kv_index2),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, D), jnp.float32),
@@ -350,8 +382,8 @@ def _bwd(causal, block_q, block_k, interpret, res, g):
         functools.partial(_bwd_dkv_kernel, causal=causal, block_q=block_q, block_k=block_k, num_q_blocks=nq),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, t_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, t_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, KVH, t_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, KVH, t_pad, D), q.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
@@ -359,12 +391,10 @@ def _bwd(causal, block_q, block_k, interpret, res, g):
         interpret=interpret,
     )(scalars, qh, kh, vh, doh, lse_b, di_b)
 
-    # group-sum per-q-head dK/dV back to kv heads; undo padding + layout.
-    # dK needs no extra scale: the kernel's q_ref is already q·scale.
-    dk_h = dk_h[:, :, :T].reshape(B, KVH, group, T, D).sum(axis=2)
-    dv_h = dv_h[:, :, :T].reshape(B, KVH, group, T, D).sum(axis=2)
-    dk = dk_h.transpose(0, 2, 1, 3).astype(k.dtype)
-    dv = dv_h.transpose(0, 2, 1, 3).astype(v.dtype)
+    # undo padding + layout.  dK needs no extra scale: the kernel's q_ref is
+    # already q·scale.
+    dk = dk_h[:, :, :T].transpose(0, 2, 1, 3).astype(k.dtype)
+    dv = dv_h[:, :, :T].transpose(0, 2, 1, 3).astype(v.dtype)
     return dq, dk, dv, None, None
 
 
