@@ -128,6 +128,13 @@ def main():
             elif past_table:
                 rest = lines[i:]
                 break
+        if not rest:
+            # No table found (hand-edited file): preserve everything from the
+            # first analysis heading rather than silently dropping it.
+            for i, line in enumerate(lines):
+                if line.startswith("## "):
+                    rest = lines[i:]
+                    break
         tail = "".join(rest)
     except FileNotFoundError:
         pass

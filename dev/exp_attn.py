@@ -236,6 +236,8 @@ def main():
     v = jax.random.normal(kv, (B, SP, H * D), jnp.bfloat16)
 
     if os.environ.get("EXP_V6_ONLY"):
+        if H % 2:
+            sys.exit(f"v6 needs an even head count; run with EXP_H=24 (got H={H})")
         variants = [("v4 exp2+vpu-rowsum", packed_v4), ("v6 two-heads/step", packed_v6)]
     else:
         variants = [

@@ -216,9 +216,19 @@ def _prep(q, k, v, q_offset, kv_len, block_q, block_k):
     # The whole GQA group rides one grid step ([group, block_q, *] q/do/lse/di
     # blocks + group-sized scratch); shrink block_q until the working set fits
     # scoped VMEM (double-buffered blocks + scratch, empirically ≲7MB of
-    # group-proportional state on v5e).
-    while group * block_q * (3 * 128 + 2 * D) * 4 > (7 << 20) and block_q > 128:
+    # group-proportional state on v5e).  If block_q bottoms out (MQA-sized
+    # groups), slice the group: each grid step carries g_eff heads, with
+    # group//g_eff grid steps per kv head.
+    budget = 7 << 20
+
+    def _state(g, bq):
+        return g * bq * (3 * 128 + 2 * D) * 4
+
+    while _state(group, block_q) > budget and block_q > 128:
         block_q -= 128
+    g_eff = group
+    while g_eff > 1 and _state(g_eff, block_q) > budget:
+        g_eff = max(d for d in range(1, g_eff) if group % d == 0)
     s_pad = _round_up(S, block_q)
     t_pad = _round_up(T, block_k)
     if s_pad != S:
@@ -236,7 +246,7 @@ def _prep(q, k, v, q_offset, kv_len, block_q, block_k):
     else:
         kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
     scalars = jnp.stack([q_offset, kv_len])
-    return qh, kh, vh, scalars, block_q, block_k, s_pad, t_pad, group
+    return qh, kh, vh, scalars, block_q, block_k, s_pad, t_pad, g_eff
 
 
 def _fwd(q, k, v, causal, q_offset, kv_len, block_q, block_k, interpret):
@@ -246,12 +256,15 @@ def _fwd(q, k, v, causal, q_offset, kv_len, block_q, block_k, interpret):
     )
     nq, nk = s_pad // block_q, t_pad // block_k
     qh = qh.reshape(B, H // group, group, s_pad, D)
+    # group may be a slice (g_eff) of the full GQA group (VMEM limit, MQA);
+    # kv_div grid steps then share each kv head.
+    kv_div = (H // k.shape[2]) // group
 
-    def q_index(b, kvh, qi, ki, sc):
-        return (b, kvh, 0, qi, 0)
+    def q_index(b, sb, qi, ki, sc):
+        return (b, sb, 0, qi, 0)
 
-    def kv_index(b, kvh, qi, ki, sc):
-        return (b, kvh, ki, 0)
+    def kv_index(b, sb, qi, ki, sc):
+        return (b, sb // kv_div, ki, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -312,21 +325,23 @@ def _bwd(causal, block_q, block_k, interpret, res, g):
         di = jnp.pad(di.transpose(0, 2, 1), ((0, 0), (0, 0), (0, s_pad - S)))
     else:
         di = di.transpose(0, 2, 1)
-    lse_b = jnp.broadcast_to(lse[..., None], (B, H, s_pad, 128)).reshape(B, KVH, group, s_pad, 128)
-    di_b = jnp.broadcast_to(di[..., None], (B, H, s_pad, 128)).reshape(B, KVH, group, s_pad, 128)
-    qh = qh.reshape(B, KVH, group, s_pad, D)
-    doh = doh.reshape(B, KVH, group, s_pad, D)
+    n_super = H // group  # group may be a g_eff slice of the full GQA group
+    kv_div = n_super // KVH
+    lse_b = jnp.broadcast_to(lse[..., None], (B, H, s_pad, 128)).reshape(B, n_super, group, s_pad, 128)
+    di_b = jnp.broadcast_to(di[..., None], (B, H, s_pad, 128)).reshape(B, n_super, group, s_pad, 128)
+    qh = qh.reshape(B, n_super, group, s_pad, D)
+    doh = doh.reshape(B, n_super, group, s_pad, D)
 
-    def q_index(b, kvh, qi, ki, sc):
-        return (b, kvh, 0, qi, 0)
+    def q_index(b, sb, qi, ki, sc):
+        return (b, sb, 0, qi, 0)
 
-    def kv_index(b, kvh, qi, ki, sc):
-        return (b, kvh, ki, 0)
+    def kv_index(b, sb, qi, ki, sc):
+        return (b, sb // kv_div, ki, 0)
 
     # ---- dQ ----
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, KVH, nq, nk),
+        grid=(B, n_super, nq, nk),
         in_specs=[
             pl.BlockSpec((None, None, group, block_q, D), q_index),
             pl.BlockSpec((None, None, block_k, D), kv_index),
@@ -341,7 +356,7 @@ def _bwd(causal, block_q, block_k, interpret, res, g):
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, causal=causal, block_q=block_q, block_k=block_k, num_kv_blocks=nk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KVH, group, s_pad, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, n_super, group, s_pad, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
         ),
@@ -351,16 +366,20 @@ def _bwd(causal, block_q, block_k, interpret, res, g):
     dq = (dq[:, :, :S] * scale).transpose(0, 2, 1, 3).astype(q.dtype)
 
     # ---- dK, dV (kv tiles outer / q tiles inner; the group's contributions
-    # accumulate in-kernel, so outputs are per kv head directly) ----
-    def q_index2(b, kvh, ki, qi, sc):
-        return (b, kvh, 0, qi, 0)
+    # accumulate in-kernel; outputs are per super-block — per kv head when the
+    # full group fits one step (kv_div == 1), group-summed outside otherwise) ----
+    def q_index2(b, sb, ki, qi, sc):
+        return (b, sb, 0, qi, 0)
 
-    def kv_index2(b, kvh, ki, qi, sc):
-        return (b, kvh, ki, 0)
+    def kv_index2(b, sb, ki, qi, sc):
+        return (b, sb // kv_div, ki, 0)
+
+    def dkv_index2(b, sb, ki, qi, sc):
+        return (b, sb, ki, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, KVH, nk, nq),
+        grid=(B, n_super, nk, nq),
         in_specs=[
             pl.BlockSpec((None, None, group, block_q, D), q_index2),
             pl.BlockSpec((None, None, block_k, D), kv_index2),
@@ -370,8 +389,8 @@ def _bwd(causal, block_q, block_k, interpret, res, g):
             pl.BlockSpec((None, None, group, block_q, 128), q_index2),
         ],
         out_specs=[
-            pl.BlockSpec((None, None, block_k, D), kv_index2),
-            pl.BlockSpec((None, None, block_k, D), kv_index2),
+            pl.BlockSpec((None, None, block_k, D), dkv_index2),
+            pl.BlockSpec((None, None, block_k, D), dkv_index2),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, D), jnp.float32),
@@ -382,8 +401,8 @@ def _bwd(causal, block_q, block_k, interpret, res, g):
         functools.partial(_bwd_dkv_kernel, causal=causal, block_q=block_q, block_k=block_k, num_q_blocks=nq),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, KVH, t_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, KVH, t_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, n_super, t_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((B, n_super, t_pad, D), q.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
@@ -392,7 +411,11 @@ def _bwd(causal, block_q, block_k, interpret, res, g):
     )(scalars, qh, kh, vh, doh, lse_b, di_b)
 
     # undo padding + layout.  dK needs no extra scale: the kernel's q_ref is
-    # already q·scale.
+    # already q·scale.  With a sliced group, sum the kv_div super-block
+    # contributions per kv head.
+    if kv_div > 1:
+        dk_h = dk_h.reshape(B, KVH, kv_div, t_pad, D).sum(axis=2).astype(q.dtype)
+        dv_h = dv_h.reshape(B, KVH, kv_div, t_pad, D).sum(axis=2).astype(q.dtype)
     dk = dk_h[:, :, :T].transpose(0, 2, 1, 3).astype(k.dtype)
     dv = dv_h[:, :, :T].transpose(0, 2, 1, 3).astype(v.dtype)
     return dq, dk, dv, None, None

@@ -291,8 +291,10 @@ class PagedBatchEngine:
         self.allocator = PageAllocator(num_pages)
         self._parking = num_pages
         # max pages one request may map — the fixed table width per compile;
-        # per-step attention spans max_len, not the whole pool
-        self.max_pages = -(-max_len // page_size)
+        # per-step attention spans max_len, not the whole pool.  The table is
+        # widened by the roll headroom so decode_roll does not shrink the
+        # documented prompt+generation capacity.
+        self.max_pages = -(-(max_len + self.decode_roll - 1) // page_size)
 
         self._ids = itertools.count()
         self.queue: List[_PagedRequest] = []

@@ -71,3 +71,29 @@ def test_flash_grads_nonmultiple_seq(rng):
     g_fl = _grads(fl_fn, q, k, v)
     for a, b, name in zip(g_fl, g_ref, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3, err_msg=f"d{name}")
+
+
+def test_mqa_group_slicing(rng):
+    """MQA-sized group (H=24, KVH=1): the group-state VMEM budget forces the
+    g_eff slice path (multiple grid steps per kv head, dK/dV group-summed
+    outside); gradients still match XLA."""
+    B, S, H, KVH, D = 1, 192, 24, 1, 128
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, S, KVH, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, S, KVH, D)).astype(np.float32))
+
+    def loss(fn):
+        def f(q, k, v):
+            out = fn(q, k, v)
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape) * 0.01))
+        return f
+
+    from omchat_tpu.ops.attention import _xla_attention
+    from omchat_tpu.ops.flash_attention_bwd import flash_attention_trainable
+
+    ref_fn = loss(lambda q, k, v: _xla_attention(q, k, v, causal=True, q_offset=None, kv_len=None))
+    pl_fn = loss(lambda q, k, v: flash_attention_trainable(q, k, v, True, 128, 128, True))
+    ref = jax.grad(ref_fn, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(pl_fn, argnums=(0, 1, 2))(q, k, v)
+    for r, g2 in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(r), atol=2e-4, rtol=1e-3)

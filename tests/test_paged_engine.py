@@ -156,3 +156,16 @@ def test_decode_roll_matches_single_step(setup, rng):
     for rid, exp in zip(rids, expected):
         assert be.result(rid) == exp
     assert be.allocator.available == 14
+
+
+def test_decode_roll_keeps_documented_capacity(setup):
+    """decode_roll headroom widens the page table instead of shrinking the
+    documented prompt+generation capacity (max_len)."""
+    cfg, params = setup
+    be = PagedBatchEngine(cfg, params, max_slots=1, num_pages=16, page_size=8,
+                          attn_impl="xla", prompt_bucket=16, max_len=48, decode_roll=4)
+    # prompt buckets to 16; 16 + 32 == max_len exactly -> must be accepted
+    rid = be.submit([5, 6, 7], None, max_new_tokens=32, eos_token_id=-1)
+    be.run_to_completion(max_ticks=300)
+    out, _ = be.pop_result(rid)
+    assert len(out) == 32
