@@ -264,6 +264,8 @@ def main():
     parser.add_argument("--paged", action="store_true", help="paged KV pool instead of contiguous slots (ragged-length memory efficiency)")
     parser.add_argument("--num-pages", type=int, default=1024)
     parser.add_argument("--page-size", type=int, default=64)
+    parser.add_argument("--decode-roll", type=int, default=1,
+                        help="paged engine: decode steps per dispatch (throughput mode; >1 amortizes host round trips, adds up to roll-1 tokens of admission latency)")
     args = parser.parse_args()
     if args.paged and not args.continuous_batching:
         args.continuous_batching = True  # --paged implies the batch scheduler
@@ -285,6 +287,7 @@ def main():
                 max_len=args.max_len,
                 attn_impl=model.engine.attn_impl,
                 mesh=model.engine.mesh,
+                decode_roll=args.decode_roll,
             )
         else:
             from omchat_tpu.runtime.batch_engine import BatchEngine
