@@ -202,6 +202,36 @@ def packed_v6(q, k, v):
     )(q, k, v)
 
 
+# --- V7: v4 + additive bias-row mask (one broadcast add vs iota+cmp+select) --
+
+
+def _kernel_v7(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + bias_ref[...]  # [1, SP] broadcast: -inf on pad columns
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l_inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot(p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
+    o_ref[0] = (o * l_inv).astype(o_ref.dtype)
+
+
+def packed_v7(q, k, v):
+    scale = (D**-0.5) * 1.4426950408889634
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    bias = jnp.where(jnp.arange(SP) < VALID, 0.0, -jnp.inf).astype(jnp.float32)[None]
+    return pl.pallas_call(
+        _kernel_v7,
+        grid=(B, H),
+        in_specs=[pl.BlockSpec((1, SP, D), lambda b, h: (b, 0, h))] * 3
+        + [pl.BlockSpec((1, SP), lambda b, h: (0, 0))],
+        out_specs=pl.BlockSpec((1, SP, D), lambda b, h: (b, 0, h)),
+        out_shape=jax.ShapeDtypeStruct((B, SP, H * D), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+    )(q, k, v, bias)
+
+
 # --- harness -----------------------------------------------------------------
 
 
@@ -235,7 +265,9 @@ def main():
     k = jax.random.normal(kk, (B, SP, H * D), jnp.bfloat16)
     v = jax.random.normal(kv, (B, SP, H * D), jnp.bfloat16)
 
-    if os.environ.get("EXP_V6_ONLY"):
+    if os.environ.get("EXP_V7_ONLY"):
+        variants = [("v4 exp2+vpu-rowsum", packed_v4), ("v7 bias-row mask", packed_v7)]
+    elif os.environ.get("EXP_V6_ONLY"):
         if H % 2:
             sys.exit(f"v6 needs an even head count; run with EXP_H=24 (got H={H})")
         variants = [("v4 exp2+vpu-rowsum", packed_v4), ("v6 two-heads/step", packed_v6)]
