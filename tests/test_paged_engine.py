@@ -169,3 +169,35 @@ def test_decode_roll_keeps_documented_capacity(setup):
     be.run_to_completion(max_ticks=300)
     out, _ = be.pop_result(rid)
     assert len(out) == 32
+
+
+def test_randomized_workload_soak(setup, rng):
+    """Randomized differential soak: mixed prompt lengths, budgets, rolls and
+    submission waves through a small pool — every request's greedy output must
+    match the single-request engine, and all pages must return to the pool."""
+    cfg, params = setup
+    reqs = []
+    for i in range(9):
+        n = int(rng.integers(2, 14))
+        ids = [int(t) for t in rng.integers(5, 60, n)]
+        reqs.append((ids, int(rng.integers(1, 10))))
+
+    be = PagedBatchEngine(
+        cfg, params, max_slots=3, num_pages=9, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=40, decode_roll=3,
+    )
+    rids = []
+    for j, (ids, max_new) in enumerate(reqs):
+        rids.append(be.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1))
+        if j % 3 == 2:  # interleave waves of submissions with progress
+            for _ in range(2):
+                be.step()
+    be.run_to_completion(max_ticks=2000)
+
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=16)
+    for rid, (ids, max_new) in zip(rids, reqs):
+        exp = engine.generate(
+            [ids], None, GenerationConfig(max_new_tokens=max_new, eos_token_id=-1)
+        ).token_ids[0]
+        assert be.result(rid) == exp, f"request {rid}"
+    assert be.allocator.available == 9
