@@ -11,6 +11,7 @@ import json
 import sys
 import time
 
+import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
@@ -34,32 +35,58 @@ def main():
         cfg,
         params,
         max_slots=8,
-        num_pages=160,
+        num_pages=224,
         page_size=64,
         prompt_bucket=128,
-        max_len=1024,
+        max_len=4096,
         decode_roll=8,
     )
 
+    from omchat_tpu.constants import IMAGE_TOKEN_INDEX
+
     lengths = [int(rng.integers(64, 513)) for _ in range(N_REQUESTS)]
     reqs = []
-    for n in lengths:
+    images = []
+    for i, n in enumerate(lengths):
         ids = [151644] + [int(t) for t in rng.integers(2000, 20000, n - 1)]
+        if i % 4 == 0:
+            # every 4th request is multimodal: a 2-tile anyres image
+            # (thumbnail + tile -> 2048 image tokens through the ViT)
+            ids = ids[:2] + [IMAGE_TOKEN_INDEX, IMAGE_TOKEN_INDEX] + ids[2:]
+            images.append(
+                jnp.asarray(rng.standard_normal((2, 3, 448, 448)), jnp.bfloat16)
+            )
+        else:
+            images.append(None)
         reqs.append(ids)
 
-    # Warmup: compile every prompt bucket the workload will hit (128/256/384/
-    # 512), the page-commit scatter, and the decode step.
+    # Warmup: compile every prompt bucket the measured workload hits (the
+    # text buckets plus each multimodal request's expanded bucket), the ViT
+    # encode, the page-commit scatter, and the decode step.
+    mm_buckets = set()
+    for ids, img in zip(reqs, images):
+        if img is not None:
+            mm_buckets.add(-(-int(engine._prefiller.plan([ids]).lengths[0]) // 128) * 128)
     wids = []
     for n in (100, 200, 380, 500):
         ids = [151644] + [int(t) for t in rng.integers(2000, 20000, n - 1)]
         wids.append(engine.submit(ids, max_new_tokens=4, eos_token_id=-1))
+    for bucket in sorted(mm_buckets):
+        ids = [151644, IMAGE_TOKEN_INDEX, IMAGE_TOKEN_INDEX] + [
+            int(t) for t in rng.integers(2000, 20000, bucket - 2100)
+        ]
+        img = jnp.asarray(rng.standard_normal((2, 3, 448, 448)), jnp.bfloat16)
+        wids.append(engine.submit(ids, img, max_new_tokens=4, eos_token_id=-1))
     engine.run_to_completion()
     for wid in wids:
         engine.pop_result(wid)
     bench._log("warmup/compile done")
 
     t0 = time.perf_counter()
-    ids = [engine.submit(r, max_new_tokens=MAX_NEW, eos_token_id=-1) for r in reqs]
+    ids = [
+        engine.submit(r, img, max_new_tokens=MAX_NEW, eos_token_id=-1)
+        for r, img in zip(reqs, images)
+    ]
     engine.run_to_completion()
     dt = time.perf_counter() - t0
     n_out = 0
@@ -76,11 +103,12 @@ def main():
                 "unit": "tokens/s",
                 "extra": {
                     "requests": N_REQUESTS,
+                    "multimodal_requests": sum(1 for i in images if i is not None),
                     "prompt_tokens_min_max": [min(lengths), max(lengths)],
                     "max_new_tokens": MAX_NEW,
                     "wall_s": round(dt, 2),
                     "requests_per_min": round(N_REQUESTS / dt * 60, 1),
-                    "engine": "PagedBatchEngine slots=8 pages=160x64 decode_roll=8",
+                    "engine": "PagedBatchEngine slots=8 pages=224x64 decode_roll=8",
                 },
             }
         ),
