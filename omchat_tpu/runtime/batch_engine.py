@@ -174,6 +174,12 @@ class BatchEngine:
         # plans bucket to chunk_size; a chunk larger than the cache would make
         # every request "exceed max_len"
         self.chunk_size = min(chunk_size, max_len)
+        if attn_impl is None and mesh is not None and getattr(mesh, "size", 1) > 1:
+            # Multi-device mesh: GSPMD would replicate an opaque pallas_call's
+            # operands (all-gathering sharded q/k/v); XLA's fused attention
+            # partitions cleanly.  Pallas-under-shard_map is the planned
+            # multi-chip fast path.
+            attn_impl = "xla"
         self.attn_impl = attn_impl
 
         dtype = params["language_model"]["embed_tokens"].dtype

@@ -278,6 +278,12 @@ class OmChatEngine:
         the param shardings via GSPMD propagation."""
         self.cfg = cfg
         self.params = params
+        if attn_impl is None and mesh is not None and getattr(mesh, "size", 1) > 1:
+            # Multi-device mesh: GSPMD would replicate an opaque pallas_call's
+            # operands (all-gathering sharded q/k/v); XLA's fused attention
+            # partitions cleanly.  Pallas-under-shard_map is the planned
+            # multi-chip fast path.
+            attn_impl = "xla"
         self.attn_impl = attn_impl
         self.prompt_bucket = prompt_bucket
         self.cache_dtype = cache_dtype

@@ -265,6 +265,12 @@ class PagedBatchEngine:
         self.page_size = page_size
         self.max_slots = max_slots
         self.max_len = max_len
+        if attn_impl is None and mesh is not None and getattr(mesh, "size", 1) > 1:
+            # Multi-device mesh: GSPMD would replicate an opaque pallas_call's
+            # operands (all-gathering sharded q/k/v); XLA's fused attention
+            # partitions cleanly.  Pallas-under-shard_map is the planned
+            # multi-chip fast path.
+            attn_impl = "xla"
         self.attn_impl = attn_impl
         self.decode_roll = max(1, int(decode_roll))
 

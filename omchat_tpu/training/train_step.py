@@ -145,10 +145,15 @@ def make_sharded_train_step(
 
     # Resolve the attention impl from the MESH's platform, not the default
     # backend: a CPU validation mesh (dryrun_multichip) must not pick the TPU
-    # Pallas kernels just because a TPU plugin is registered.
+    # Pallas kernels just because a TPU plugin is registered.  On MULTI-device
+    # meshes the XLA impl is the default even on TPU: GSPMD treats a
+    # pallas_call as an opaque custom call and would replicate its operands
+    # (all-gathering sharded q/k/v), while XLA's fused attention partitions
+    # cleanly; running the Pallas kernels per-shard under shard_map is the
+    # planned multi-chip fast path.
     if attn_impl is None:
         platform = next(iter(mesh.devices.flat)).platform
-        attn_impl = "pallas_vjp" if platform == "tpu" else "xla"
+        attn_impl = "pallas_vjp" if platform == "tpu" and mesh.size == 1 else "xla"
 
     act_sharding = (
         NamedSharding(mesh, P("data", "model", None)) if sequence_parallel else None
