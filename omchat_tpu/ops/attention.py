@@ -68,6 +68,20 @@ def attention(
     Returns [B, S, H, D] in q.dtype.
     """
     impl = impl or default_impl()
+    if isinstance(impl, tuple) and impl[0] == "pallas_tp":
+        # Tensor-parallel Pallas: the kernel runs per shard under shard_map
+        # (heads Megatron-sharded over the mesh's model axis).  The tuple
+        # (name, mesh) is hashable, so it rides the static attn_impl plumbing.
+        mesh = impl[1]
+        kvh = k.shape[2] if kv_format == "btnd" else k.shape[1]
+        from omchat_tpu.parallel.tp_attention import tp_flash_attention, tp_shardable
+
+        if segment_ids is None and tp_shardable(mesh, q.shape[2], kvh):
+            return tp_flash_attention(
+                q, k, v, mesh, causal=causal, q_offset=q_offset, kv_len=kv_len,
+                kv_format=kv_format, interpret=default_impl() != "pallas",
+            )
+        impl = "xla"  # packed/segment batches or non-divisible heads
     if segment_ids is not None:
         assert kv_format == "btnd" and q.shape[1] == k.shape[1]
         if impl == "pallas":
@@ -152,6 +166,10 @@ def decode_attention(
     Returns [B, 1, H, D].
     """
     impl = impl or default_impl()
+    if isinstance(impl, tuple):
+        # pallas_tp: decode is HBM-bound and the XLA einsum path partitions
+        # cleanly under GSPMD — no per-shard kernel needed at S=1.
+        impl = "xla"
     if impl == "pallas":
         from omchat_tpu.ops.decode_attention import flash_decode
 

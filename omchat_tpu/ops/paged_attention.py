@@ -168,6 +168,10 @@ def paged_decode_attention(
     cross-backend reference (and CPU test oracle)."""
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if isinstance(impl, tuple):
+        # pallas_tp (see parallel.tp_attention): paged decode is HBM-bound and
+        # the gather+dense path partitions cleanly under GSPMD.
+        impl = "xla"
     if impl == "pallas":
         return paged_flash_decode(q, k_pages, v_pages, lengths, page_tables)
 

@@ -176,10 +176,21 @@ class BatchEngine:
         self.chunk_size = min(chunk_size, max_len)
         if attn_impl is None and mesh is not None and getattr(mesh, "size", 1) > 1:
             # Multi-device mesh: GSPMD would replicate an opaque pallas_call's
-            # operands (all-gathering sharded q/k/v); XLA's fused attention
-            # partitions cleanly.  Pallas-under-shard_map is the planned
-            # multi-chip fast path.
-            attn_impl = "xla"
+            # operands (all-gathering sharded q/k/v), so plain "pallas" is
+            # never the default here.  When whole GQA groups land on each
+            # model-axis shard, run the kernels per shard via shard_map
+            # (attn_impl tuple, see parallel.tp_attention); otherwise XLA's
+            # fused attention partitions cleanly.
+            from omchat_tpu.ops.attention import default_impl
+            from omchat_tpu.parallel.tp_attention import tp_shardable
+
+            tc = cfg.text
+            if default_impl() == "pallas" and tp_shardable(
+                mesh, tc.num_attention_heads, tc.num_key_value_heads
+            ):
+                attn_impl = ("pallas_tp", mesh)
+            else:
+                attn_impl = "xla"
         self.attn_impl = attn_impl
 
         dtype = params["language_model"]["embed_tokens"].dtype

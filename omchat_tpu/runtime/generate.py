@@ -280,10 +280,21 @@ class OmChatEngine:
         self.params = params
         if attn_impl is None and mesh is not None and getattr(mesh, "size", 1) > 1:
             # Multi-device mesh: GSPMD would replicate an opaque pallas_call's
-            # operands (all-gathering sharded q/k/v); XLA's fused attention
-            # partitions cleanly.  Pallas-under-shard_map is the planned
-            # multi-chip fast path.
-            attn_impl = "xla"
+            # operands (all-gathering sharded q/k/v), so plain "pallas" is
+            # never the default here.  When whole GQA groups land on each
+            # model-axis shard, run the kernels per shard via shard_map
+            # (attn_impl tuple, see parallel.tp_attention); otherwise XLA's
+            # fused attention partitions cleanly.
+            from omchat_tpu.ops.attention import default_impl
+            from omchat_tpu.parallel.tp_attention import tp_shardable
+
+            tc = cfg.text
+            if default_impl() == "pallas" and tp_shardable(
+                mesh, tc.num_attention_heads, tc.num_key_value_heads
+            ):
+                attn_impl = ("pallas_tp", mesh)
+            else:
+                attn_impl = "xla"
         self.attn_impl = attn_impl
         self.prompt_bucket = prompt_bucket
         self.cache_dtype = cache_dtype
