@@ -60,37 +60,52 @@ def _mlp(y: jax.Array, p: dict, a8: bool = False) -> jax.Array:
     )
 
 
-def _attn_block(
-    cfg: TextConfig,
-    x: jax.Array,
-    layer: dict,
-    cos: jax.Array,
-    sin: jax.Array,
-    k_cache: Optional[jax.Array],
-    v_cache: Optional[jax.Array],
-    write_pos: Optional[jax.Array],
-    kv_len: Optional[jax.Array],
-    attn_impl: Optional[str],
-) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
-    b, s, d = x.shape
-    h, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.attn_head_dim
-    p = layer["self_attn"]
+def attention_inputs(
+    cfg: TextConfig, y: jax.Array, p: dict, cos: jax.Array, sin: jax.Array, a8: bool
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """q/k/v projections + RoPE.  y: [B, S, D] (already normed).
 
+    Returns q [B, S, H, hd] and k, v [B, S, KVH, hd]."""
+    b, s, _ = y.shape
+    h, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.attn_head_dim
+    q = dense(y, p["q_proj"], a8=a8).reshape(b, s, h, hd)
+    k = dense(y, p["k_proj"], a8=a8).reshape(b, s, kvh, hd)
+    v = dense(y, p["v_proj"], a8=a8).reshape(b, s, kvh, hd)
+    q, k = apply_rope(q, k, cos, sin)
+    return q, k, v
+
+
+def decoder_layer(cfg, x, layer, cos, sin, attend, mlp_fn, cache_state):
+    """One decoder layer with pluggable KV handling — the single layer body
+    shared by the dense and MoE trunks and by every serving engine (the
+    contiguous-slot cache, the paged pool, and the cache-free training path all
+    differ only in ``attend``).
+
+    attend(q, k, v, cache_state) -> (ctx [B, S, H, hd], new_cache_state) owns
+    writing this call's K/V into its cache layout and running attention
+    against it.  mlp_fn(y, mlp_params, a8) is the dense SwiGLU or MoE block.
+    """
+    b, s, _ = x.shape
     # w8a8 serves the compute-bound prefill; the single-token decode step is
     # HBM-bound and keeps the weight-only int8 path (quantizing one row of
     # activations would add passes without MXU benefit).
     a8 = cfg.w8a8 and s > 1
-    q = dense(x, p["q_proj"], a8=a8)
-    k = dense(x, p["k_proj"], a8=a8)
-    v = dense(x, p["v_proj"], a8=a8)
-    q = q.reshape(b, s, h, hd)
-    k = k.reshape(b, s, kvh, hd)
-    v = v.reshape(b, s, kvh, hd)
-    q, k = apply_rope(q, k, cos, sin)
+    y = rms_norm(x, layer["input_layernorm"]["scale"], cfg.rms_norm_eps)
+    q, k, v = attention_inputs(cfg, y, layer["self_attn"], cos, sin, a8)
+    ctx, cache_state = attend(q, k, v, cache_state)
+    x = x + dense(ctx.reshape(b, s, -1), layer["self_attn"]["o_proj"], a8=a8)
+    y = rms_norm(x, layer["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+    x = x + mlp_fn(y, layer["mlp"], a8)
+    return x, cache_state
 
+
+def cache_attend(cfg, attn_impl, write_pos, kv_len, q, k, v, cache_state):
+    """Contiguous-slot cache handler: write K/V at ``write_pos`` into the
+    head-major [B, KVH, T, Dh] cache (or no cache) and attend."""
+    k_cache, v_cache = cache_state
+    b, s = q.shape[0], q.shape[1]
     if k_cache is not None:
-        # Cache layout is head-major [B, KVH, T, Dh]; write this call's K/V at
-        # each sequence's offset (vmapped dynamic_update_slice over batch).
+        # vmapped dynamic_update_slice over batch at each sequence's offset
         upd = jax.vmap(lambda c, new, p: jax.lax.dynamic_update_slice(c, new, (0, p, 0)))
         wp = jnp.broadcast_to(write_pos, (b,))
         k_cache = upd(k_cache, k.astype(k_cache.dtype).transpose(0, 2, 1, 3), wp)
@@ -112,21 +127,20 @@ def _attn_block(
             )
     else:
         out = attention(q, k, v, causal=True, impl=attn_impl)
+    return out, (k_cache, v_cache)
 
-    out = dense(out.reshape(b, s, h * hd), p["o_proj"], a8=a8)
-    return out, k_cache, v_cache
+
+def _dense_mlp(y, p, a8):
+    return _mlp(y, p, a8=a8)
 
 
 def _layer_forward(cfg, attn_impl, carry, xs):
     x, cos, sin, write_pos, kv_len = carry
     layer, k_cache, v_cache = xs
-    y = rms_norm(x, layer["input_layernorm"]["scale"], cfg.rms_norm_eps)
-    attn_out, k_cache, v_cache = _attn_block(
-        cfg, y, layer, cos, sin, k_cache, v_cache, write_pos, kv_len, attn_impl
+    attend = functools.partial(cache_attend, cfg, attn_impl, write_pos, kv_len)
+    x, (k_cache, v_cache) = decoder_layer(
+        cfg, x, layer, cos, sin, attend, _dense_mlp, (k_cache, v_cache)
     )
-    x = x + attn_out
-    y = rms_norm(x, layer["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-    x = x + _mlp(y, layer["mlp"], a8=cfg.w8a8 and x.shape[1] > 1)
     return (x, cos, sin, write_pos, kv_len), (k_cache, v_cache)
 
 

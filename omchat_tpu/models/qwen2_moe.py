@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from omchat_tpu.config import TextConfig
-from omchat_tpu.models.qwen2 import KVCache, _attn_block
+from omchat_tpu.models.qwen2 import KVCache, cache_attend, decoder_layer
 from omchat_tpu.ops.linear import dense
 from omchat_tpu.ops.norms import rms_norm
 from omchat_tpu.ops.rope import rope_cos_sin
@@ -93,16 +93,20 @@ def _moe_block(x: jax.Array, p: dict, cfg: TextConfig, moe_impl: str) -> jax.Arr
     return out.reshape(b, s, d)
 
 
+def moe_mlp(cfg: TextConfig, moe_impl: str):
+    """mlp_fn for :func:`omchat_tpu.models.qwen2.decoder_layer` (a8 is ignored:
+    expert matmuls stay bf16 — routing scatters defeat static per-tensor
+    activation scales)."""
+    return lambda y, p, a8: _moe_block(y, p, cfg, moe_impl)
+
+
 def _layer_forward(cfg, attn_impl, moe_impl, carry, xs):
     x, cos, sin, write_pos, kv_len = carry
     layer, k_cache, v_cache = xs
-    y = rms_norm(x, layer["input_layernorm"]["scale"], cfg.rms_norm_eps)
-    attn_out, k_cache, v_cache = _attn_block(
-        cfg, y, layer, cos, sin, k_cache, v_cache, write_pos, kv_len, attn_impl
+    attend = functools.partial(cache_attend, cfg, attn_impl, write_pos, kv_len)
+    x, (k_cache, v_cache) = decoder_layer(
+        cfg, x, layer, cos, sin, attend, moe_mlp(cfg, moe_impl), (k_cache, v_cache)
     )
-    x = x + attn_out
-    y = rms_norm(x, layer["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-    x = x + _moe_block(y, layer["mlp"], cfg, moe_impl)
     return (x, cos, sin, write_pos, kv_len), (k_cache, v_cache)
 
 

@@ -32,12 +32,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from omchat_tpu.config import OmChatConfig
-from omchat_tpu.models.qwen2 import embed_tokens, lm_head
-from omchat_tpu.ops.linear import dense
+from omchat_tpu.models.qwen2 import _dense_mlp, decoder_layer, embed_tokens, lm_head
 from omchat_tpu.ops.norms import rms_norm
 from omchat_tpu.ops.paged_attention import PageAllocator, paged_decode_attention
-from omchat_tpu.ops.rope import apply_rope, rope_cos_sin
+from omchat_tpu.ops.rope import rope_cos_sin
 from omchat_tpu.ops.sampling import greedy, sample_batch
+
+
+def _mlp_fn(tc, moe_impl: str):
+    """Dense SwiGLU or the MoE block, per config — the paged engine serves
+    both decoders through the one shared layer body
+    (:func:`omchat_tpu.models.qwen2.decoder_layer`)."""
+    if tc.is_moe:
+        from omchat_tpu.models.qwen2_moe import moe_mlp
+
+        return moe_mlp(tc, moe_impl)
+    return _dense_mlp
 
 
 @functools.partial(jax.jit, static_argnames=("page_size",), donate_argnames=("k_pool", "v_pool"))
@@ -78,6 +88,7 @@ def _decode_step_core(
     v_pool,
     page_size: int,
     attn_impl: Optional[str] = None,
+    moe_impl: str = "dense",
     *,
     any_sampled: bool = False,
     rng_key=None,
@@ -86,10 +97,15 @@ def _decode_step_core(
     top_k=None,
     top_p=None,
 ):
-    """One decode step over all active requests against the page pool."""
+    """One decode step over all active requests against the page pool.
+
+    The layer body is the shared :func:`~omchat_tpu.models.qwen2.decoder_layer`
+    (one decoder implementation serves every engine); only ``attend`` differs —
+    K/V scatter at (page, offset) plus paged attention over the pool — so the
+    MoE trunk serves through ``--paged`` unchanged."""
     tc = cfg.text
     s = tokens.shape[0]
-    h, kvh, hd = tc.num_attention_heads, tc.num_key_value_heads, tc.attn_head_dim
+    hd = tc.attn_head_dim
 
     x = embed_tokens(params["language_model"], tokens[:, None])  # [S, 1, D]
     positions = lengths[:, None]
@@ -103,20 +119,14 @@ def _decode_step_core(
         tables, (lengths // page_size)[:, None], axis=1
     )[:, 0]
     offsets = lengths % page_size
+    mlp_fn = _mlp_fn(tc, moe_impl)
 
-    def layer(carry, xs):
-        xx = carry
-        lp, kp, vp = xs
-        y = rms_norm(xx, lp["input_layernorm"]["scale"], tc.rms_norm_eps)
-        p = lp["self_attn"]
-        q = dense(y, p["q_proj"]).reshape(s, 1, h, hd)
-        k = dense(y, p["k_proj"]).reshape(s, 1, kvh, hd)
-        v = dense(y, p["v_proj"]).reshape(s, 1, kvh, hd)
-        q, k = apply_rope(q, k, cos, sin)
+    def attend(q, k, v, pools):
+        kp, vp = pools
 
         # scatter each request's new K/V at (page, offset)
-        def write(i, pools):
-            kpp, vpp = pools
+        def write(i, pools_):
+            kpp, vpp = pools_
             upd_k = k[i, 0].astype(kpp.dtype)[:, None, None]  # [KVH,1,1,D]
             upd_v = v[i, 0].astype(vpp.dtype)[:, None, None]
             kpp = jax.lax.dynamic_update_slice(kpp, upd_k, (0, page_idx[i], offsets[i], 0))
@@ -127,11 +137,12 @@ def _decode_step_core(
         out = paged_decode_attention(
             q, kp, vp, jnp.where(active, lengths + 1, 1), tables, impl=attn_impl
         )
-        xx = xx + dense(out.reshape(s, 1, h * hd), p["o_proj"])
-        y = rms_norm(xx, lp["post_attention_layernorm"]["scale"], tc.rms_norm_eps)
-        from omchat_tpu.models.qwen2 import _mlp
+        return out, (kp, vp)
 
-        xx = xx + _mlp(y, lp["mlp"])
+    def layer(carry, xs):
+        xx = carry
+        lp, kp, vp = xs
+        xx, (kp, vp) = decoder_layer(tc, xx, lp, cos, sin, attend, mlp_fn, (kp, vp))
         return xx, (kp, vp)
 
     (xf), (k_pool, v_pool) = jax.lax.scan(
@@ -148,14 +159,14 @@ def _decode_step_core(
 
 _paged_decode_step_jit = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "page_size", "attn_impl", "any_sampled"),
+    static_argnames=("cfg", "page_size", "attn_impl", "moe_impl", "any_sampled"),
     donate_argnames=("k_pool", "v_pool"),
 )(_decode_step_core)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "page_size", "attn_impl", "steps", "any_sampled"),
+    static_argnames=("cfg", "page_size", "attn_impl", "moe_impl", "steps", "any_sampled"),
     donate_argnames=("k_pool", "v_pool"),
 )
 def _paged_decode_roll_jit(
@@ -170,6 +181,7 @@ def _paged_decode_roll_jit(
     page_size: int,
     attn_impl: Optional[str],
     steps: int,
+    moe_impl: str = "dense",
     *,
     any_sampled: bool = False,
     rng_key=None,
@@ -196,7 +208,7 @@ def _paged_decode_roll_jit(
         key, sub = jax.random.split(key)
         nt, kp, vp = _decode_step_core(
             params, cfg, toks, lens, active, tables, kp, vp, page_size, attn_impl,
-            any_sampled=any_sampled, rng_key=sub, do_sample=do_sample,
+            moe_impl, any_sampled=any_sampled, rng_key=sub, do_sample=do_sample,
             temperature=temperature, top_k=top_k, top_p=top_p,
         )
         lens = jnp.where(active, lens + 1, lens)
@@ -248,6 +260,7 @@ class PagedBatchEngine:
         max_len: int = 8192,
         mesh=None,
         decode_roll: int = 1,
+        moe_impl: str = "dense",
     ):
         """``max_len`` caps one request's prompt+generation (it sets the page
         TABLE width, so per-step attention cost scales with the request cap,
@@ -284,6 +297,7 @@ class PagedBatchEngine:
                 attn_impl = "xla"
         self.attn_impl = attn_impl
         self.decode_roll = max(1, int(decode_roll))
+        self.moe_impl = moe_impl
 
         from omchat_tpu.runtime.generate import OmChatEngine
 
@@ -485,6 +499,7 @@ class PagedBatchEngine:
                 self.v_pool,
                 self.page_size,
                 self.attn_impl,
+                self.moe_impl,
                 any_sampled=any_sampled,
                 **sample_args,
             )
@@ -502,6 +517,7 @@ class PagedBatchEngine:
                 self.page_size,
                 self.attn_impl,
                 roll,
+                self.moe_impl,
                 any_sampled=any_sampled,
                 **sample_args,
             )
