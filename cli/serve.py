@@ -266,6 +266,8 @@ def main():
     parser.add_argument("--page-size", type=int, default=64)
     parser.add_argument("--decode-roll", type=int, default=1,
                         help="paged engine: decode steps per dispatch (throughput mode; >1 amortizes host round trips, adds up to roll-1 tokens of admission latency)")
+    parser.add_argument("--prefill-chunk", type=int, default=1024,
+                        help="paged engine: prompts longer than this stream through fixed-shape paged chunks, decode rolls interleaved between chunks")
     args = parser.parse_args()
     if args.paged and not args.continuous_batching:
         args.continuous_batching = True  # --paged implies the batch scheduler
@@ -288,6 +290,7 @@ def main():
                 attn_impl=model.engine.attn_impl,
                 mesh=model.engine.mesh,
                 decode_roll=args.decode_roll,
+                prefill_chunk=args.prefill_chunk,
             )
         else:
             from omchat_tpu.runtime.batch_engine import BatchEngine

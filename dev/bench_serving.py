@@ -25,6 +25,13 @@ MAX_NEW = 64
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prefill-chunk", type=int, default=1024)
+    ap.add_argument("--decode-roll", type=int, default=8)
+    args = ap.parse_args()
+
     rng = np.random.default_rng(0)
     cfg = OmChatConfig.omchat_v2_13b().with_w8a8()
     params = bench._synth_params(cfg, rng)
@@ -39,7 +46,8 @@ def main():
         page_size=64,
         prompt_bucket=128,
         max_len=4096,
-        decode_roll=8,
+        decode_roll=args.decode_roll,
+        prefill_chunk=args.prefill_chunk,
     )
 
     from omchat_tpu.constants import IMAGE_TOKEN_INDEX
@@ -108,7 +116,7 @@ def main():
                     "max_new_tokens": MAX_NEW,
                     "wall_s": round(dt, 2),
                     "requests_per_min": round(N_REQUESTS / dt * 60, 1),
-                    "engine": "PagedBatchEngine slots=8 pages=224x64 decode_roll=8",
+                    "engine": f"PagedBatchEngine slots=8 pages=224x64 decode_roll={args.decode_roll} prefill_chunk={args.prefill_chunk}",
                 },
             }
         ),

@@ -27,7 +27,12 @@ import numpy as np
 
 from omchat_tpu.config import VisionConfig
 from omchat_tpu.ops.attention import attention
-from omchat_tpu.ops.linear import dense, dense_prequant, quantize_activations
+from omchat_tpu.ops.linear import (
+    dense,
+    dense_prequant,
+    dense_prequant_gelu_quant,
+    quantize_activations,
+)
 from omchat_tpu.ops.norms import add_rmsnorm_quant, apply_norm, rms_norm
 
 
@@ -123,6 +128,7 @@ def _layer_forward(
     *,
     attn_impl: Optional[str],
     fused_valid_len: Optional[int] = None,
+    with_fc1_amax: bool = False,
 ) -> jax.Array:
     """One pre-norm block: x + ls1*attn(norm1(x)); x + ls2*mlp(norm2(x)).
 
@@ -155,14 +161,20 @@ def _layer_forward(
     x = x + attn_out * layer["ls1"]
 
     # MLP. Parity mode: exact erf GELU (transformers ACT2FN['gelu']).  In w8a8
-    # serving mode the tanh approximation is used instead: the next op
-    # re-quantizes to int8 per token, and measured on the fc1 activation volume
-    # the approximation moves 0.26% of int8 codes by ±1 (below the quantizer's
-    # own noise) while cutting ~28% off the epilogue pass (dev/exp_gelu.py).
+    # serving mode with actually-quantized params the tanh approximation is
+    # used instead: the next op re-quantizes to int8 per token, and measured on
+    # the fc1 activation volume the approximation moves 0.26% of int8 codes by
+    # ±1 (below the quantizer's own noise) while cutting ~28% off the epilogue
+    # pass (dev/exp_gelu.py).  On unquantized bf16 params a8 is a documented
+    # no-op, so the quantizer-noise justification doesn't apply — keep erf.
+    approx = a8 and "kernel_q" in layer["mlp"]["fc1"]
     y = apply_norm(x, layer["norm2"], cfg.layer_norm_eps)
-    y = jax.nn.gelu(dense(y, layer["mlp"]["fc1"], a8=a8), approximate=a8)
-    y = dense(y, layer["mlp"]["fc2"], a8=a8)
-    return x + y * layer["ls2"]
+    h = jax.nn.gelu(dense(y, layer["mlp"]["fc1"], a8=a8), approximate=approx)
+    y = dense(h, layer["mlp"]["fc2"], a8=a8)
+    x = x + y * layer["ls2"]
+    if with_fc1_amax:
+        return x, jnp.max(jnp.abs(h.astype(jnp.float32)))
+    return x
 
 
 def _attention_fused(cfg: VisionConfig, layer: dict, qkv: jax.Array, valid_len: int) -> jax.Array:
@@ -211,9 +223,18 @@ def _layer_forward_glue(
         x, attn_out, layer["ls1"], layer["norm2"]["scale"], cfg.layer_norm_eps, interpret=interpret
     )
 
-    y = dense_prequant(xq, rs, layer["mlp"]["fc1"], dtype=x.dtype)
-    y = jax.nn.gelu(y, approximate=True)
-    y = dense(y, layer["mlp"]["fc2"], a8=True)
+    if "fc1_out_scale" in layer["mlp"]:
+        # Static-scale epilogue: dequant→gelu→quant folds into the fc1 matmul
+        # writeback, so only int8 codes hit HBM (see dense_prequant_gelu_quant;
+        # scales come from calibrate_fc1_scales).
+        codes = dense_prequant_gelu_quant(
+            xq, rs, layer["mlp"]["fc1"], layer["mlp"]["fc1_out_scale"]
+        )
+        y = dense_prequant(codes, layer["mlp"]["fc1_out_scale"], layer["mlp"]["fc2"], dtype=x.dtype)
+    else:
+        y = dense_prequant(xq, rs, layer["mlp"]["fc1"], dtype=x.dtype)
+        y = jax.nn.gelu(y, approximate=True)
+        y = dense(y, layer["mlp"]["fc2"], a8=True)
     x, xq, rs = add_rmsnorm_quant(
         x, y, layer["ls2"], layer["next_norm1_scale"], cfg.layer_norm_eps, interpret=interpret
     )
@@ -302,6 +323,36 @@ def intern_vit_forward(
     if fused and sp != s:
         x = x[:, :s]
     return x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _calibrate_amax(params, cfg: VisionConfig, pixel_values):
+    x = embeddings(params, cfg, pixel_values)
+
+    def body(carry, layer):
+        return _layer_forward(cfg, carry, layer, attn_impl=None, with_fc1_amax=True)
+
+    _, amax = jax.lax.scan(body, x, params["layers"])
+    return amax
+
+
+def calibrate_fc1_scales(params: dict, cfg: VisionConfig, pixel_values: jax.Array) -> dict:
+    """Per-layer static fc1-output scales for the quantizing epilogue.
+
+    Runs the tower on a calibration batch through the dynamic w8a8 path and
+    records each layer's amax of ``gelu(fc1(·))``; the stored scale amax/127
+    makes the static quantizer (:func:`~omchat_tpu.ops.linear.
+    dense_prequant_gelu_quant`) clip nothing seen during calibration.  Returns
+    a new params dict with ``layers.mlp.fc1_out_scale`` [L] fp32 set — the
+    glue-scan fast path picks it up automatically.
+    """
+    amax = np.asarray(_calibrate_amax(params, cfg, pixel_values))
+    scales = np.maximum(amax, 1e-6).astype(np.float32) / 127.0
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    out["layers"]["mlp"] = dict(params["layers"]["mlp"])
+    out["layers"]["mlp"]["fc1_out_scale"] = jnp.asarray(scales)
+    return out
 
 
 def feature_select(hidden: jax.Array, strategy: str = "default") -> jax.Array:

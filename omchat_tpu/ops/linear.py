@@ -63,6 +63,32 @@ def dense_prequant(xq: jax.Array, row_scale: jax.Array, p: dict, dtype=jnp.bfloa
     return y
 
 
+def dense_prequant_gelu_quant(
+    xq: jax.Array, row_scale: jax.Array, p: dict, out_scale: jax.Array
+) -> jax.Array:
+    """fc1 int8 matmul + tanh-GELU + *static-scale* int8 re-quantization.
+
+    With a calibrated static output scale the re-quantize is purely
+    elementwise, so XLA folds dequant→gelu→quant into the matmul's writeback
+    and only int8 codes touch HBM — the wide bf16 fc1 intermediate never
+    round-trips.  (Dynamic per-token scales need a full-row amax before any
+    element can be scaled, which is what forces the unfused path's extra
+    ~190MB/layer of traffic at the ViT-6B geometry.)
+
+    xq: int8 [..., in]; row_scale: fp32 input dequant scale; out_scale:
+    scalar (or broadcastable) static scale for the gelu output.
+    Returns int8 codes; feed to :func:`dense_prequant` with ``out_scale``.
+    """
+    acc = jax.lax.dot_general(
+        xq, p["kernel_q"], (((xq.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    h = acc.astype(jnp.float32) * row_scale * p["scale"].astype(jnp.float32)
+    if "bias" in p:
+        h = h + p["bias"].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=True)
+    return jnp.clip(jnp.round(h / out_scale), -127, 127).astype(jnp.int8)
+
+
 def dense(x: jax.Array, p: dict, *, a8: bool = False) -> jax.Array:
     """y = x @ W (+ bias), transparently dequantizing int8 weights.
 

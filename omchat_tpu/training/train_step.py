@@ -48,8 +48,22 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_optimizer(lr: float = 1e-5, weight_decay: float = 0.0, b1=0.9, b2=0.95) -> optax.GradientTransformation:
-    return optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+def make_optimizer(
+    lr: float = 1e-5,
+    weight_decay: float = 0.0,
+    b1=0.9,
+    b2=0.95,
+    trainable_mask: Optional[dict] = None,
+) -> optax.GradientTransformation:
+    """``trainable_mask``: optional pytree of bools over the params (True =
+    train) — e.g. from
+    :func:`omchat_tpu.training.vision_tokenizer.initialize_vision_tokenizer`;
+    frozen leaves get zero updates (the functional requires_grad=False)."""
+    tx = optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+    if trainable_mask is not None:
+        labels = jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask)
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    return tx
 
 
 def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:

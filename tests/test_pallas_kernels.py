@@ -312,6 +312,69 @@ def test_intern_vit_glue_path_matches_xla_w8a8(rng):
     assert np.abs(out - ref).max() / denom < 2e-2
 
 
+def test_intern_vit_static_fc1_scales_match_dynamic(rng):
+    """Calibrated static fc1-output scales (quantizing epilogue,
+    dense_prequant_gelu_quant) stay close to the dynamic-per-token glue path
+    on the calibration distribution, and the calibration helper threads the
+    scales so the glue scan picks them up."""
+    import dataclasses
+
+    from omchat_tpu.config import VisionConfig
+    from omchat_tpu.models.intern_vit import (
+        calibrate_fc1_scales,
+        init_params,
+        intern_vit_forward,
+    )
+    from omchat_tpu.ops.linear import quantize_tree
+
+    cfg = VisionConfig(
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=3,
+        num_attention_heads=2,
+        image_size=56,
+        patch_size=14,
+    )
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    params = {
+        "layers": quantize_tree(params["layers"]),
+        **{k: v for k, v in params.items() if k != "layers"},
+    }
+    a8cfg = dataclasses.replace(cfg, w8a8=True)
+    px = jnp.asarray(rng.standard_normal((2, 3, 56, 56)).astype(np.float32))
+    calib = calibrate_fc1_scales(params, a8cfg, px)
+    assert calib["layers"]["mlp"]["fc1_out_scale"].shape == (3,)
+
+    ref = intern_vit_forward(params, a8cfg, px, attn_impl="pallas")  # dynamic glue
+    out = intern_vit_forward(calib, a8cfg, px, attn_impl="pallas")  # static epilogue
+    ref = np.asarray(ref, np.float32)
+    out = np.asarray(out, np.float32)
+    denom = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / denom < 3e-2
+
+
+def test_dense_prequant_gelu_quant_contract(rng):
+    """The fused epilogue == clip(round(gelu(dense_prequant(...)) / s))."""
+    from omchat_tpu.ops.linear import (
+        dense_prequant,
+        dense_prequant_gelu_quant,
+        quantize_activations,
+        quantize_linear,
+    )
+
+    p = quantize_linear(
+        {"kernel": jnp.asarray(rng.standard_normal((64, 96)).astype(np.float32)),
+         "bias": jnp.asarray(rng.standard_normal(96).astype(np.float32) * 0.1)}
+    )
+    x = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+    xq, rs = quantize_activations(x)
+    s = jnp.float32(0.01)
+    ref = jax.nn.gelu(dense_prequant(xq, rs, p, dtype=jnp.float32), approximate=True)
+    expected = np.clip(np.round(np.asarray(ref) / 0.01), -127, 127).astype(np.int8)
+    got = np.asarray(dense_prequant_gelu_quant(xq, rs, p, s))
+    assert np.abs(got.astype(np.int32) - expected.astype(np.int32)).max() <= 1
+
+
 def test_grouped_gqa_multi_kv_tile_default_blocks(rng):
     """The GQA group-stacked kernel with the default block heuristic and
     num_kv_blocks > 1 (T > 1024): cross-tile online-softmax accumulation,
