@@ -148,23 +148,25 @@ def make_handler(model, logger, batch_engine=None):
                     )
                 deadline = time.time() + 60 + 0.5 * gen.max_new_tokens
                 sent = 0
-                req_state = batch_engine.requests[rid]
+                finish = None
                 while True:
-                    tokens = list(req_state.generated)
+                    tokens, done = batch_engine.snapshot(rid)
                     for t in tokens[sent:]:
                         emit(t)
                     sent = len(tokens)
-                    if batch_engine.finished(rid):
-                        # drain anything appended between the snapshot and done
-                        for t in list(req_state.generated)[sent:]:
-                            emit(t)
+                    if done:
                         break
-                    if getattr(batch_engine, "dead", False) or time.time() > deadline:
+                    if getattr(batch_engine, "dead", False):
+                        finish = "error"
+                        break
+                    if time.time() > deadline:
+                        finish = "timeout"
                         break
                     time.sleep(0.005)
                 batch_engine.pop_result(rid)
                 n_new = len(emitted)
             else:
+                finish = None
                 with lock:
                     out = model.engine.generate(
                         [inputs["input_ids"][0].tolist()],
@@ -173,7 +175,9 @@ def make_handler(model, logger, batch_engine=None):
                         stream_callback=emit,
                     )
                 n_new = len(out.token_ids[0])
-            self._sse_chunk({}, finish_reason="stop" if n_new < gen.max_new_tokens else "length")
+            if finish is None:
+                finish = "stop" if n_new < gen.max_new_tokens else "length"
+            self._sse_chunk({}, finish_reason=finish)
             self.wfile.write(b"data: [DONE]\n\n")
             self.wfile.flush()
 

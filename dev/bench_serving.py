@@ -30,6 +30,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prefill-chunk", type=int, default=1024)
     ap.add_argument("--decode-roll", type=int, default=8)
+    ap.add_argument("--profile", action="store_true", help="per-phase wall-time breakdown")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -90,13 +91,40 @@ def main():
         engine.pop_result(wid)
     bench._log("warmup/compile done")
 
+    prof = {"submit_s": 0.0, "prefill_s": 0.0, "decode_s": 0.0, "prefill_ticks": 0, "decode_ticks": 0}
+    if args.profile:
+        orig_prefill, orig_step = engine._prefill_tick, engine.step
+
+        def timed_prefill(req):
+            t = time.perf_counter()
+            orig_prefill(req)
+            bench._sync(engine.k_pool)
+            prof["prefill_s"] += time.perf_counter() - t
+            prof["prefill_ticks"] += 1
+
+        engine._prefill_tick = timed_prefill
+
+        def timed_step():
+            t = time.perf_counter()
+            orig_step()
+            dt_ = time.perf_counter() - t
+            prof["decode_s"] += dt_
+            prof["decode_ticks"] += 1
+
+        engine.step = timed_step
+
     t0 = time.perf_counter()
-    ids = [
-        engine.submit(r, img, max_new_tokens=MAX_NEW, eos_token_id=-1)
-        for r, img in zip(reqs, images)
-    ]
+    ids = []
+    for r, img in zip(reqs, images):
+        ts = time.perf_counter()
+        ids.append(engine.submit(r, img, max_new_tokens=MAX_NEW, eos_token_id=-1))
+        prof["submit_s"] += time.perf_counter() - ts
     engine.run_to_completion()
     dt = time.perf_counter() - t0
+    if args.profile:
+        prof["decode_s"] -= prof["prefill_s"]  # step() includes prefill ticks
+        prof = {k: round(v, 3) for k, v in prof.items()}
+        print(json.dumps({"profile": prof}), flush=True)
     n_out = 0
     for rid in ids:
         out, _ = engine.pop_result(rid)

@@ -226,10 +226,17 @@ def flash_attention(
 
     import os as _os
 
-    if _os.environ.get("OMCHAT_ATTN_BQ") and _os.environ.get("OMCHAT_ATTN_BK"):
-        # Experiment override (dev/exp_causal.py).  NOTE: read at trace time —
-        # the jit cache keys on shapes, not env, so sweeps must use one
-        # process per configuration.
+    if (
+        block_q is None
+        and block_k is None
+        and _os.environ.get("OMCHAT_ATTN_BQ")
+        and _os.environ.get("OMCHAT_ATTN_BK")
+    ):
+        # Experiment override (dev/exp_causal.py) — honored only when the
+        # caller passed no explicit blocks, so a stale env var in a long-lived
+        # process can't silently retile callers that chose their own.  NOTE:
+        # read at trace time — the jit cache keys on shapes, not env, so
+        # sweeps must use one process per configuration.
         block_q = int(_os.environ["OMCHAT_ATTN_BQ"])
         block_k = int(_os.environ["OMCHAT_ATTN_BK"])
     elif block_q is not None or block_k is not None:

@@ -25,9 +25,14 @@ from jax.sharding import PartitionSpec as P
 
 
 def tp_shardable(mesh, num_heads: int, num_kv_heads: int) -> bool:
-    """Whole GQA groups must land on each shard of the model axis."""
+    """Whole GQA groups must land on each shard of the model axis, and the
+    mesh must be pure TP: this path pins batch/sequence to replicated specs,
+    so on a mesh that also has a >1 ``data`` axis it would silently all-gather
+    batch-sharded activations — those meshes fall back to the XLA impl, which
+    partitions cleanly under GSPMD."""
     tp = mesh.shape.get("model", 1)
-    return tp > 1 and num_heads % tp == 0 and num_kv_heads % tp == 0
+    pure_tp = all(size == 1 for name, size in mesh.shape.items() if name != "model")
+    return pure_tp and tp > 1 and num_heads % tp == 0 and num_kv_heads % tp == 0
 
 
 def tp_flash_attention(

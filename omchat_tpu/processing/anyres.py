@@ -11,7 +11,7 @@ Behavioral contract of the reference's host-side tiling
 4. prepend a square thumbnail of the full image.
 
 Pure Python/PIL/numpy — this is the bit-parity path.  The fused on-device
-pipeline (:mod:`omchat_tpu.ops.image_ops`) is the perf path.
+pipeline (:mod:`omchat_tpu.processing.device_pipeline`) is the perf path.
 """
 
 from __future__ import annotations

@@ -252,6 +252,16 @@ class BatchEngine:
     def result(self, request_id: int) -> List[int]:
         return list(self.requests[request_id].generated)
 
+    def snapshot(self, request_id: int):
+        """Thread-safe progress view: (tokens generated so far, finished).
+
+        The declared cross-thread contract for streaming handlers polling a
+        request the scheduler thread is advancing — ``list(...)`` under the
+        GIL copies a consistent prefix of the append-only token list; callers
+        must not reach into ``engine.requests`` internals."""
+        req = self.requests[request_id]
+        return list(req.generated), req.done
+
     def pop_result(self, request_id: int):
         """Return (generated_ids, merged_prompt_len) and evict the request —
         long-running servers must evict or per-request state accumulates."""

@@ -465,6 +465,12 @@ class PagedBatchEngine:
     def result(self, request_id: int) -> List[int]:
         return list(self.requests[request_id].generated)
 
+    def snapshot(self, request_id: int):
+        """Thread-safe progress view: (tokens generated so far, finished) —
+        same contract as :meth:`BatchEngine.snapshot`."""
+        req = self.requests[request_id]
+        return list(req.generated), req.done
+
     def pop_result(self, request_id: int):
         req = self.requests.pop(request_id)
         return list(req.generated), req.prompt_len
