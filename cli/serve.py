@@ -73,7 +73,7 @@ def _parse_messages(messages):
     return question, history, images or None, system
 
 
-def make_handler(model, logger, batch_engine=None):
+def make_handler(model, logger, batch_engine=None, speculative=False):
     """batch_engine: optional BatchEngine — requests join the continuous batch
     and poll for completion instead of serializing behind the lock."""
     lock = threading.Lock()
@@ -219,6 +219,15 @@ def make_handler(model, logger, batch_engine=None):
                             raise RuntimeError("batch scheduler unavailable or request timed out")
                         time.sleep(0.005)
                     token_ids, prompt_len = batch_engine.pop_result(rid)
+                elif speculative and not gen.do_sample:
+                    from omchat_tpu.runtime.speculative import generate_speculative
+
+                    with lock:
+                        token_ids, _ = generate_speculative(
+                            model.engine, inputs["input_ids"][0].tolist(),
+                            inputs.get("images"), gen,
+                        )
+                    prompt_len = len(inputs["input_ids"][0])
                 else:
                     with lock:
                         out = model.engine.generate(
@@ -272,6 +281,8 @@ def main():
                         help="paged engine: decode steps per dispatch (throughput mode; >1 amortizes host round trips, adds up to roll-1 tokens of admission latency)")
     parser.add_argument("--prefill-chunk", type=int, default=1024,
                         help="paged engine: prompts longer than this stream through fixed-shape paged chunks, decode rolls interleaved between chunks")
+    parser.add_argument("--speculative", action="store_true",
+                        help="prompt-lookup speculative decoding on the single-request engine path (greedy requests only; identical tokens, fewer device steps)")
     args = parser.parse_args()
     if args.paged and not args.continuous_batching:
         args.continuous_batching = True  # --paged implies the batch scheduler
@@ -323,7 +334,10 @@ def main():
         threading.Thread(target=scheduler, daemon=True, name="batch-scheduler").start()
         logger.info(f"continuous batching: {args.max_slots} slots, max_len {args.max_len}")
 
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(model, logger, batch_engine))
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(model, logger, batch_engine, speculative=args.speculative),
+    )
     logger.info(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 

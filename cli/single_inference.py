@@ -23,6 +23,8 @@ def main():
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--int8", action="store_true", help="int8 weight-only quantization")
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
+    parser.add_argument("--speculative", action="store_true",
+                        help="prompt-lookup speculative decoding (greedy; identical tokens, fewer device steps on echo-heavy outputs)")
     args = parser.parse_args()
 
     model = load_pretrained_model(args.model_path, quantize_int8=args.int8, tp=args.tp)
@@ -33,7 +35,8 @@ def main():
     stream = make_stdout_streamer(model.tokenizer)
 
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens)
-    model.chat(args.question, image=image, generation=gen, stream_callback=stream)
+    model.chat(args.question, image=image, generation=gen, stream_callback=stream,
+               speculative=args.speculative)
     print()
 
 

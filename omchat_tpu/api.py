@@ -39,13 +39,30 @@ class OmChatModel:
         history=None,
         generation: Optional[GenerationConfig] = None,
         stream_callback=None,
+        speculative: bool = False,
     ) -> str:
-        """One chat turn: build the anyres context, generate, decode."""
+        """One chat turn: build the anyres context, generate, decode.
+
+        ``speculative=True`` (greedy only) decodes with prompt-lookup
+        speculation — bit-identical tokens, fewer device steps on
+        echo-heavy continuations (summarization/extraction)."""
         inputs = self.processor(text, images=image, history=history)
+        gen = generation or GenerationConfig()
+        if speculative and not gen.do_sample:
+            from omchat_tpu.runtime.speculative import generate_speculative
+
+            ids, _ = generate_speculative(
+                self.engine,
+                inputs["input_ids"][0].tolist(),
+                inputs.get("images"),
+                gen,
+                stream_callback=stream_callback,
+            )
+            return self.tokenizer.decode(ids, skip_special_tokens=True)
         out = self.engine.generate(
             [inputs["input_ids"][0].tolist()],
             inputs.get("images"),
-            generation or GenerationConfig(),
+            gen,
             stream_callback=stream_callback,
             tokenizer=self.tokenizer,
         )

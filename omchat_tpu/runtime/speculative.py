@@ -72,11 +72,14 @@ def generate_speculative(
     *,
     ngram: int = 2,
     draft_len: int = 8,
+    stream_callback=None,
 ):
     """Greedy generation with prompt-lookup speculation (single sequence).
 
     Returns (generated_ids, num_device_steps) — the ids are identical to
     ``engine.generate``'s greedy output; num_device_steps shows the speedup.
+    ``stream_callback`` receives each accepted token id (tokens arrive in
+    bursts of 1 + n_accepted rather than one per step).
     """
     gen = generation or GenerationConfig()
     assert not gen.do_sample, "speculative decoding is greedy-only"
@@ -98,6 +101,8 @@ def generate_speculative(
         return generated, steps
     generated.append(last)
     context.append(last)
+    if stream_callback is not None:
+        stream_callback(last)
 
     while len(generated) < gen.max_new_tokens:
         draft = propose_draft(context, ngram=ngram, k=draft_len)
@@ -131,6 +136,8 @@ def generate_speculative(
                 break
             generated.append(t)
             context.append(t)
+            if stream_callback is not None:
+                stream_callback(t)
             if len(generated) >= gen.max_new_tokens:
                 done = True
                 break

@@ -50,3 +50,20 @@ def test_speculative_saves_steps_on_repetitive_output(rng):
     assert out == ref
     if out[:6] == base[:6]:  # the model did echo -> speculation must have won
         assert steps < len(out)
+
+
+def test_speculative_stream_callback_order(rng):
+    """stream_callback receives exactly the accepted tokens, in order."""
+    from tests.test_sharding import _tiny_params
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=8)
+    gen = GenerationConfig(max_new_tokens=8, eos_token_id=-1)
+
+    streamed = []
+    out, _ = generate_speculative(
+        engine, [3, 4, 3, 4, 3], None, gen, ngram=2, draft_len=4,
+        stream_callback=streamed.append,
+    )
+    assert streamed == out
