@@ -282,10 +282,14 @@ def paged_flash_prefill(
     past ``kv_len``)."""
     B, C, H, D = q.shape
     KVH, _, page_size, _ = k_pages.shape
+    import math
+
     group = H // KVH
     max_pages = page_tables.shape[1]
-    bq = min(block_q, C)
-    assert C % bq == 0
+    # largest block ≤ block_q that divides C (chunk widths are bucketed
+    # multiples of 128, so this lands on 128/256 in practice)
+    bq = math.gcd(min(block_q, C), C)
+    assert C % bq == 0 and bq >= 8
 
     # [B, C, H, D] → [B, KVH, G, C, D]
     qg = q.reshape(B, C, KVH, group, D).transpose(0, 2, 3, 1, 4)

@@ -6,9 +6,14 @@ sits idle.  Here KV lives in a shared page pool ([L, KVH, P, page, D] per
 tower half) and each request maps logical blocks to physical pages — the
 ragged-paged-attention serving design, sized by *actual* tokens:
 
-- **prefill** runs once per request through a contiguous scratch cache (the
-  same jitted bucket programs as the single-request engine), then one jitted
-  scatter commits the request's K/V into freshly allocated pages;
+- **prefill**: short prompts run once through a contiguous scratch cache (the
+  same jitted bucket programs as the single-request engine) followed by one
+  jitted scatter that commits the request's K/V into freshly allocated pages;
+  prompts longer than ``prefill_chunk`` stream through fixed-shape paged
+  chunks — each chunk scatters its K/V into the request's pages and attends
+  to the cached prefix through the page table (one compiled program per
+  chunk width, no length-dependent buckets), with decode rolls interleaved
+  between chunks;
 - **decode** is one jitted step over all active requests: per layer, the new
   token's K/V scatter into each request's current page/offset and attention
   runs over the page pool (Pallas paged kernel on TPU, gather+dense on CPU);
@@ -356,13 +361,18 @@ class PagedBatchEngine:
         tensor-parallel serving (replicated when KVH % tp != 0).
 
         ``decode_roll`` > 1 batches that many decode steps into one dispatch
-        when no request is waiting to be admitted or prefilled (multi-step
-        scheduling): one host round trip per roll instead of per token, at the
-        cost of up to ``decode_roll - 1`` wasted positions per finished
-        request (throughput mode; keep 1 for lowest per-token latency)."""
+        every tick (multi-step scheduling): one host round trip per roll
+        instead of per token, at the cost of up to ``decode_roll - 1`` wasted
+        positions per finished request and one roll of admission latency for
+        queued requests (throughput mode; keep 1 for lowest per-token
+        latency).  ``prefill_chunk`` bounds any single prefill dispatch —
+        longer prompts advance one chunk per tick with rolls in between."""
         assert prompt_bucket % page_size == 0, "prompt buckets must align to pages"
         assert prefill_chunk % page_size == 0, "prefill chunks must align to pages"
         self.prefill_chunk = prefill_chunk
+        import math
+
+        self._chunk_bucket = math.lcm(prompt_bucket, page_size)
         self.cfg = cfg
         self.params = params
         self.page_size = page_size
@@ -537,7 +547,15 @@ class PagedBatchEngine:
             return
 
         c0 = req.chunk_pos
-        chunk = self.prefill_chunk
+        # Final-chunk width buckets down to the prompt bucket instead of
+        # padding to prefill_chunk: a 2148-token prompt runs 1024+1024+128
+        # (same FLOPs as the one-shot bucket) rather than 3×1024.  Program
+        # count stays bounded: one per bucketed width ≤ prefill_chunk.
+        remaining = max(1, total - c0)
+        chunk = min(
+            self.prefill_chunk,
+            -(-remaining // self._chunk_bucket) * self._chunk_bucket,
+        )
         m = plan.token_ids.shape[1]
         csize = max(0, min(chunk, m - c0))
         pad = chunk - csize
@@ -592,9 +610,14 @@ class PagedBatchEngine:
 
     def step(self):
         self._admit()
+        # Advance EVERY pending prefill by one dispatch (short prompt: whole;
+        # long prompt: one chunk), then roll.  Serving throughput is dominated
+        # by slot occupancy: prefilling one slot per tick while rolling
+        # decode_roll tokens desynchronizes the batch (early slots finish
+        # before late ones start — measured ~4/8 average occupancy).  Decode
+        # stall per tick stays bounded at n_pending × one chunk.
         for req in [r for r in self.slots if r is not None and not r.prefilled]:
             self._prefill_tick(req)
-            break  # one prefill dispatch per tick; decode interleaves below
 
         decoding = [r for r in self.slots if r is not None and r.prefilled and r.last_token is not None]
         if not decoding:

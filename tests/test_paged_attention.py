@@ -53,14 +53,17 @@ def test_paged_decode_matches_contiguous(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
-def test_paged_prefill_matches_contiguous(rng):
+@pytest.mark.parametrize("C,block_q", [(256, 128), (384, 256)])
+def test_paged_prefill_matches_contiguous(rng, C, block_q):
     """Pallas paged-prefill kernel (interpret) == dense causal attention on the
-    same logical KV — chunk rows attend through the page table."""
+    same logical KV — chunk rows attend through the page table.  C=384 with
+    block_q=256 exercises the gcd block fallback (bucketed tail-chunk widths
+    need not be multiples of the preferred block)."""
     from omchat_tpu.ops.paged_attention import paged_flash_prefill
 
     B, H, KVH, D = 2, 8, 2, 128
-    page_size, num_pages, max_pages, C = 128, 16, 4, 256
-    kv_len = np.asarray([384, 200], np.int32)
+    page_size, num_pages, max_pages = 128, 16, 4
+    kv_len = np.asarray([min(128 + C, 512), 200], np.int32)
     q_offset = np.asarray([128, 0], np.int32)
 
     T = max_pages * page_size
@@ -95,7 +98,7 @@ def test_paged_prefill_matches_contiguous(rng):
         jnp.asarray(kv_len),
         jnp.asarray(tables),
         jnp.asarray(q_offset),
-        block_q=128,
+        block_q=block_q,
         interpret=True,
     )
     for b in range(B):
