@@ -525,7 +525,12 @@ class PagedBatchEngine:
         Short prompts (≤ prefill_chunk) run the contiguous one-shot prefill +
         page commit; longer prompts advance one fixed-shape paged chunk per
         tick, so decoding slots interleave a roll between chunks instead of
-        stalling behind the whole prompt (VERDICT r2 #1)."""
+        stalling behind the whole prompt (VERDICT r2 #1).
+
+        Returns the final-position logits when the prompt is fully prefilled
+        (caller finishes via :meth:`_finish_prefill` AFTER dispatching the
+        other pending prefills — the first-token readback blocks, and doing it
+        inline would serialize dispatch→readback per request), else None."""
         plan = req.plan
         total = int(plan.lengths[0])
         req.prompt_len = total
@@ -543,8 +548,7 @@ class PagedBatchEngine:
                 jnp.int32(n_pages),
                 self.page_size,
             )
-            self._finish_prefill(req, logits)
-            return
+            return logits
 
         c0 = req.chunk_pos
         # Final-chunk width buckets down to the prompt bucket instead of
@@ -589,7 +593,8 @@ class PagedBatchEngine:
         )
         req.chunk_pos = c0 + chunk
         if req.chunk_pos >= total:
-            self._finish_prefill(req, logits)
+            return logits
+        return None
 
     def _finish_prefill(self, req: _PagedRequest, logits):
         req.prefilled = True
@@ -616,8 +621,15 @@ class PagedBatchEngine:
         # decode_roll tokens desynchronizes the batch (early slots finish
         # before late ones start — measured ~4/8 average occupancy).  Decode
         # stall per tick stays bounded at n_pending × one chunk.
+        finished_prefills = []
         for req in [r for r in self.slots if r is not None and not r.prefilled]:
-            self._prefill_tick(req)
+            logits = self._prefill_tick(req)
+            if logits is not None:
+                finished_prefills.append((req, logits))
+        # first-token readbacks AFTER every dispatch is queued: the device
+        # works on prefill i+1 while the host reads prefill i's logits
+        for req, logits in finished_prefills:
+            self._finish_prefill(req, logits)
 
         decoding = [r for r in self.slots if r is not None and r.prefilled and r.last_token is not None]
         if not decoding:
