@@ -128,17 +128,13 @@ def _decode_step_core(
 
     def attend(q, k, v, pools):
         kp, vp = pools
-
-        # scatter each request's new K/V at (page, offset)
-        def write(i, pools_):
-            kpp, vpp = pools_
-            upd_k = k[i, 0].astype(kpp.dtype)[:, None, None]  # [KVH,1,1,D]
-            upd_v = v[i, 0].astype(vpp.dtype)[:, None, None]
-            kpp = jax.lax.dynamic_update_slice(kpp, upd_k, (0, page_idx[i], offsets[i], 0))
-            vpp = jax.lax.dynamic_update_slice(vpp, upd_v, (0, page_idx[i], offsets[i], 0))
-            return kpp, vpp
-
-        kp, vp = jax.lax.fori_loop(0, s, write, (kp, vp))
+        # one batched scatter writes every request's new K/V at its
+        # (page, offset) — an S-step fori_loop of dynamic_update_slices would
+        # serialize S dependent in-place updates per layer.  Inactive slots'
+        # parked (page, offset) pairs may collide; any write order is fine on
+        # the parking page.
+        kp = kp.at[:, page_idx, offsets].set(k[:, 0].transpose(1, 0, 2).astype(kp.dtype))
+        vp = vp.at[:, page_idx, offsets].set(v[:, 0].transpose(1, 0, 2).astype(vp.dtype))
         out = paged_decode_attention(
             q, kp, vp, jnp.where(active, lengths + 1, 1), tables, impl=attn_impl
         )
@@ -281,15 +277,17 @@ def _paged_prefill_chunk_jit(
         kp, vp = pools
         kc = k[0].transpose(1, 0, 2).reshape(kvh, n_chunk_pages, page_size, hd)
         vc = v[0].transpose(1, 0, 2).reshape(kvh, n_chunk_pages, page_size, hd)
-
-        def write(j, pools_):
-            kpp, vpp = pools_
-            page = table[jnp.minimum(start_page + j, max_pages - 1)]
-            kpp = jax.lax.dynamic_update_slice(kpp, kc[:, j][:, None].astype(kpp.dtype), (0, page, 0, 0))
-            vpp = jax.lax.dynamic_update_slice(vpp, vc[:, j][:, None].astype(vpp.dtype), (0, page, 0, 0))
-            return kpp, vpp
-
-        kp, vp = jax.lax.fori_loop(0, n_chunk_pages, write, (kp, vp))
+        # one batched scatter over whole pages (vs a chunk_pages-long chain of
+        # dependent updates).  Rows past the table width go to the parking
+        # page (pool's last index) directly — clamping onto table[-1] would
+        # collide with a full-allocation request's real last page, and
+        # scatter duplicate-index resolution is undefined.
+        idx = start_page + jnp.arange(n_chunk_pages)
+        pages = jnp.where(
+            idx < max_pages, table[jnp.minimum(idx, max_pages - 1)], kp.shape[1] - 1
+        )
+        kp = kp.at[:, pages].set(kc.astype(kp.dtype))
+        vp = vp.at[:, pages].set(vc.astype(vp.dtype))
         out = paged_prefill_attention(
             q, kp, vp, kv_len, table[None], chunk_start, impl=attn_impl
         )
