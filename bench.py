@@ -180,6 +180,16 @@ def main():
     pixels = jnp.asarray(rng.standard_normal((N_TILES, 3, 448, 448)).astype(np.float32), dtype=jnp.bfloat16)
     ids = [151644] * 3 + [IMAGE_TOKEN_INDEX] * N_TILES + list(range(1000, 1000 + TEXT_TOKENS)) + [151645]
 
+    if cfg.vision.w8a8:
+        # Static fc1-output scales let the quantizing GELU epilogue fold into
+        # the fc1 matmul writeback (no wide bf16 intermediate round trip);
+        # offline calibration on the measurement distribution.
+        from omchat_tpu.models.intern_vit import calibrate_fc1_scales
+
+        _log("calibrating ViT fc1 static scales")
+        params["vision_tower"] = calibrate_fc1_scales(params["vision_tower"], cfg.vision, pixels)
+        engine = OmChatEngine(cfg, params)
+
     # --- ViT encode ---
     _log("compiling ViT encode")
     feats = engine.encode_images(pixels)

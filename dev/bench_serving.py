@@ -97,10 +97,13 @@ def main():
 
         def timed_prefill(req):
             t = time.perf_counter()
-            orig_prefill(req)
-            bench._sync(engine.k_pool)
+            out = orig_prefill(req)
+            # sync on one element — an eager ravel of the whole pool would
+            # round-trip hundreds of MB through the tunnel (axon quirk)
+            float(engine.k_pool[0, 0, 0, 0, 0])
             prof["prefill_s"] += time.perf_counter() - t
             prof["prefill_ticks"] += 1
+            return out
 
         engine._prefill_tick = timed_prefill
 
