@@ -25,6 +25,8 @@ def main():
     parser.add_argument("--no-history", action="store_true", help="reference-exact: drop history each turn")
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
+    parser.add_argument("--speculative", action="store_true",
+                        help="prompt-lookup speculative decoding (greedy; pays off in multi-turn chat where replies echo context)")
     args = parser.parse_args()
 
     model = load_pretrained_model(args.model_path, quantize_int8=args.int8, tp=args.tp)
@@ -52,6 +54,7 @@ def main():
             history=None if args.no_history else list(history),
             generation=gen,
             stream_callback=stream,
+            speculative=args.speculative,
         )
         print()
         history.append((question, answer))
