@@ -95,6 +95,7 @@ def _decode_step_core(
     attn_impl: Optional[str] = None,
     moe_impl: str = "dense",
     *,
+    kv_write: str = "scatter",
     any_sampled: bool = False,
     rng_key=None,
     do_sample=None,
@@ -128,13 +129,23 @@ def _decode_step_core(
 
     def attend(q, k, v, pools):
         kp, vp = pools
-        # one batched scatter writes every request's new K/V at its
-        # (page, offset) — an S-step fori_loop of dynamic_update_slices would
-        # serialize S dependent in-place updates per layer.  Inactive slots'
-        # parked (page, offset) pairs may collide; any write order is fine on
-        # the parking page.
-        kp = kp.at[:, page_idx, offsets].set(k[:, 0].transpose(1, 0, 2).astype(kp.dtype))
-        vp = vp.at[:, page_idx, offsets].set(v[:, 0].transpose(1, 0, 2).astype(vp.dtype))
+        if kv_write == "scatter":
+            # one batched scatter writes every request's new K/V at its
+            # (page, offset).  Inactive slots' parked (page, offset) pairs may
+            # collide; any write order is fine on the parking page.
+            kp = kp.at[:, page_idx, offsets].set(k[:, 0].transpose(1, 0, 2).astype(kp.dtype))
+            vp = vp.at[:, page_idx, offsets].set(v[:, 0].transpose(1, 0, 2).astype(vp.dtype))
+        else:  # "dus_loop": S dependent in-place row updates
+
+            def write(i, pools_):
+                kpp, vpp = pools_
+                upd_k = k[i, 0].astype(kpp.dtype)[:, None, None]  # [KVH,1,1,D]
+                upd_v = v[i, 0].astype(vpp.dtype)[:, None, None]
+                kpp = jax.lax.dynamic_update_slice(kpp, upd_k, (0, page_idx[i], offsets[i], 0))
+                vpp = jax.lax.dynamic_update_slice(vpp, upd_v, (0, page_idx[i], offsets[i], 0))
+                return kpp, vpp
+
+            kp, vp = jax.lax.fori_loop(0, s, write, (kp, vp))
         out = paged_decode_attention(
             q, kp, vp, jnp.where(active, lengths + 1, 1), tables, impl=attn_impl
         )
@@ -160,7 +171,7 @@ def _decode_step_core(
 
 _paged_decode_step_jit = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "page_size", "attn_impl", "moe_impl", "any_sampled"),
+    static_argnames=("cfg", "page_size", "attn_impl", "moe_impl", "kv_write", "any_sampled"),
     donate_argnames=("k_pool", "v_pool"),
 )(_decode_step_core)
 

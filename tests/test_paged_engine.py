@@ -226,3 +226,34 @@ def test_randomized_workload_soak(setup, rng):
         ).token_ids[0]
         assert be.result(rid) == exp, f"request {rid}"
     assert be.allocator.available == 9
+
+
+def test_kv_write_variants_agree(setup, rng):
+    """The batched-scatter and DUS-chain KV writes produce identical pools and
+    tokens (kv_write is a perf tunable, not a semantic switch)."""
+    import jax
+    from omchat_tpu.runtime.paged_engine import _paged_decode_step_jit
+
+    cfg, params = setup
+    tc = cfg.text
+    S, ps, P, mp = 3, 8, 12, 6
+    shape = (tc.num_hidden_layers, tc.num_key_value_heads, P + 1, ps, tc.attn_head_dim)
+    k0 = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    v0 = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    tables = jnp.asarray([[0, 1, 2, P, P, P], [3, 4, P, P, P, P], [5, 6, 7, P, P, P]], jnp.int32)
+    tokens = jnp.asarray([5, 6, 7], jnp.int32)
+    lengths = jnp.asarray([17, 9, 20], jnp.int32)
+    active = jnp.asarray([True, True, False])
+
+    outs = {}
+    for kv_write in ("scatter", "dus_loop"):
+        t, kp, vp = _paged_decode_step_jit(
+            params, cfg, tokens, lengths, active, tables,
+            jnp.copy(k0), jnp.copy(v0), ps, "xla", "dense", kv_write=kv_write,
+        )
+        outs[kv_write] = (np.asarray(t), np.asarray(kp), np.asarray(vp))
+    np.testing.assert_array_equal(outs["scatter"][0], outs["dus_loop"][0])
+    # pools agree everywhere except the parking page (collision order differs)
+    real = slice(0, P)
+    np.testing.assert_allclose(outs["scatter"][1][:, :, real], outs["dus_loop"][1][:, :, real], atol=1e-6)
+    np.testing.assert_allclose(outs["scatter"][2][:, :, real], outs["dus_loop"][2][:, :, real], atol=1e-6)
