@@ -37,9 +37,9 @@ def build_workload(rng):
     return reqs, images
 
 
-def make_engine(cfg, params, decode_roll, prefill_chunk):
+def make_engine(cfg, params, decode_roll, prefill_chunk, max_slots=8, num_pages=224):
     return PagedBatchEngine(
-        cfg, params, max_slots=8, num_pages=224, page_size=64,
+        cfg, params, max_slots=max_slots, num_pages=num_pages, page_size=64,
         prompt_bucket=128, max_len=4096, decode_roll=decode_roll,
         prefill_chunk=prefill_chunk,
     )
@@ -76,15 +76,16 @@ def measure(engine, reqs, images):
     return round(n_out / dt, 1), round(dt, 2)
 
 
-def pure_decode_rate(engine, rng, steps=96):
-    """Fill all 8 slots with short prompts and a large budget, then time
+def pure_decode_rate(engine, rng, steps=96, max_new=1500):
+    """Fill every slot with short prompts and a large budget, then time
     decode-only ticks."""
+    s = engine.max_slots
     rids = [
         engine.submit([151644] + [int(t) for t in rng.integers(2000, 20000, 63)],
-                      max_new_tokens=1500, eos_token_id=-1)  # 25 pages each, 200/224
-        for _ in range(8)
+                      max_new_tokens=max_new, eos_token_id=-1)
+        for _ in range(s)
     ]
-    engine.step()  # prefills all 8 + first roll
+    engine.step()  # prefills all slots + first roll
     t0 = time.perf_counter()
     n_ticks = max(1, steps // engine.decode_roll)
     for _ in range(n_ticks):
@@ -92,7 +93,7 @@ def pure_decode_rate(engine, rng, steps=96):
     dt = time.perf_counter() - t0
     for rid in rids:
         engine.requests.pop(rid)  # abandon; fresh engine per config anyway
-    return round(n_ticks * engine.decode_roll * 8 / dt, 1)
+    return round(n_ticks * engine.decode_roll * s / dt, 1)
 
 
 def main():
@@ -104,22 +105,25 @@ def main():
 
     results = {}
 
-    # pure decode ceiling of the paged engine at B=8 (roll 8)
-    eng = make_engine(cfg, params, 8, 1024)
-    warm_reqs, warm_images = build_workload(np.random.default_rng(1))
-    warmup(eng, np.random.default_rng(2), warm_reqs, warm_images)
-    results["pure_decode_tok_s_roll8"] = pure_decode_rate(eng, np.random.default_rng(3))
-    del eng
-    bench._log(f"pure decode: {results['pure_decode_tok_s_roll8']}")
+    # pure decode rate at full occupancy: B=8 vs B=16 (weights amortize over
+    # the batch — the decode step is weight+KV streaming bound)
+    for slots, pages, max_new in ((8, 224, 1500), (16, 384, 1400)):
+        eng = make_engine(cfg, params, 8, 2048, max_slots=slots, num_pages=pages)
+        warm_reqs, warm_images = build_workload(np.random.default_rng(1))
+        warmup(eng, np.random.default_rng(2), warm_reqs, warm_images)
+        r = pure_decode_rate(eng, np.random.default_rng(3), max_new=max_new)
+        results[f"pure_decode_tok_s_b{slots}"] = r
+        bench._log(f"pure decode B={slots}: {r}")
+        del eng
 
-    for roll, chunk in ((8, 1024), (16, 1024), (16, 2048)):
-        eng = make_engine(cfg, params, roll, chunk)
+    for roll, chunk, slots, pages in ((16, 2048, 8, 224), (8, 2048, 16, 384), (16, 2048, 16, 384)):
+        eng = make_engine(cfg, params, roll, chunk, max_slots=slots, num_pages=pages)
         rng_w = np.random.default_rng(0)
         reqs, images = build_workload(rng_w)
         warmup(eng, rng_w, reqs, images)
         tok_s, wall = measure(eng, reqs, images)
-        results[f"mixed_roll{roll}_chunk{chunk}"] = {"tok_s": tok_s, "wall_s": wall}
-        bench._log(f"roll={roll} chunk={chunk}: {tok_s} tok/s ({wall}s)")
+        results[f"mixed_roll{roll}_chunk{chunk}_b{slots}"] = {"tok_s": tok_s, "wall_s": wall}
+        bench._log(f"roll={roll} chunk={chunk} slots={slots}: {tok_s} tok/s ({wall}s)")
         del eng
 
     print(json.dumps(results), flush=True)
