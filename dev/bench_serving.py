@@ -28,8 +28,10 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--prefill-chunk", type=int, default=1024)
+    ap.add_argument("--prefill-chunk", type=int, default=2048)
     ap.add_argument("--decode-roll", type=int, default=8)
+    ap.add_argument("--max-slots", type=int, default=16)
+    ap.add_argument("--num-pages", type=int, default=384)
     ap.add_argument("--profile", action="store_true", help="per-phase wall-time breakdown")
     args = ap.parse_args()
 
@@ -42,8 +44,8 @@ def main():
     engine = PagedBatchEngine(
         cfg,
         params,
-        max_slots=8,
-        num_pages=224,
+        max_slots=args.max_slots,
+        num_pages=args.num_pages,
         page_size=64,
         prompt_bucket=128,
         max_len=4096,
@@ -147,7 +149,7 @@ def main():
                     "max_new_tokens": MAX_NEW,
                     "wall_s": round(dt, 2),
                     "requests_per_min": round(N_REQUESTS / dt * 60, 1),
-                    "engine": f"PagedBatchEngine slots=8 pages=224x64 decode_roll={args.decode_roll} prefill_chunk={args.prefill_chunk}",
+                    "engine": f"PagedBatchEngine slots={args.max_slots} pages={args.num_pages}x64 decode_roll={args.decode_roll} prefill_chunk={args.prefill_chunk}",
                 },
             }
         ),
