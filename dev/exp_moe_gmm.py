@@ -26,9 +26,7 @@ def _sync(x):
     return float(jnp.ravel(x)[0])
 
 
-def main():
-    rng = np.random.default_rng(0)
-    T, D, E, K, F = 1024, 2048, 60, 4, 1408
+def run_one(rng, T, D, E, K, F):
     cfg = TextConfig(
         hidden_size=D, num_experts=E, num_experts_per_tok=K,
         moe_intermediate_size=F, norm_topk_prob=False,
@@ -70,15 +68,27 @@ def main():
     # useful FLOPs: only routed token-replicas do work in gmm
     flops_routed = 2 * T * K * (2 * D * F + F * D)
     flops_dense = 2 * T * E * (2 * D * F + F * D)
-    print(json.dumps({
+    out = {
         "geometry": f"T={T} D={D} E={E} K={K} F={F}",
+        "rows_per_expert": round(T * K / E, 1),
         "dense_ms": round(ms_dense, 2),
         "gmm_ms": round(ms_gmm, 2),
         "speedup": round(ms_dense / ms_gmm, 2),
         "gmm_tflops_routed": round(flops_routed / ms_gmm / 1e9, 1),
         "dense_tflops_all": round(flops_dense / ms_dense / 1e9, 1),
         "max_rel_err": float(rel),
-    }), flush=True)
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    rng = np.random.default_rng(0)
+    # Sweep token count: gmm's per-expert group matmuls need enough rows per
+    # expert to fill the MXU (T*K/E rows on average) — the crossover vs the
+    # dense-all-experts path is the number that matters for serving.
+    for T in (1024, 4096, 16384):
+        run_one(rng, T, D=2048, E=60, K=4, F=1408)
 
 
 if __name__ == "__main__":

@@ -179,23 +179,38 @@ def _layer_forward(
 
 def _attention_fused(cfg: VisionConfig, layer: dict, qkv: jax.Array, valid_len: int) -> jax.Array:
     """qk-norm (prescale folded) + packed Pallas attention on [B, SP, 3D]."""
-    from omchat_tpu.ops.flash_attention import packed_prescale, packed_self_attention
+    from omchat_tpu.ops.flash_attention import (
+        packed_prescale,
+        packed_qkv_norm_attention,
+        packed_self_attention,
+    )
 
     h, hd = cfg.num_attention_heads, cfg.head_dim
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    prescaled = False
+    interpret = jax.default_backend() != "tpu"
     if cfg.qk_normalization:
-        q = rms_norm(q, layer["attn"]["q_norm"]["scale"] * packed_prescale(hd), cfg.layer_norm_eps)
-        k = rms_norm(k, layer["attn"]["k_norm"]["scale"], cfg.layer_norm_eps)
-        prescaled = True
+        # qk-norm folds into the kernel: only the [B, SP, 1] rstd stats
+        # materialize; normalized q/k never round-trip HBM.  Measured win is
+        # small — 0.99 vs 1.01 ms/layer standalone, ~0.4 ms on the whole
+        # encode (XLA already fuses the separate norms well;
+        # dev/exp_attn_qknorm.py) — kept for the exact parity + less glue.
+        return packed_qkv_norm_attention(
+            qkv,
+            num_heads=h,
+            q_gamma=layer["attn"]["q_norm"]["scale"] * packed_prescale(hd),
+            k_gamma=layer["attn"]["k_norm"]["scale"],
+            eps=cfg.layer_norm_eps,
+            valid_len=valid_len,
+            interpret=interpret,
+        )
+    q, k, v = jnp.split(qkv, 3, axis=-1)
     return packed_self_attention(
         q,
         k,
         v,
         num_heads=h,
         valid_len=valid_len,
-        prescaled=prescaled,
-        interpret=jax.default_backend() != "tpu",
+        prescaled=False,
+        interpret=interpret,
     )
 
 

@@ -10,8 +10,14 @@ TPU execution modes:
 - ``moe_impl="dense"``: every expert runs on every token, masked by routing
   weight — exact, compile-friendly, right for few-expert configs and tests;
 - ``moe_impl="gmm"``: tokens sorted by expert, grouped matmul via the Pallas
-  megablox ``gmm`` kernel — the production path for many experts (expert
-  parallelism shards the expert axis over the ``model`` mesh axis).
+  megablox ``gmm`` kernel.  Measured on v5e at the Qwen2-MoE-A14B geometry
+  (E=60, K=4) it *loses* to the dense-masked path at every prefill size
+  swept — 0.5×/0.75×/0.91× at T=1024/4096/16384 (dev/exp_moe_gmm.py,
+  BENCH.md): with K/E = 1/15 of rows routed per expert, the per-group
+  matmuls are too skinny for the MXU until T is huge.  Dense-masked is the
+  measured production default on TPU; gmm stays for expert-parallel meshes
+  (expert axis sharded over ``model``), where each shard sees only its own
+  experts and dense-masked would multiply FLOPs by the EP degree.
 """
 
 from __future__ import annotations

@@ -450,6 +450,103 @@ def packed_prescale(head_dim: int) -> float:
     return head_dim**-0.5 * _LOG2E
 
 
+def _packed_qkv_norm_kernel(
+    qkv_q_ref, qkv_k_ref, qkv_v_ref, rq_ref, rk_ref, gq_ref, gk_ref, o_ref,
+    *, valid_len: int
+):
+    """One (batch, head) of :func:`packed_qkv_norm_attention`: the q/k refs are
+    lane slices of the *unsplit* qkv array; the flattened-axis RMS statistics
+    arrive precomputed ([SP, 1] rstd columns) and the norm is applied on the
+    fly — normalized q/k never round-trip HBM."""
+    sp = qkv_q_ref.shape[1]
+    rq = rq_ref[0]  # [SP, 1] fp32
+    rk = rk_ref[0]
+    q = (qkv_q_ref[0].astype(jnp.float32) * rq * gq_ref[0].astype(jnp.float32)).astype(
+        qkv_q_ref.dtype
+    )
+    k = (qkv_k_ref[0].astype(jnp.float32) * rk * gk_ref[0].astype(jnp.float32)).astype(
+        qkv_k_ref.dtype
+    )
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if valid_len < sp:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid_len, s, -jnp.inf)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l_inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot(
+        p.astype(qkv_v_ref.dtype), qkv_v_ref[0], preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (o * l_inv).astype(o_ref.dtype)
+
+
+def packed_qkv_norm_attention(
+    qkv: jax.Array,
+    *,
+    num_heads: int,
+    q_gamma: jax.Array,
+    k_gamma: jax.Array,
+    eps: float,
+    valid_len: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """qk-RMSNorm + packed non-causal self-attention over unsplit qkv.
+
+    The InternViT-6B attention path (reference: qk_normalization at
+    modeling_intern_vit.py:143-146 followed by the flash shim).  The RMS
+    reduction runs over the *flattened* (heads × head_dim) axis, so it cannot
+    live per-head inside the kernel — but only the [B, SP, 1] rstd statistics
+    need materializing.  The expensive part (applying the norm to q and k) is
+    folded into the attention kernel per head-slice, which removes the
+    normalized-q/k HBM round trip and the v copy that the split-then-norm
+    path pays (~130 MB/layer at the 5-tile 6B shape; dev/exp_attn_qknorm.py).
+
+    qkv: [B, SP, 3*H*D] as produced by the fused qkv matmul; q_gamma must
+    already include ``packed_prescale(head_dim)`` (softmax scale × log2 e).
+    Returns [B, SP, H*D]; rows ≥ valid_len are garbage, as in
+    :func:`packed_self_attention`.
+    """
+    B, SP, HD3 = qkv.shape
+    HD = HD3 // 3
+    D = HD // num_heads
+    if D % 128 != 0:
+        raise ValueError(f"packed attention requires head_dim % 128 == 0, got {D}")
+    if SP % 8 != 0 or SP > _PACKED_MAX_SEQ:
+        raise ValueError(f"padded seq len {SP} unsupported (mult of 8, <= {_PACKED_MAX_SEQ})")
+    valid_len = SP if valid_len is None else valid_len
+
+    qf = qkv[..., :HD].astype(jnp.float32)
+    kf = qkv[..., HD : 2 * HD].astype(jnp.float32)
+    rq = jax.lax.rsqrt(jnp.mean(qf * qf, axis=-1, keepdims=True) + eps)  # [B, SP, 1]
+    rk = jax.lax.rsqrt(jnp.mean(kf * kf, axis=-1, keepdims=True) + eps)
+    gq = q_gamma.astype(jnp.float32)[None]  # [1, H*D]
+    gk = k_gamma.astype(jnp.float32)[None]
+
+    H = num_heads
+    kernel = functools.partial(_packed_qkv_norm_kernel, valid_len=valid_len)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, SP, D), lambda b, h: (b, 0, h)),          # q slice
+            pl.BlockSpec((1, SP, D), lambda b, h: (b, 0, H + h)),      # k slice
+            pl.BlockSpec((1, SP, D), lambda b, h: (b, 0, 2 * H + h)),  # v slice
+            pl.BlockSpec((1, SP, 1), lambda b, h: (b, 0, 0)),          # rstd_q
+            pl.BlockSpec((1, SP, 1), lambda b, h: (b, 0, 0)),          # rstd_k
+            pl.BlockSpec((1, D), lambda b, h: (0, h)),                 # gamma_q slice
+            pl.BlockSpec((1, D), lambda b, h: (0, h)),                 # gamma_k slice
+        ],
+        out_specs=pl.BlockSpec((1, SP, D), lambda b, h: (b, 0, h)),
+        out_shape=jax.ShapeDtypeStruct((B, SP, HD), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rq, rk, gq, gk)
+
+
 def packed_self_attention(
     q: jax.Array,
     k: jax.Array,

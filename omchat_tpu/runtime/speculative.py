@@ -73,6 +73,7 @@ def generate_speculative(
     ngram: int = 2,
     draft_len: int = 8,
     stream_callback=None,
+    draft_fn=None,
 ):
     """Greedy generation with prompt-lookup speculation (single sequence).
 
@@ -80,6 +81,9 @@ def generate_speculative(
     ``engine.generate``'s greedy output; num_device_steps shows the speedup.
     ``stream_callback`` receives each accepted token id (tokens arrive in
     bursts of 1 + n_accepted rather than one per step).
+    ``draft_fn(context) -> List[int]`` overrides the prompt-lookup proposer
+    (``context`` is prompt + generated so far); used by dev/bench_speculative
+    to measure the verify machinery's ceiling with an oracle draft.
     """
     gen = generation or GenerationConfig()
     assert not gen.do_sample, "speculative decoding is greedy-only"
@@ -104,8 +108,9 @@ def generate_speculative(
     if stream_callback is not None:
         stream_callback(last)
 
+    propose = draft_fn or (lambda ctx: propose_draft(ctx, ngram=ngram, k=draft_len))
     while len(generated) < gen.max_new_tokens:
-        draft = propose_draft(context, ngram=ngram, k=draft_len)
+        draft = propose(context)[:draft_len]
         budget = gen.max_new_tokens - len(generated)
         draft = draft[: max(0, min(len(draft), budget))]
         # fixed [1, 1+draft_len] shape → one compiled verify program; padded

@@ -205,6 +205,49 @@ def test_packed_self_attention_no_padding(rng):
     )
 
 
+def test_packed_qkv_norm_attention_matches_split_path(rng):
+    """Folding qk-RMSNorm into the packed kernel == norm-then-attend: the
+    rstd stats are computed over the flattened head axis outside, applied
+    per head-slice inside (the InternViT-6B attention contract,
+    modeling_intern_vit.py:143-146)."""
+    from omchat_tpu.ops.flash_attention import (
+        packed_prescale,
+        packed_qkv_norm_attention,
+        packed_self_attention,
+    )
+    from omchat_tpu.ops.norms import rms_norm
+
+    B, S, H, D = 2, 56, 3, 128
+    SP, eps = 64, 1e-6
+    qkv = jnp.asarray(rng.standard_normal((B, SP, 3 * H * D)).astype(np.float32), jnp.bfloat16)
+    qg = jnp.asarray(1.0 + 0.1 * rng.standard_normal(H * D).astype(np.float32), jnp.bfloat16)
+    kg = jnp.asarray(1.0 - 0.1 * rng.standard_normal(H * D).astype(np.float32), jnp.bfloat16)
+
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ref = packed_self_attention(
+        rms_norm(q, qg * packed_prescale(D), eps),
+        rms_norm(k, kg, eps),
+        v,
+        num_heads=H,
+        valid_len=S,
+        prescaled=True,
+        interpret=True,
+    )
+    out = packed_qkv_norm_attention(
+        qkv,
+        num_heads=H,
+        q_gamma=qg * packed_prescale(D),
+        k_gamma=kg,
+        eps=eps,
+        valid_len=S,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[:, :S], np.float32), np.asarray(ref[:, :S], np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
 def test_intern_vit_fused_path_matches_xla(rng):
     """The padded-stack Pallas path produces the same features as the XLA path
     (head_dim=128 geometry so the packed kernel engages; interpret on CPU)."""
