@@ -22,8 +22,8 @@ from dev.profile_vit import N_TILES, _sync, build_vision_params  # noqa: E402
 from omchat_tpu.models.intern_vit import calibrate_fc1_scales, intern_vit_forward  # noqa: E402
 
 
-def time_encode(cfg, params, pixels, n=10):
-    fwd = jax.jit(lambda p, px: intern_vit_forward(p, cfg, px))
+def time_encode(cfg, params, pixels, n=10, fc1_impl=None):
+    fwd = jax.jit(lambda p, px: intern_vit_forward(p, cfg, px, fc1_impl=fc1_impl))
     out = fwd(params, pixels)
     _sync(out)
     t0 = time.perf_counter()
@@ -54,17 +54,21 @@ def main():
     print(f"[exp] dynamic glue: {ms_dyn:.1f} ms", flush=True)
 
     calib = calibrate_fc1_scales(params, cfg, pixels)
-    ms_static = time_encode(cfg, calib, pixels)
-    print(f"[exp] static fc1 epilogue: {ms_static:.1f} ms", flush=True)
+    ms_static = time_encode(cfg, calib, pixels, fc1_impl="xla")
+    print(f"[exp] static fc1 epilogue (xla chain): {ms_static:.1f} ms", flush=True)
+
+    ms_pallas = time_encode(cfg, calib, pixels, fc1_impl="pallas")
+    print(f"[exp] static fc1 epilogue (pallas kernel): {ms_pallas:.1f} ms", flush=True)
 
     ms_dyn2 = time_encode(cfg, params, pixels)  # re-measure to bound drift
     print(f"[exp] dynamic again: {ms_dyn2:.1f} ms", flush=True)
 
     print(json.dumps({
         "dynamic_ms": round(ms_dyn, 1),
-        "static_ms": round(ms_static, 1),
+        "static_xla_ms": round(ms_static, 1),
+        "static_pallas_ms": round(ms_pallas, 1),
         "dynamic_recheck_ms": round(ms_dyn2, 1),
-        "img_per_s_static": round(1000.0 / ms_static, 2),
+        "img_per_s_pallas": round(1000.0 / ms_pallas, 2),
     }), flush=True)
 
 

@@ -27,12 +27,8 @@ import numpy as np
 
 from omchat_tpu.config import VisionConfig
 from omchat_tpu.ops.attention import attention
-from omchat_tpu.ops.linear import (
-    dense,
-    dense_prequant,
-    dense_prequant_gelu_quant,
-    quantize_activations,
-)
+from omchat_tpu.ops.linear import dense, dense_prequant, quantize_activations
+from omchat_tpu.ops.quant_matmul import fc1_gelu_quant
 from omchat_tpu.ops.norms import add_rmsnorm_quant, apply_norm, rms_norm
 
 
@@ -220,6 +216,7 @@ def _layer_forward_glue(
     layer: dict,
     *,
     valid_len: int,
+    fc1_impl: Optional[str] = None,
 ) -> tuple:
     """w8a8 fast-path block: the scan carry holds (x, int8 codes of norm(x),
     row scales), so the residual add, the next norm, and the activation
@@ -240,10 +237,16 @@ def _layer_forward_glue(
 
     if "fc1_out_scale" in layer["mlp"]:
         # Static-scale epilogue: dequant→gelu→quant folds into the fc1 matmul
-        # writeback, so only int8 codes hit HBM (see dense_prequant_gelu_quant;
-        # scales come from calibrate_fc1_scales).
-        codes = dense_prequant_gelu_quant(
-            xq, rs, layer["mlp"]["fc1"], layer["mlp"]["fc1_out_scale"]
+        # writeback, so only int8 codes hit HBM (scales come from
+        # calibrate_fc1_scales).  The Pallas kernel forces the fusion XLA only
+        # partially performs in the full graph (ops/quant_matmul.py).
+        codes = fc1_gelu_quant(
+            xq,
+            rs,
+            layer["mlp"]["fc1"],
+            layer["mlp"]["fc1_out_scale"],
+            impl=fc1_impl,
+            interpret=interpret,
         )
         y = dense_prequant(codes, layer["mlp"]["fc1_out_scale"], layer["mlp"]["fc2"], dtype=x.dtype)
     else:
@@ -264,6 +267,7 @@ def intern_vit_forward(
     feature_layer: int = -1,
     attn_impl: Optional[str] = None,
     remat: bool = False,
+    fc1_impl: Optional[str] = None,
 ) -> jax.Array:
     """Run the tower; returns hidden states after layer ``feature_layer``.
 
@@ -321,7 +325,7 @@ def intern_vit_forward(
         xq, rs = quantize_activations(y)
 
         def glue_scan(carry, layer):
-            return _layer_forward_glue(cfg, carry, layer, valid_len=s), None
+            return _layer_forward_glue(cfg, carry, layer, valid_len=s, fc1_impl=fc1_impl), None
 
         (x, _, _), _ = jax.lax.scan(glue_scan, (x, xq, rs), layers)
     else:

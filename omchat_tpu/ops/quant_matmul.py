@@ -1,0 +1,147 @@
+"""Pallas int8 matmul with a quantizing tanh-GELU epilogue (the ViT fc1 hot op).
+
+The w8a8 ViT MLP wants ``int8 codes = quant(gelu(dequant(xq @ Wq)))`` with a
+*static* output scale so the wide bf16 fc1 intermediate (~190 MB/layer at the
+InternViT-6B geometry, reference hot loop modeling_intern_vit.py:179-192)
+never round-trips HBM.  XLA fuses the isolated chain well
+(`dense_prequant_gelu_quant`, dev/exp_fc1_pallas.py: 2.23 ms vs 2.86 ms for
+the bf16-writeback matmul at [5160, 3200]x[3200, 12800]) but recovers only
+part of that inside the full encoder graph; this kernel forces the fusion
+regardless of surrounding ops: the int32 accumulator is dequantized, biased,
+GELU'd, and re-quantized in VMEM and only int8 codes are written back.
+
+Grid layout: ``(N/bn outer, M/bm inner)`` so each [K, bn] weight tile stays
+VMEM-resident across the whole M sweep (weights stream once per kernel, not
+once per row block).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_bm(m: int) -> tuple[int, int]:
+    """Largest multiple-of-8 row block <= 512 dividing m (zero pad), else pad
+    m up to a 512 multiple.  5160 rows (5 tiles x 1032) -> bm=344, no pad."""
+    for bm in range(512, 7, -8):
+        if m % bm == 0:
+            return bm, m
+    return 512, (m + 511) // 512 * 512
+
+
+def _pick_bn(n: int) -> Optional[int]:
+    for bn in (1280, 1024, 896, 768, 640, 512, 384, 256, 128):
+        if n % bn == 0:
+            return bn
+    return None
+
+
+def pallas_supported(k: int, n: int) -> bool:
+    """Geometry gate: contraction axis a lane multiple, N tileable."""
+    return k % 128 == 0 and _pick_bn(n) is not None
+
+
+def _fc1_kernel(x_ref, w_ref, rs_ref, cs_ref, b_ref, os_ref, o_ref):
+    acc = jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = acc.astype(jnp.float32) * rs_ref[...] * cs_ref[...].astype(jnp.float32)
+    h = h + b_ref[...].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=True)
+    inv = 1.0 / os_ref[0, 0]
+    o_ref[...] = jnp.clip(jnp.round(h * inv), -127, 127).astype(jnp.int8)
+
+
+def dense_prequant_gelu_quant_pallas(
+    xq: jax.Array,
+    row_scale: jax.Array,
+    p: dict,
+    out_scale: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas twin of :func:`omchat_tpu.ops.linear.dense_prequant_gelu_quant`
+    (same contract; codes match the XLA chain exactly —
+    tests/test_pallas_kernels.py).
+
+    xq: int8 [..., K]; row_scale: fp32 [..., 1]; p: quantized param dict with
+    ``kernel_q`` [K, N]; out_scale: scalar static scale.  Returns int8 [..., N].
+    """
+    k, n = p["kernel_q"].shape
+    lead = xq.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    xq2 = xq.reshape(m, k)
+    rs2 = row_scale.astype(jnp.float32).reshape(m, 1)
+
+    bm, m_pad = _pick_bm(m)
+    bn = _pick_bn(n)
+    if bn is None or k % 128 != 0:
+        raise ValueError(f"unsupported fc1 geometry K={k} N={n} (use the XLA chain)")
+    if m_pad != m:
+        xq2 = jnp.pad(xq2, ((0, m_pad - m), (0, 0)))
+        rs2 = jnp.pad(rs2, ((0, m_pad - m), (0, 0)))
+
+    cs = p["scale"].astype(jnp.float32)[None]  # [1, N]
+    bias = p.get("bias")
+    bias = (jnp.zeros((n,), jnp.float32) if bias is None else bias.astype(jnp.float32))[None]
+    os_ = jnp.asarray(out_scale, jnp.float32).reshape(1, 1)
+
+    out = pl.pallas_call(
+        _fc1_kernel,
+        grid=(n // bn, m_pad // bm),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0)),
+            pl.BlockSpec((k, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((bm, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(xq2, p["kernel_q"], rs2, cs, bias, os_)
+    return out[:m].reshape(*lead, n)
+
+
+def fc1_gelu_quant(
+    xq: jax.Array,
+    row_scale: jax.Array,
+    p: dict,
+    out_scale: jax.Array,
+    *,
+    impl: Optional[str] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dispatch the static-scale quantizing fc1 epilogue.
+
+    impl: ``"pallas"`` | ``"xla"`` | None (auto: Pallas when the geometry
+    supports it and we're on TPU — or in interpret mode, so CPU glue-path
+    tests exercise the production kernel — the XLA chain otherwise).
+    """
+    from omchat_tpu.ops.linear import dense_prequant_gelu_quant
+
+    if impl is None:
+        impl = (
+            "pallas"
+            if (interpret or jax.default_backend() == "tpu")
+            and pallas_supported(*p["kernel_q"].shape)
+            else "xla"
+        )
+    if impl == "pallas":
+        return dense_prequant_gelu_quant_pallas(
+            xq, row_scale, p, out_scale, interpret=interpret
+        )
+    return dense_prequant_gelu_quant(xq, row_scale, p, out_scale)

@@ -248,6 +248,34 @@ def test_packed_qkv_norm_attention_matches_split_path(rng):
     )
 
 
+def test_fc1_gelu_quant_pallas_matches_xla_chain(rng):
+    """The quantizing fc1 epilogue kernel writes the same int8 codes as the
+    XLA chain (dense_prequant_gelu_quant) — same fp32 dequant/GELU/requant
+    math, just fused into the matmul writeback (ops/quant_matmul.py)."""
+    from omchat_tpu.ops.linear import dense_prequant_gelu_quant
+    from omchat_tpu.ops.quant_matmul import dense_prequant_gelu_quant_pallas
+
+    M, K, N = 24, 256, 384  # M deliberately not a block multiple (pads)
+    xq = jnp.asarray(rng.integers(-127, 128, (2, M, K)), jnp.int8)
+    rs = jnp.asarray(rng.random((2, M, 1)) * 0.01 + 1e-3, jnp.float32)
+    p = {
+        "kernel_q": jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8),
+        "scale": jnp.asarray(rng.random(N) * 4e-4 + 1e-4, jnp.bfloat16),
+        "bias": jnp.asarray(rng.standard_normal(N) * 0.01, jnp.bfloat16),
+    }
+    out_scale = jnp.float32(0.01)
+    ref = dense_prequant_gelu_quant(xq, rs, p, out_scale)
+    got = dense_prequant_gelu_quant_pallas(xq, rs, p, out_scale, interpret=True)
+    assert got.shape == ref.shape and got.dtype == jnp.int8
+    diff = np.abs(np.asarray(ref, np.int32) - np.asarray(got, np.int32))
+    assert diff.max() <= 1, f"codes diverge by {diff.max()}"
+    # no bias present -> implicit zeros
+    p2 = {k: v for k, v in p.items() if k != "bias"}
+    ref2 = dense_prequant_gelu_quant(xq, rs, p2, out_scale)
+    got2 = dense_prequant_gelu_quant_pallas(xq, rs, p2, out_scale, interpret=True)
+    assert np.abs(np.asarray(ref2, np.int32) - np.asarray(got2, np.int32)).max() <= 1
+
+
 def test_intern_vit_fused_path_matches_xla(rng):
     """The padded-stack Pallas path produces the same features as the XLA path
     (head_dim=128 geometry so the packed kernel engages; interpret on CPU)."""
