@@ -28,7 +28,11 @@ import numpy as np
 from omchat_tpu.config import VisionConfig
 from omchat_tpu.ops.attention import attention
 from omchat_tpu.ops.linear import dense, dense_prequant, quantize_activations
-from omchat_tpu.ops.quant_matmul import fc1_gelu_quant
+from omchat_tpu.ops.quant_matmul import (
+    attn_proj_glue_quant,
+    fc1_gelu_quant,
+    proj_glue_supported,
+)
 from omchat_tpu.ops.norms import add_rmsnorm_quant, apply_norm, rms_norm
 
 
@@ -217,6 +221,7 @@ def _layer_forward_glue(
     *,
     valid_len: int,
     fc1_impl: Optional[str] = None,
+    proj_impl: Optional[str] = None,
 ) -> tuple:
     """w8a8 fast-path block: the scan carry holds (x, int8 codes of norm(x),
     row scales), so the residual add, the next norm, and the activation
@@ -230,10 +235,30 @@ def _layer_forward_glue(
 
     qkv = dense_prequant(xq, rs, layer["attn"]["qkv"], dtype=x.dtype)
     attn_out = _attention_fused(cfg, layer, qkv, valid_len)
-    attn_out = dense(attn_out, layer["attn"]["proj"], a8=True)
-    x, xq, rs = add_rmsnorm_quant(
-        x, attn_out, layer["ls1"], layer["norm2"]["scale"], cfg.layer_norm_eps, interpret=interpret
-    )
+    if proj_impl is None:
+        proj_impl = (
+            "pallas"
+            if proj_glue_supported(*layer["attn"]["proj"]["kernel_q"].shape)
+            else "xla"
+        )
+    if proj_impl == "pallas":
+        # Fused proj matmul + glue: the bf16 proj output never round-trips
+        # HBM (ops/quant_matmul.py attn_proj_glue_quant; 1.77 vs 2.38
+        # ms/layer standalone, dev/exp_proj_glue.py).
+        x, xq, rs = attn_proj_glue_quant(
+            attn_out,
+            x,
+            layer["attn"]["proj"],
+            layer["ls1"],
+            layer["norm2"]["scale"],
+            cfg.layer_norm_eps,
+            interpret=interpret,
+        )
+    else:
+        attn_out = dense(attn_out, layer["attn"]["proj"], a8=True)
+        x, xq, rs = add_rmsnorm_quant(
+            x, attn_out, layer["ls1"], layer["norm2"]["scale"], cfg.layer_norm_eps, interpret=interpret
+        )
 
     if "fc1_out_scale" in layer["mlp"]:
         # Static-scale epilogue: dequant→gelu→quant folds into the fc1 matmul
@@ -268,6 +293,7 @@ def intern_vit_forward(
     attn_impl: Optional[str] = None,
     remat: bool = False,
     fc1_impl: Optional[str] = None,
+    proj_impl: Optional[str] = None,
 ) -> jax.Array:
     """Run the tower; returns hidden states after layer ``feature_layer``.
 
@@ -325,7 +351,12 @@ def intern_vit_forward(
         xq, rs = quantize_activations(y)
 
         def glue_scan(carry, layer):
-            return _layer_forward_glue(cfg, carry, layer, valid_len=s, fc1_impl=fc1_impl), None
+            return (
+                _layer_forward_glue(
+                    cfg, carry, layer, valid_len=s, fc1_impl=fc1_impl, proj_impl=proj_impl
+                ),
+                None,
+            )
 
         (x, _, _), _ = jax.lax.scan(glue_scan, (x, xq, rs), layers)
     else:

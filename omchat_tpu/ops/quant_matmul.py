@@ -116,6 +116,120 @@ def dense_prequant_gelu_quant_pallas(
     return out[:m].reshape(*lead, n)
 
 
+def _proj_glue_kernel(a_ref, x_ref, w_ref, cs_ref, b_ref, ls_ref, g_ref,
+                      xo_ref, q_ref, rs_ref, *, eps):
+    """quantize(a) @ Wq → dequant+bias → residual+LayerScale → RMSNorm → int8."""
+    # dynamic per-row activation quantization (mirrors quantize_activations)
+    a = a_ref[...].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(a), axis=1, keepdims=True)
+    sa = jnp.maximum(amax, 1e-6) / 127.0
+    aq = jnp.clip(jnp.round(a / sa), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        aq, w_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    # mirror _dense_w8a8's roundings: bf16 cast, then bf16 bias add
+    y = (acc.astype(jnp.float32) * sa * cs_ref[...].astype(jnp.float32)).astype(
+        xo_ref.dtype
+    )
+    y = y + b_ref[...]
+    # glue (mirrors _add_rmsnorm_quant_kernel)
+    xf = x_ref[...].astype(jnp.float32) + y.astype(jnp.float32) * ls_ref[...].astype(
+        jnp.float32
+    )
+    xn = xf.astype(xo_ref.dtype)
+    xo_ref[...] = xn
+    xf = xn.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True)
+    n = xf * jax.lax.rsqrt(var + eps) * g_ref[...].astype(jnp.float32)
+    nmax = jnp.max(jnp.abs(n), axis=1, keepdims=True)
+    rs = jnp.maximum(nmax, 1e-6) / 127.0
+    q_ref[...] = jnp.clip(jnp.round(n / rs), -127, 127).astype(jnp.int8)
+    rs_ref[...] = rs
+
+
+def proj_glue_supported(k: int, n: int) -> bool:
+    """The fused proj+glue kernel keeps the whole [K, N] int8 weight
+    VMEM-resident across the M sweep — gate on a square lane-aligned weight
+    that fits the budget (InternViT-6B: 3200^2 = 9.8 MB)."""
+    return k == n and k % 128 == 0 and k * n <= 3328 * 3328
+
+
+def attn_proj_glue_quant(
+    attn_out: jax.Array,
+    x: jax.Array,
+    p: dict,
+    ls: jax.Array,
+    gamma: jax.Array,
+    eps: float = 1e-6,
+    *,
+    interpret: bool = False,
+):
+    """Fused ``dense(attn_out, p, a8=True)`` + ``add_rmsnorm_quant`` — the
+    attention-proj glue point of the w8a8 ViT scan.
+
+    The unfused chain writes the bf16 proj output to HBM (33 MB at the 5-tile
+    6B shape) and reads it straight back in the glue kernel; here the proj
+    weight (square, int8, VMEM-resident via a constant index_map) rides one
+    kernel with dynamic row quantization, dequant+bias, residual+LayerScale,
+    RMSNorm and re-quantization, so only x' (bf16), codes (int8) and row
+    scales reach HBM.  Measured 1.77 vs 2.38 ms standalone at [5160, 3200]
+    (dev/exp_proj_glue.py).  Matches the chain to ≤1 int8 code; x' can differ
+    by one bf16 ulp (fp32 association of the dequant rescale differs from
+    XLA's fusion, occasionally flipping a bf16 rounding boundary).
+
+    Returns (x_new [..., D], codes int8 [..., D], row_scale fp32 [..., 1]).
+    """
+    k, n = p["kernel_q"].shape
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    a2 = attn_out.reshape(m, k)
+    x2 = x.reshape(m, n)
+
+    bm = 128
+    m_pad = (m + bm - 1) // bm * bm
+    if m_pad != m:
+        a2 = jnp.pad(a2, ((0, m_pad - m), (0, 0)))
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    cs = p["scale"].astype(jnp.float32)[None]
+    bias = p.get("bias")
+    bias = (jnp.zeros((n,), x.dtype) if bias is None else bias.astype(x.dtype))[None]
+
+    kernel = functools.partial(_proj_glue_kernel, eps=eps)
+    xn, q, rs = pl.pallas_call(
+        kernel,
+        grid=(m_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),  # resident weight
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            pl.BlockSpec((bm, n), lambda i: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, n), x.dtype),
+            jax.ShapeDtypeStruct((m_pad, n), jnp.int8),
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(a2, x2, p["kernel_q"], cs, bias, ls.reshape(1, n), gamma.reshape(1, n))
+    return (
+        xn[:m].reshape(*lead, n),
+        q[:m].reshape(*lead, n),
+        rs[:m].reshape(*lead, 1),
+    )
+
+
 def fc1_gelu_quant(
     xq: jax.Array,
     row_scale: jax.Array,

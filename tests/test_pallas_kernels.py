@@ -276,6 +276,50 @@ def test_fc1_gelu_quant_pallas_matches_xla_chain(rng):
     assert np.abs(np.asarray(ref2, np.int32) - np.asarray(got2, np.int32)).max() <= 1
 
 
+def test_attn_proj_glue_quant_matches_chain():
+    """The fused proj+glue kernel (quantize → int8 proj matmul → dequant/bias
+    → residual+LayerScale → RMSNorm → int8) matches dense(a8) followed by
+    add_rmsnorm_quant to ≤1 int8 code (ops/quant_matmul.py)."""
+    from omchat_tpu.ops.linear import dense
+    from omchat_tpu.ops.norms import add_rmsnorm_quant
+    from omchat_tpu.ops.quant_matmul import attn_proj_glue_quant, proj_glue_supported
+
+    # local generator: the session rng fixture's stream is shared and
+    # draw-order-sensitive downstream
+    rng = np.random.default_rng(7)
+
+    B, M, K = 2, 70, 256  # M not a block multiple (pads to 128)
+    assert proj_glue_supported(K, K) and not proj_glue_supported(K, 2 * K)
+    attn_out = jnp.asarray(rng.standard_normal((B, M, K)) * 0.5, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, M, K)), jnp.bfloat16)
+    p = {
+        "kernel_q": jnp.asarray(rng.integers(-127, 128, (K, K)), jnp.int8),
+        "scale": jnp.asarray(rng.random(K) * 4e-4 + 1e-4, jnp.bfloat16),
+        "bias": jnp.asarray(rng.standard_normal(K) * 0.01, jnp.bfloat16),
+    }
+    ls = jnp.asarray(rng.random(K) * 0.1, jnp.bfloat16)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(K), jnp.bfloat16)
+
+    y = dense(attn_out, p, a8=True)
+    xr, qr, rr = add_rmsnorm_quant(x, y, ls, gamma, 1e-6, interpret=True)
+    xg, qg, rg = attn_proj_glue_quant(attn_out, x, p, ls, gamma, 1e-6, interpret=True)
+    assert xg.shape == xr.shape and qg.dtype == jnp.int8 and rg.shape == rr.shape
+    # x' to one bf16 ulp (fp32 association of the dequant rescale differs),
+    # codes to ±1, row scales to an ulp.
+    np.testing.assert_allclose(
+        np.asarray(xg, np.float32), np.asarray(xr, np.float32), rtol=1e-2, atol=2e-2
+    )
+    dq = np.abs(np.asarray(qg, np.int32) - np.asarray(qr, np.int32))
+    assert dq.max() <= 1 and (dq == 0).mean() > 0.9
+    np.testing.assert_allclose(np.asarray(rg), np.asarray(rr), rtol=1e-2)
+    # no-bias proj params take the implicit-zeros path
+    p2 = {k: v for k, v in p.items() if k != "bias"}
+    y2 = dense(attn_out, p2, a8=True)
+    _, qr2, _ = add_rmsnorm_quant(x, y2, ls, gamma, 1e-6, interpret=True)
+    _, qg2, _ = attn_proj_glue_quant(attn_out, x, p2, ls, gamma, 1e-6, interpret=True)
+    assert np.abs(np.asarray(qg2, np.int32) - np.asarray(qr2, np.int32)).max() <= 1
+
+
 def test_intern_vit_fused_path_matches_xla(rng):
     """The padded-stack Pallas path produces the same features as the XLA path
     (head_dim=128 geometry so the packed kernel engages; interpret on CPU)."""
