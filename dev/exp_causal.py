@@ -32,17 +32,20 @@ def main():
     k = jax.random.normal(kk, (B, KVH, T, D), jnp.bfloat16)
     v = jax.random.normal(kv_, (B, KVH, T, D), jnp.bfloat16)
 
+    import os
+
+    softmax = os.environ.get("OMCHAT_EXP_SOFTMAX", "auto")
+
     def chain(q, k, v):
         def body(i, q):
             o = flash_attention(
                 q, k, v, causal=True, q_offset=jnp.zeros((B,), jnp.int32),
                 kv_len=jnp.full((B,), KV_LEN, jnp.int32), kv_format="bntd",
+                softmax=softmax,
             )
             return o.astype(q.dtype)
 
         return jax.lax.fori_loop(0, LAYERS, body, q)
-
-    import os
 
     if os.environ.get("OMCHAT_EXP_MHA"):
         k = jnp.repeat(k, H // KVH, axis=1)  # group=1 path (old per-head streaming)

@@ -159,6 +159,9 @@ def attn(q, k, v, mode):
         out_shape=jax.ShapeDtypeStruct((B, KVH, group, s_pad, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # the 16 MB scoped-vmem default OOMs by 100K at this shape; v5e has
+            # 128 MiB VMEM
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(scalars, q, k, v)
     return out.reshape(B, H, s_pad, D)[:, :, :S].transpose(0, 2, 1, 3)

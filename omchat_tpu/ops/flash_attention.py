@@ -49,11 +49,46 @@ def _attn_core(
     block_q: int,
     block_k: int,
     num_kv_blocks: int,
+    anchored: bool = False,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     g = q_ref.shape[0]
+
+    q_off = scalars_ref[0, b]
+    kv_len = scalars_ref[1, b]
+
+    if anchored:
+        # Diagonal-anchored softmax (causal only): kv tiles are processed in
+        # DESCENDING order (the index map mirrors this), so the first ``span``
+        # tiles cover every row's causal diagonal.  The online-softmax update
+        # runs only on those; after that the per-row max is FROZEN and later
+        # (earlier-key) tiles run exp2(s - m) with no max reduce, no alpha,
+        # and no acc/l rescale — the m/l bookkeeping was the largest
+        # non-matmul cost of the online kernel (0.49 of 2.48 ms/layer,
+        # dev/exp_causal_ablate.py).  Exact by softmax shift invariance; the
+        # frozen anchor includes each valid row's self-attention logit, so
+        # l >= 1 and overflow would need an early key to beat the anchor by
+        # >127 in the exp2 domain (~88 natural units) — far beyond trained
+        # models.  (Rows whose diagonal exceeds kv_len — padding in every
+        # production caller — carry the same headroom argument.)
+        row_max = qi * block_q + block_q - 1 + q_off
+        last = jnp.minimum(
+            jnp.maximum(pl.cdiv(kv_len, block_k) - 1, 0), jax.lax.div(row_max, block_k)
+        )
+        ki_eff = last - ki
+        needed = ki_eff >= 0
+    else:
+        ki_eff = ki
+        # Tile-level skip: causal tiles fully above the diagonal, tiles fully
+        # past the valid kv length, and (packed mode) tiles whose segments
+        # cannot overlap this q block's segments contribute nothing.
+        row_max = qi * block_q + block_q - 1 + (q_off if causal else 0)
+        in_range = (ki * block_k) < kv_len
+        needed = in_range & ((ki * block_k) <= row_max) if causal else in_range
+        if segb_ref is not None:
+            needed &= (ki >= segb_ref[0, b, qi]) & (ki <= segb_ref[1, b, qi])
 
     @pl.when(ki == 0)
     def _init():
@@ -61,22 +96,10 @@ def _attn_core(
         l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
         acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
-    q_off = scalars_ref[0, b]
-    kv_len = scalars_ref[1, b]
-
-    # Tile-level skip: causal tiles fully above the diagonal, tiles fully past
-    # the valid kv length, and (packed mode) tiles whose segments cannot
-    # overlap this q block's segments contribute nothing.
-    row_max = qi * block_q + block_q - 1 + (q_off if causal else 0)
-    in_range = (ki * block_k) < kv_len
-    needed = in_range & ((ki * block_k) <= row_max) if causal else in_range
-    if segb_ref is not None:
-        needed &= (ki >= segb_ref[0, b, qi]) & (ki <= segb_ref[1, b, qi])
-
     # Interior tiles (fully inside the causal triangle and the valid kv range)
     # skip the iota/compare/select masking passes entirely — at prefill scale
     # most tiles are interior and the VPU mask construction rivals the exp cost.
-    col_end = ki * block_k + block_k - 1
+    col_end = ki_eff * block_k + block_k - 1
     full = col_end < kv_len
     if causal:
         row_min = qi * block_q + q_off
@@ -84,14 +107,14 @@ def _attn_core(
     if sq_ref is not None:
         full &= False  # segment boundaries can cut through any tile
 
-    def _tile(masked: bool):
+    def _tile(masked: bool, frozen: bool = False):
         # One kv fetch serves the whole GQA group; the per-head math below is
         # the proven 2D kernel, statically unrolled over the group.
         k = k_ref[...]
         v = v_ref[...]
 
         if masked:
-            col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki * block_k
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + ki_eff * block_k
             mask = col_ids < kv_len
             if causal:
                 row_ids = (
@@ -113,6 +136,17 @@ def _attn_core(
             if masked:
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
+            if frozen:
+                # anchored mode, past the span: fixed per-row shift, no max
+                # reduce, no rescale
+                p = jnp.exp2(s - m_scratch[gi][:, :1])
+                l_scratch[gi] = l_scratch[gi] + jnp.sum(p, axis=1, keepdims=True)
+                o_curr = jax.lax.dot(
+                    p.astype(v.dtype), v.astype(q.dtype), preferred_element_type=jnp.float32
+                )
+                acc_scratch[gi] = acc_scratch[gi] + o_curr
+                continue
+
             m_prev = m_scratch[gi]  # [block_q, 128]
             l_prev = l_scratch[gi]
             m_curr = jnp.max(s, axis=1, keepdims=True)  # [block_q, 1]
@@ -129,13 +163,35 @@ def _attn_core(
             )
             acc_scratch[gi] = acc_scratch[gi] * alpha[:, : acc_scratch.shape[2]] + o_curr
 
-    @pl.when(needed & full)
-    def _run_full():
-        _tile(False)
+    if anchored:
+        # The first ``span`` descending tiles (covering every row's diagonal)
+        # run the full online update; the rest run with the frozen anchor.
+        span = min(num_kv_blocks, (block_q + block_k - 1) // block_k + 1)
+        in_span = ki < span
 
-    @pl.when(needed & jnp.logical_not(full))
-    def _run_masked():
-        _tile(True)
+        @pl.when(in_span & needed & full)
+        def _run_span_full():
+            _tile(False)
+
+        @pl.when(in_span & needed & jnp.logical_not(full))
+        def _run_span_masked():
+            _tile(True)
+
+        @pl.when(jnp.logical_not(in_span) & needed & full)
+        def _run_frozen_full():
+            _tile(False, frozen=True)
+
+        @pl.when(jnp.logical_not(in_span) & needed & jnp.logical_not(full))
+        def _run_frozen_masked():
+            _tile(True, frozen=True)
+    else:
+        @pl.when(needed & full)
+        def _run_full():
+            _tile(False)
+
+        @pl.when(needed & jnp.logical_not(full))
+        def _run_masked():
+            _tile(True)
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
@@ -185,7 +241,7 @@ def pick_block(seq_len: int, target: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "block_q", "block_k", "kv_format", "interpret"),
+    static_argnames=("causal", "block_q", "block_k", "kv_format", "interpret", "softmax"),
 )
 def flash_attention(
     q: jax.Array,
@@ -200,6 +256,7 @@ def flash_attention(
     block_k: Optional[int] = None,
     kv_format: str = "btnd",
     interpret: bool = False,
+    softmax: str = "auto",
 ) -> jax.Array:
     """Flash attention forward.
 
@@ -212,6 +269,12 @@ def flash_attention(
     padding.  Per-q-block kv ranges ride the scalar prefetch so tiles between
     documents are skipped, not just masked — the TPU equivalent of flash-attn's
     cu_seqlens varlen entry point (intern_vit_6b/flash_attention.py:51-73).
+
+    ``softmax``: "auto" (anchored for causal unpacked attention, online
+    otherwise), "anchored" or "online".  The anchored variant walks kv tiles
+    diagonal-first and fixes each row's softmax shift at the diagonal tile's
+    max — mathematically exact (shift invariance) with no running-max/rescale
+    bookkeeping; see _attn_core.
     """
     B, S, H, D = q.shape
     if kv_format == "btnd":
@@ -282,6 +345,12 @@ def flash_attention(
         kv_len = jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
     scalars = jnp.stack([q_offset, kv_len])  # [2, B]
 
+    if softmax not in ("auto", "anchored", "online"):
+        raise ValueError(f"unknown softmax mode: {softmax!r}")
+    anchored = causal and segment_ids is None and softmax != "online"
+    if softmax == "anchored" and not anchored:
+        raise ValueError("anchored softmax requires causal attention without segment_ids")
+
     num_q_blocks = s_pad // block_q
     num_kv_blocks = t_pad // block_k
 
@@ -325,7 +394,11 @@ def flash_attention(
             last = jnp.minimum(last_len, last_causal)
         else:
             last = last_len
-        ki = jnp.minimum(ki, last)
+        if anchored:
+            # descending walk: grid step 0 fetches the diagonal (anchor) tile
+            ki = jnp.maximum(last - ki, 0)
+        else:
+            ki = jnp.minimum(ki, last)
         if len(scal) > 1:  # segment mode: window to the needed kv-block range
             segb = scal[1]
             lo = segb[0, b, qi]
@@ -382,6 +455,7 @@ def flash_attention(
         block_q=block_q,
         block_k=block_k,
         num_kv_blocks=num_kv_blocks,
+        anchored=anchored,
     )
 
     prefetch = (scalars,) if segment_ids is None else (scalars, seg_blocks)

@@ -490,6 +490,40 @@ def test_dense_prequant_gelu_quant_contract(rng):
     assert np.abs(got.astype(np.int32) - expected.astype(np.int32)).max() <= 1
 
 
+def test_anchored_softmax_matches_online():
+    """The diagonal-anchored softmax (descending kv walk, fixed per-row shift
+    from the anchor tile's max) is exact vs the online-softmax kernel — shift
+    invariance — including ragged kv lengths, chunked-prefill q offsets, and
+    large logit magnitudes (anchor headroom)."""
+    rng = np.random.default_rng(11)
+    B, S, T, H, KVH, D = 2, 256, 512, 4, 2, 128
+    q = _rand(rng, B, S, H, D)
+    k = _rand(rng, B, T, KVH, D)
+    v = _rand(rng, B, T, KVH, D)
+    # chunked-prefill geometry: q block writes at differing offsets, ragged kv
+    q_off = jnp.asarray([100, 37], jnp.int32)
+    kv_len = jnp.asarray([356, 293], jnp.int32)
+    kw = dict(causal=True, q_offset=q_off, kv_len=kv_len, block_q=128, block_k=128,
+              interpret=True)
+    ref = flash_attention(q, k, v, softmax="online", **kw)
+    out = flash_attention(q, k, v, softmax="anchored", **kw)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-5, rtol=1e-3
+    )
+    # large-magnitude logits: scale q so scores span ±~40 in the exp2 domain
+    q2 = q * 30.0
+    ref2 = flash_attention(q2, k, v, softmax="online", **kw)
+    out2 = flash_attention(q2, k, v, softmax="anchored", **kw)
+    np.testing.assert_allclose(
+        np.asarray(out2, np.float32), np.asarray(ref2, np.float32), atol=3e-5, rtol=1e-3
+    )
+    # anchored requires causal, no segments
+    import pytest
+
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v, causal=False, softmax="anchored", interpret=True)
+
+
 def test_grouped_gqa_multi_kv_tile_default_blocks(rng):
     """The GQA group-stacked kernel with the default block heuristic and
     num_kv_blocks > 1 (T > 1024): cross-tile online-softmax accumulation,
