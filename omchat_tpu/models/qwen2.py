@@ -26,8 +26,8 @@ import jax.numpy as jnp
 
 from omchat_tpu.config import TextConfig
 from omchat_tpu.ops.attention import attention
-from omchat_tpu.ops.linear import dense
-from omchat_tpu.ops.norms import rms_norm
+from omchat_tpu.ops.linear import dense, dense_prequant
+from omchat_tpu.ops.norms import rms_norm, rmsnorm_quant
 from omchat_tpu.ops.rope import apply_rope, rope_cos_sin
 
 
@@ -75,7 +75,7 @@ def attention_inputs(
     return q, k, v
 
 
-def decoder_layer(cfg, x, layer, cos, sin, attend, mlp_fn, cache_state):
+def decoder_layer(cfg, x, layer, cos, sin, attend, mlp_fn, cache_state, *, quant_glue=False):
     """One decoder layer with pluggable KV handling — the single layer body
     shared by the dense and MoE trunks and by every serving engine (the
     contiguous-slot cache, the paged pool, and the cache-free training path all
@@ -84,18 +84,75 @@ def decoder_layer(cfg, x, layer, cos, sin, attend, mlp_fn, cache_state):
     attend(q, k, v, cache_state) -> (ctx [B, S, H, hd], new_cache_state) owns
     writing this call's K/V into its cache layout and running attention
     against it.  mlp_fn(y, mlp_params, a8) is the dense SwiGLU or MoE block.
+
+    ``quant_glue=True`` (single-device Pallas serving; resolved from attn_impl
+    by callers — the opaque kernels don't shard under GSPMD) routes the w8a8
+    prefill through fused quantization-glue kernels: norm+quantize writes only
+    int8 codes, the o_proj matmul rides the residual/norm/quantize pass, and
+    — when ``mlp.swiglu_out_scale`` is calibrated — the SwiGLU intermediate
+    is re-quantized in the matmul epilogue so the wide bf16 tensor never
+    round-trips HBM (same design as the ViT glue scan, intern_vit.py).
     """
     b, s, _ = x.shape
     # w8a8 serves the compute-bound prefill; the single-token decode step is
     # HBM-bound and keeps the weight-only int8 path (quantizing one row of
     # activations would add passes without MXU benefit).
     a8 = cfg.w8a8 and s > 1
+    glue = (
+        quant_glue
+        and a8
+        and getattr(mlp_fn, "prequant", None) is not None
+        and "kernel_q" in layer["self_attn"]["q_proj"]
+        and "kernel_q" in layer["self_attn"]["o_proj"]
+    )
+    if glue:
+        return _decoder_layer_glue(cfg, x, layer, cos, sin, attend, mlp_fn, cache_state)
     y = rms_norm(x, layer["input_layernorm"]["scale"], cfg.rms_norm_eps)
     q, k, v = attention_inputs(cfg, y, layer["self_attn"], cos, sin, a8)
     ctx, cache_state = attend(q, k, v, cache_state)
     x = x + dense(ctx.reshape(b, s, -1), layer["self_attn"]["o_proj"], a8=a8)
     y = rms_norm(x, layer["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
     x = x + mlp_fn(y, layer["mlp"], a8)
+    return x, cache_state
+
+
+def _decoder_layer_glue(cfg, x, layer, cos, sin, attend, mlp_fn, cache_state):
+    """w8a8 prefill fast path: quantization glue runs as fused Pallas passes.
+
+    Matches the unfused w8a8 layer up to ±1 int8 code per quantization point
+    (the kernels skip the chain's bf16 intermediate roundings; see
+    ops/norms.py and ops/quant_matmul.py for the per-kernel contracts).
+    """
+    from omchat_tpu.ops.quant_matmul import attn_proj_glue_quant, proj_glue_supported
+
+    b, s, d = x.shape
+    interpret = jax.default_backend() != "tpu"
+    attn_p = layer["self_attn"]
+    xq, xrs = rmsnorm_quant(
+        x, layer["input_layernorm"]["scale"], cfg.rms_norm_eps, interpret=interpret
+    )
+    h, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.attn_head_dim
+    q = dense_prequant(xq, xrs, attn_p["q_proj"], dtype=x.dtype).reshape(b, s, h, hd)
+    k = dense_prequant(xq, xrs, attn_p["k_proj"], dtype=x.dtype).reshape(b, s, kvh, hd)
+    v = dense_prequant(xq, xrs, attn_p["v_proj"], dtype=x.dtype).reshape(b, s, kvh, hd)
+    q, k = apply_rope(q, k, cos, sin)
+    ctx, cache_state = attend(q, k, v, cache_state)
+    o = ctx.reshape(b, s, -1)
+    post_gamma = layer["post_attention_layernorm"]["scale"]
+    if proj_glue_supported(*attn_p["o_proj"]["kernel_q"].shape):
+        x, yq, yrs = attn_proj_glue_quant(
+            o,
+            x,
+            attn_p["o_proj"],
+            jnp.ones((d,), x.dtype),
+            post_gamma,
+            cfg.rms_norm_eps,
+            interpret=interpret,
+        )
+    else:
+        x = x + dense(o, attn_p["o_proj"], a8=True)
+        yq, yrs = rmsnorm_quant(x, post_gamma, cfg.rms_norm_eps, interpret=interpret)
+    x = x + mlp_fn.prequant(yq, yrs, layer["mlp"], x.dtype, interpret)
     return x, cache_state
 
 
@@ -134,12 +191,41 @@ def _dense_mlp(y, p, a8):
     return _mlp(y, p, a8=a8)
 
 
+def _dense_mlp_prequant(yq, yrs, p, dtype, interpret=False):
+    """SwiGLU over pre-quantized activations (the glue fast path).  With a
+    calibrated ``swiglu_out_scale`` the silu·mul re-quantizes in the matmul
+    epilogue (ops/quant_matmul.py) and down_proj consumes int8 codes; without
+    it the intermediate falls back to bf16 with a dynamic down_proj quantize."""
+    from omchat_tpu.ops.quant_matmul import swiglu_quant
+
+    if "swiglu_out_scale" in p:
+        codes = swiglu_quant(
+            yq, yrs, p["gate_proj"], p["up_proj"], p["swiglu_out_scale"],
+            interpret=interpret,
+        )
+        return dense_prequant(codes, p["swiglu_out_scale"], p["down_proj"], dtype=dtype)
+    g = dense_prequant(yq, yrs, p["gate_proj"], dtype=dtype)
+    u = dense_prequant(yq, yrs, p["up_proj"], dtype=dtype)
+    return dense(jax.nn.silu(g) * u, p["down_proj"], a8=True)
+
+
+_dense_mlp.prequant = _dense_mlp_prequant
+
+
+def quant_glue_ok(attn_impl) -> bool:
+    """Glue kernels engage only for single-device Pallas-path serving: the
+    multi-device engines force attn_impl to "xla" or the ("pallas_tp", mesh)
+    tuple, under which the opaque pallas_calls would not shard."""
+    return attn_impl is None or attn_impl == "pallas"
+
+
 def _layer_forward(cfg, attn_impl, carry, xs):
     x, cos, sin, write_pos, kv_len = carry
     layer, k_cache, v_cache = xs
     attend = functools.partial(cache_attend, cfg, attn_impl, write_pos, kv_len)
     x, (k_cache, v_cache) = decoder_layer(
-        cfg, x, layer, cos, sin, attend, _dense_mlp, (k_cache, v_cache)
+        cfg, x, layer, cos, sin, attend, _dense_mlp, (k_cache, v_cache),
+        quant_glue=quant_glue_ok(attn_impl),
     )
     return (x, cos, sin, write_pos, kv_len), (k_cache, v_cache)
 
@@ -202,6 +288,51 @@ def qwen2_forward(
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)
     return x, new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _calibrate_swiglu_amax(params, cfg: TextConfig, inputs_embeds, positions):
+    cos, sin = rope_cos_sin(
+        positions,
+        cfg.attn_head_dim,
+        theta=cfg.rope_theta,
+        scaling=cfg.rope_scaling,
+        max_position_embeddings=cfg.max_position_embeddings,
+        dtype=inputs_embeds.dtype,
+    )
+    b, s, _ = inputs_embeds.shape
+
+    def body(x, layer):
+        y = rms_norm(x, layer["input_layernorm"]["scale"], cfg.rms_norm_eps)
+        q, k, v = attention_inputs(cfg, y, layer["self_attn"], cos, sin, True)
+        ctx = attention(q, k, v, causal=True, impl="xla").reshape(b, s, -1)
+        x = x + dense(ctx, layer["self_attn"]["o_proj"], a8=True)
+        y = rms_norm(x, layer["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
+        p = layer["mlp"]
+        h = jax.nn.silu(dense(y, p["gate_proj"], a8=True)) * dense(y, p["up_proj"], a8=True)
+        x = x + dense(h, p["down_proj"], a8=True)
+        return x, jnp.max(jnp.abs(h.astype(jnp.float32)))
+
+    _, amax = jax.lax.scan(body, inputs_embeds, params["layers"])
+    return amax
+
+
+def calibrate_swiglu_scales(params: dict, cfg: TextConfig, inputs_embeds, positions) -> dict:
+    """Per-layer static SwiGLU-output scales for the quantizing MLP epilogue
+    (the LLM analogue of :func:`~omchat_tpu.models.intern_vit.
+    calibrate_fc1_scales`).  Runs the w8a8 trunk on a calibration batch,
+    records each layer's amax of ``silu(gate(y)) * up(y)``, and returns a new
+    params dict with ``layers.mlp.swiglu_out_scale`` [L] fp32 set — the
+    quant-glue layer body picks it up automatically."""
+    import numpy as np
+
+    amax = np.asarray(_calibrate_swiglu_amax(params, cfg, inputs_embeds, positions))
+    scales = np.maximum(amax, 1e-6).astype(np.float32) / 127.0
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    out["layers"]["mlp"] = dict(params["layers"]["mlp"])
+    out["layers"]["mlp"]["swiglu_out_scale"] = jnp.asarray(scales)
+    return out
 
 
 def lm_head(params: dict, cfg: TextConfig, hidden: jax.Array) -> jax.Array:

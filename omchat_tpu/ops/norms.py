@@ -83,6 +83,68 @@ def _row_block(rows: int) -> int:
     return rows  # tiny inputs: single block
 
 
+def _rmsnorm_quant_kernel(x_ref, g_ref, q_ref, rs_ref, *, eps):
+    xf = x_ref[...].astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=1, keepdims=True)
+    # Quantize the fp32 normalized value directly (same intentional skip of
+    # the bf16 intermediate rounding as _add_rmsnorm_quant_kernel).
+    n = xf * jax.lax.rsqrt(var + eps) * g_ref[...].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(n), axis=1, keepdims=True)
+    rs = jnp.maximum(amax, 1e-6) / 127.0
+    q_ref[...] = jnp.clip(jnp.round(n / rs), -127, 127).astype(jnp.int8)
+    rs_ref[...] = rs
+
+
+def rmsnorm_quant(
+    x: jax.Array,
+    gamma: jax.Array,
+    eps: float = 1e-6,
+    *,
+    interpret: bool = False,
+):
+    """Fused ``codes = int8(rms_norm(x, gamma))`` — the norm + per-token
+    activation quantization at the top of a w8a8 block, written as one pass so
+    only int8 codes (not the bf16 normed activations) reach HBM.
+
+    Returns (codes [..., D] int8, row_scale [..., 1] fp32), matching
+    ``quantize_activations(rms_norm(x, gamma, eps))`` up to ±1 int8 code.
+    """
+    shape = x.shape
+    d = shape[-1]
+    rows = 1
+    for s in shape[:-1]:
+        rows *= s
+    x2 = x.reshape(rows, d)
+    bm = 128
+    rows_pad = (rows + bm - 1) // bm * bm
+    if rows_pad != rows:
+        x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, 0)))
+
+    kernel = functools.partial(_rmsnorm_quant_kernel, eps=eps)
+    codes, rs = pl.pallas_call(
+        kernel,
+        grid=(rows_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda r: (r, 0)),
+            pl.BlockSpec((1, d), lambda r: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, d), lambda r: (r, 0)),
+            pl.BlockSpec((bm, 1), lambda r: (r, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_pad, d), jnp.int8),
+            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x2, gamma.reshape(1, d))
+    return (
+        codes[:rows].reshape(shape),
+        rs[:rows].reshape(shape[:-1] + (1,)),
+    )
+
+
 def add_rmsnorm_quant(
     x: jax.Array,
     delta: jax.Array,

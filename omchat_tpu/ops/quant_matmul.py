@@ -116,6 +116,102 @@ def dense_prequant_gelu_quant_pallas(
     return out[:m].reshape(*lead, n)
 
 
+def _swiglu_kernel(x_ref, wg_ref, wu_ref, rs_ref, csg_ref, csu_ref, os_ref, o_ref):
+    dims = (((1,), (0,)), ((), ()))
+    accg = jax.lax.dot_general(x_ref[...], wg_ref[...], dims, preferred_element_type=jnp.int32)
+    accu = jax.lax.dot_general(x_ref[...], wu_ref[...], dims, preferred_element_type=jnp.int32)
+    rs = rs_ref[...]
+    g = accg.astype(jnp.float32) * rs * csg_ref[...].astype(jnp.float32)
+    u = accu.astype(jnp.float32) * rs * csu_ref[...].astype(jnp.float32)
+    h = jax.nn.silu(g) * u
+    inv = 1.0 / os_ref[0, 0]
+    o_ref[...] = jnp.clip(jnp.round(h * inv), -127, 127).astype(jnp.int8)
+
+
+def dense_prequant_swiglu_quant_pallas(
+    xq: jax.Array,
+    row_scale: jax.Array,
+    gate_p: dict,
+    up_p: dict,
+    out_scale: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas twin of :func:`omchat_tpu.ops.linear.dense_prequant_swiglu_quant`
+    (the w8a8 LLM MLP hot op): both int8 matmuls + fp32 silu·mul + static-scale
+    re-quantize run in VMEM; only int8 codes are written back.  Grid
+    ``(N/bn, M/bm)`` keeps each pair of [K, bn] weight tiles resident across
+    the M sweep."""
+    k, n = gate_p["kernel_q"].shape
+    lead = xq.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    xq2 = xq.reshape(m, k)
+    rs2 = row_scale.astype(jnp.float32).reshape(m, 1)
+
+    bm, m_pad = _pick_bm(m)
+    bn = _pick_bn(n)
+    if bn is None or k % 128 != 0:
+        raise ValueError(f"unsupported swiglu geometry K={k} N={n} (use the XLA chain)")
+    if m_pad != m:
+        xq2 = jnp.pad(xq2, ((0, m_pad - m), (0, 0)))
+        rs2 = jnp.pad(rs2, ((0, m_pad - m), (0, 0)))
+
+    csg = gate_p["scale"].astype(jnp.float32)[None]
+    csu = up_p["scale"].astype(jnp.float32)[None]
+    os_ = jnp.asarray(out_scale, jnp.float32).reshape(1, 1)
+
+    out = pl.pallas_call(
+        _swiglu_kernel,
+        grid=(n // bn, m_pad // bm),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0)),
+            pl.BlockSpec((k, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((k, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((bm, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(xq2, gate_p["kernel_q"], up_p["kernel_q"], rs2, csg, csu, os_)
+    return out[:m].reshape(*lead, n)
+
+
+def swiglu_quant(
+    xq: jax.Array,
+    row_scale: jax.Array,
+    gate_p: dict,
+    up_p: dict,
+    out_scale: jax.Array,
+    *,
+    impl: Optional[str] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dispatch the static-scale quantizing SwiGLU epilogue (auto: Pallas when
+    the geometry supports it on TPU or in interpret mode, XLA chain otherwise)."""
+    from omchat_tpu.ops.linear import dense_prequant_swiglu_quant
+
+    if impl is None:
+        impl = (
+            "pallas"
+            if (interpret or jax.default_backend() == "tpu")
+            and pallas_supported(*gate_p["kernel_q"].shape)
+            else "xla"
+        )
+    if impl == "pallas":
+        return dense_prequant_swiglu_quant_pallas(
+            xq, row_scale, gate_p, up_p, out_scale, interpret=interpret
+        )
+    return dense_prequant_swiglu_quant(xq, row_scale, gate_p, up_p, out_scale)
+
+
 def _proj_glue_kernel(a_ref, x_ref, w_ref, cs_ref, b_ref, ls_ref, g_ref,
                       xo_ref, q_ref, rs_ref, *, eps):
     """quantize(a) @ Wq → dequant+bias → residual+LayerScale → RMSNorm → int8."""
@@ -150,8 +246,10 @@ def _proj_glue_kernel(a_ref, x_ref, w_ref, cs_ref, b_ref, ls_ref, g_ref,
 def proj_glue_supported(k: int, n: int) -> bool:
     """The fused proj+glue kernel keeps the whole [K, N] int8 weight
     VMEM-resident across the M sweep — gate on a square lane-aligned weight
-    that fits the budget (InternViT-6B: 3200^2 = 9.8 MB)."""
-    return k == n and k % 128 == 0 and k * n <= 3328 * 3328
+    that fits the (raised) VMEM budget (InternViT-6B proj: 3200^2 = 9.8 MB,
+    Qwen2-7B o_proj: 3584^2 = 12.9 MB; v5e has 128 MiB VMEM and the kernel
+    asks for a 64 MB scoped limit)."""
+    return k == n and k % 128 == 0 and k * n <= 4096 * 4096
 
 
 def attn_proj_glue_quant(
@@ -220,7 +318,12 @@ def attn_proj_glue_quant(
             jax.ShapeDtypeStruct((m_pad, n), jnp.int8),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # resident weight + fp32 row-block temps exceed the 16 MB scoped
+            # default at the 3584^2 o_proj geometry
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(a2, x2, p["kernel_q"], cs, bias, ls.reshape(1, n), gamma.reshape(1, n))
     return (

@@ -37,7 +37,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from omchat_tpu.config import OmChatConfig
-from omchat_tpu.models.qwen2 import _dense_mlp, decoder_layer, embed_tokens, lm_head
+from omchat_tpu.models.qwen2 import (
+    _dense_mlp,
+    decoder_layer,
+    embed_tokens,
+    lm_head,
+    quant_glue_ok,
+)
 from omchat_tpu.ops.norms import rms_norm
 from omchat_tpu.ops.paged_attention import PageAllocator, paged_decode_attention
 from omchat_tpu.ops.rope import rope_cos_sin
@@ -154,7 +160,10 @@ def _decode_step_core(
     def layer(carry, xs):
         xx = carry
         lp, kp, vp = xs
-        xx, (kp, vp) = decoder_layer(tc, xx, lp, cos, sin, attend, mlp_fn, (kp, vp))
+        xx, (kp, vp) = decoder_layer(
+            tc, xx, lp, cos, sin, attend, mlp_fn, (kp, vp),
+            quant_glue=quant_glue_ok(attn_impl),
+        )
         return xx, (kp, vp)
 
     (xf), (k_pool, v_pool) = jax.lax.scan(
@@ -307,7 +316,10 @@ def _paged_prefill_chunk_jit(
     def layer(carry, xs):
         xx = carry
         lp, kp, vp = xs
-        xx, (kp, vp) = decoder_layer(tc, xx, lp, cos, sin, attend, mlp_fn, (kp, vp))
+        xx, (kp, vp) = decoder_layer(
+            tc, xx, lp, cos, sin, attend, mlp_fn, (kp, vp),
+            quant_glue=quant_glue_ok(attn_impl),
+        )
         return xx, (kp, vp)
 
     xf, (k_pool, v_pool) = jax.lax.scan(
