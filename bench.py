@@ -205,6 +205,10 @@ def main():
 
     # --- Prefill (TTFT) ---
     plan = engine.plan([ids])
+    # NOTE: no calibrate_swiglu_scales here — the static SwiGLU epilogue is a
+    # measured negative at the Qwen2-7B geometry (dev/exp_llm_glue.py: static
+    # 279.2/278.3 ms vs dynamic glue 276.8; the [M,K] activation re-stream per
+    # N-block outweighs the saved bf16 intermediate, unlike the ViT fc1 case).
     _log("compiling prefill")
     logits, cache = engine.prefill(plan, feats, DECODE_TOKENS)
     _sync(logits)  # compile

@@ -71,23 +71,15 @@ def main():
             images.append(None)
         reqs.append(ids)
 
-    # Warmup: compile every prompt bucket the measured workload hits (the
-    # text buckets plus each multimodal request's expanded bucket), the ViT
-    # encode, the page-commit scatter, and the decode step.
-    mm_buckets = set()
-    for ids, img in zip(reqs, images):
-        if img is not None:
-            mm_buckets.add(-(-int(engine._prefiller.plan([ids]).lengths[0]) // 128) * 128)
-    wids = []
-    for n in (100, 200, 380, 500):
-        ids = [151644] + [int(t) for t in rng.integers(2000, 20000, n - 1)]
-        wids.append(engine.submit(ids, max_new_tokens=4, eos_token_id=-1))
-    for bucket in sorted(mm_buckets):
-        ids = [151644, IMAGE_TOKEN_INDEX, IMAGE_TOKEN_INDEX] + [
-            int(t) for t in rng.integers(2000, 20000, bucket - 2100)
-        ]
-        img = jnp.asarray(rng.standard_normal((2, 3, 448, 448)), jnp.bfloat16)
-        wids.append(engine.submit(ids, img, max_new_tokens=4, eos_token_id=-1))
+    # Warmup: run the measured workload once at max_new_tokens=4 — this
+    # compiles exactly the programs the measurement hits (the batched
+    # short-prompt prefill at the same [B, bucket], each multimodal chunk
+    # width, the ViT encode, the page-commit scatter, and the decode step),
+    # independent of slot count and admission pattern.
+    wids = [
+        engine.submit(list(ids), img, max_new_tokens=4, eos_token_id=-1)
+        for ids, img in zip(reqs, images)
+    ]
     engine.run_to_completion()
     for wid in wids:
         engine.pop_result(wid)
@@ -108,6 +100,17 @@ def main():
             return out
 
         engine._prefill_tick = timed_prefill
+        orig_shorts = engine._prefill_shorts
+
+        def timed_shorts(reqs_):
+            t = time.perf_counter()
+            out = orig_shorts(reqs_)
+            float(engine.k_pool[0, 0, 0, 0, 0])
+            prof["prefill_s"] += time.perf_counter() - t
+            prof["prefill_ticks"] += 1
+            return out
+
+        engine._prefill_shorts = timed_shorts
 
         def timed_step():
             t = time.perf_counter()

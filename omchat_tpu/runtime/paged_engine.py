@@ -62,29 +62,40 @@ def _mlp_fn(tc, moe_impl: str):
 
 
 @functools.partial(jax.jit, static_argnames=("page_size",), donate_argnames=("k_pool", "v_pool"))
-def _commit_pages_jit(slot_k, slot_v, k_pool, v_pool, table, n_pages, page_size: int):
-    """Scatter one request's contiguous K/V ([L, 1, KVH, T, D]) into its pages.
+def _commit_pages_jit(slot_k, slot_v, k_pool, v_pool, tables, n_pages, page_size: int):
+    """Scatter B requests' contiguous K/V ([L, B, KVH, T, D]) into their pages
+    with one batched whole-page scatter.
 
-    T is a multiple of page_size (prompt buckets are); chunks beyond the
-    request's valid page count are skipped, so no foreign page is touched.
+    tables: [B, max_pages]; n_pages: [B].  T is a multiple of page_size
+    (prompt buckets are).  Chunks beyond a request's valid page count land on
+    the parking page (the pool's last index) — never attended, so the
+    undefined duplicate-scatter resolution there is harmless.
     """
-    l, _, kvh, t, d = slot_k.shape
-    chunks_k = slot_k[:, 0].reshape(l, kvh, t // page_size, page_size, d)
-    chunks_v = slot_v[:, 0].reshape(l, kvh, t // page_size, page_size, d)
-
-    def body(i, pools):
-        kp, vp = pools
-        page = table[i]
-        kp = jax.lax.dynamic_update_slice(kp, chunks_k[:, :, i][:, :, None], (0, 0, page, 0, 0))
-        vp = jax.lax.dynamic_update_slice(vp, chunks_v[:, :, i][:, :, None], (0, 0, page, 0, 0))
-        return kp, vp
-
-    # static trip count (t // page_size); chunks beyond the request's valid
-    # page count are skipped
-    def body_clamped(i, pools):
-        return jax.lax.cond(i < n_pages, lambda p: body(i, p), lambda p: p, pools)
-
-    k_pool, v_pool = jax.lax.fori_loop(0, t // page_size, body_clamped, (k_pool, v_pool))
+    l, b, kvh, t, d = slot_k.shape
+    c = t // page_size
+    max_pages = tables.shape[1]
+    chunks_k = (
+        slot_k.reshape(l, b, kvh, c, page_size, d)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(l, kvh, b * c, page_size, d)
+    )
+    chunks_v = (
+        slot_v.reshape(l, b, kvh, c, page_size, d)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(l, kvh, b * c, page_size, d)
+    )
+    idx = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (b, c))
+    valid = (idx < n_pages[:, None]) & (idx < max_pages)
+    parked = k_pool.shape[2] - 1
+    pages = jnp.where(
+        valid,
+        jnp.take_along_axis(
+            tables, jnp.minimum(idx, max_pages - 1), axis=1
+        ),
+        parked,
+    ).reshape(b * c)
+    k_pool = k_pool.at[:, :, pages].set(chunks_k.astype(k_pool.dtype))
+    v_pool = v_pool.at[:, :, pages].set(chunks_v.astype(v_pool.dtype))
     return k_pool, v_pool
 
 
@@ -565,8 +576,8 @@ class PagedBatchEngine:
                 cache.v,
                 self.k_pool,
                 self.v_pool,
-                jnp.asarray(self._tables[req.slot]),
-                jnp.int32(n_pages),
+                jnp.asarray(self._tables[req.slot])[None],
+                jnp.asarray([n_pages], jnp.int32),
                 self.page_size,
             )
             return logits
@@ -617,14 +628,59 @@ class PagedBatchEngine:
             return logits
         return None
 
+    def _prefill_shorts(self, reqs):
+        """ONE batched contiguous prefill + page commit for several short
+        text-only prompts.
+
+        A lone short prompt underfills the MXU and its dispatch pays the full
+        int8 weight stream; stacking the pending shorts into a [B, bucket]
+        prefill amortizes both (the dominant serving cost after the decode
+        roll — see BENCH.md).  B pads to a power of two (bounded program
+        count) with replica rows committed to the parking page; lengths pad
+        to the longest request's prompt bucket.  Returns logits [B, V]
+        (device; caller reads back after queueing the other dispatches).
+        """
+        bb = 1
+        while bb < len(reqs):
+            bb *= 2
+        n_pad = bb - len(reqs)
+        batch_ids = [r.input_ids for r in reqs] + [reqs[0].input_ids] * n_pad
+        plan = self._prefiller.plan(batch_ids)
+        logits, cache = self._prefiller.prefill(plan, None, 0)
+        tables = np.concatenate(
+            [
+                np.stack([self._tables[r.slot] for r in reqs]),
+                np.full((n_pad, self.max_pages), self._parking, np.int32),
+            ]
+            if n_pad
+            else [np.stack([self._tables[r.slot] for r in reqs])]
+        )
+        n_pages = np.zeros((bb,), np.int32)
+        for i, r in enumerate(reqs):
+            r.prompt_len = int(plan.lengths[i])
+            n_pages[i] = self._n_pages_for(r.prompt_len)
+        self.k_pool, self.v_pool = _commit_pages_jit(
+            cache.k,
+            cache.v,
+            self.k_pool,
+            self.v_pool,
+            jnp.asarray(tables),
+            jnp.asarray(n_pages),
+            self.page_size,
+        )
+        return logits
+
     def _finish_prefill(self, req: _PagedRequest, logits):
-        req.prefilled = True
         if req.samples:
             from omchat_tpu.ops.sampling import sample
 
             first = int(np.asarray(sample(logits, self._next_key(), req.generation))[0])
         else:
             first = int(np.asarray(greedy(logits))[0])
+        self._finish_with_token(req, first)
+
+    def _finish_with_token(self, req: _PagedRequest, first: int):
+        req.prefilled = True
         req.last_token = first
         self._lengths[req.slot] = req.prompt_len
         if first == req.eos_token_id:
@@ -636,19 +692,48 @@ class PagedBatchEngine:
 
     def step(self):
         self._admit()
-        # Advance EVERY pending prefill by one dispatch (short prompt: whole;
-        # long prompt: one chunk), then roll.  Serving throughput is dominated
-        # by slot occupancy: prefilling one slot per tick while rolling
-        # decode_roll tokens desynchronizes the batch (early slots finish
-        # before late ones start — measured ~4/8 average occupancy).  Decode
-        # stall per tick stays bounded at n_pending × one chunk.
+        # Advance EVERY pending prefill per tick, then roll.  Pending short
+        # text-only prompts ride ONE batched prefill dispatch; long/multimodal
+        # prompts advance one chunk each (prefill/decode interleave).  Serving
+        # throughput is dominated by slot occupancy: prefilling one slot per
+        # tick while rolling decode_roll tokens desynchronizes the batch
+        # (early slots finish before late ones start — measured ~4/8 average
+        # occupancy).  Decode stall per tick stays bounded at one batched
+        # prefill + n_pending × one chunk.
+        pending = [r for r in self.slots if r is not None and not r.prefilled]
+        shorts = [
+            r
+            for r in pending
+            if r.image_features is None
+            and r.chunk_pos == 0
+            and int(r.plan.lengths[0]) <= self.prefill_chunk
+        ]
+        batch = None
+        if len(shorts) >= 2:
+            batch = (shorts, self._prefill_shorts(shorts))
+            pending = [r for r in pending if r not in shorts]
         finished_prefills = []
-        for req in [r for r in self.slots if r is not None and not r.prefilled]:
+        for req in pending:
             logits = self._prefill_tick(req)
             if logits is not None:
                 finished_prefills.append((req, logits))
         # first-token readbacks AFTER every dispatch is queued: the device
         # works on prefill i+1 while the host reads prefill i's logits
+        if batch is not None:
+            breqs, blogits = batch
+            greedy_toks = None
+            for i, r in enumerate(breqs):
+                if r.samples:
+                    from omchat_tpu.ops.sampling import sample
+
+                    first = int(
+                        np.asarray(sample(blogits[i : i + 1], self._next_key(), r.generation))[0]
+                    )
+                else:
+                    if greedy_toks is None:  # ONE readback for the whole batch
+                        greedy_toks = np.asarray(greedy(blogits))
+                    first = int(greedy_toks[i])
+                self._finish_with_token(r, first)
         for req, logits in finished_prefills:
             self._finish_prefill(req, logits)
 

@@ -74,6 +74,35 @@ def test_paged_engine_matches_single_request(setup, rng):
         assert be.result(rid) == exp
 
 
+def test_batched_short_prefill_path_taken(setup):
+    """≥2 pending text-only short prompts ride ONE batched prefill dispatch
+    (with a power-of-two padding row committed to the parking page), and the
+    outputs still match the single-request engine."""
+    cfg, params = setup
+    max_new = 4
+    reqs = [([5 + i, 6 + i, 7 + i, 8 + i], None) for i in range(3)]
+    expected = _expected(cfg, params, reqs, max_new)
+
+    be = PagedBatchEngine(
+        cfg, params, max_slots=3, num_pages=12, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=48,
+    )
+    calls = []
+    orig = be._prefill_shorts
+
+    def spy(rs):
+        calls.append(len(rs))
+        return orig(rs)
+
+    be._prefill_shorts = spy
+    rids = [be.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1) for ids, _ in reqs]
+    be.run_to_completion(max_ticks=200)
+    assert calls == [3]  # one batched dispatch for all three (padded to 4)
+    for rid, exp in zip(rids, expected):
+        assert be.result(rid) == exp
+    assert be.allocator.available == 12
+
+
 def test_pages_are_reused_across_waves(setup):
     """The pool is smaller than the total demand; requests queue for PAGES
     (not just slots) and freed pages serve later waves uncorrupted."""
