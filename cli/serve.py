@@ -281,6 +281,8 @@ def main():
                         help="paged engine: decode steps per dispatch (throughput mode; >1 amortizes host round trips, adds up to roll-1 tokens of admission latency)")
     parser.add_argument("--prefill-chunk", type=int, default=1024,
                         help="paged engine: prompts longer than this stream through fixed-shape paged chunks, decode rolls interleaved between chunks")
+    parser.add_argument("--prefix-cache", action="store_true",
+                        help="paged engine: automatic prefix caching - requests sharing a token prefix (system prompts) reuse its KV pages instead of re-prefilling")
     parser.add_argument("--speculative", action="store_true",
                         help="prompt-lookup speculative decoding on the single-request engine path (greedy requests only; identical tokens, fewer device steps)")
     args = parser.parse_args()
@@ -306,6 +308,7 @@ def main():
                 mesh=model.engine.mesh,
                 decode_roll=args.decode_roll,
                 prefill_chunk=args.prefill_chunk,
+                prefix_cache=args.prefix_cache,
             )
         else:
             from omchat_tpu.runtime.batch_engine import BatchEngine

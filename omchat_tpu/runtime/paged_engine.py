@@ -361,6 +361,8 @@ class _PagedRequest:
     prompt_len: int = 0
     n_pages_needed: int = 0
     chunk_pos: int = 0  # next chunk start for in-progress paged prefill
+    page_hashes: List[bytes] = field(default_factory=list)  # prefix-cache digests
+    cache_refs: List[int] = field(default_factory=list)  # pages held via the cache
 
     @property
     def samples(self) -> bool:
@@ -386,6 +388,7 @@ class PagedBatchEngine:
         decode_roll: int = 1,
         moe_impl: str = "dense",
         prefill_chunk: int = 1024,
+        prefix_cache: bool = False,
     ):
         """``max_len`` caps one request's prompt+generation (it sets the page
         TABLE width, so per-step attention cost scales with the request cap,
@@ -398,7 +401,12 @@ class PagedBatchEngine:
         positions per finished request and one roll of admission latency for
         queued requests (throughput mode; keep 1 for lowest per-token
         latency).  ``prefill_chunk`` bounds any single prefill dispatch —
-        longer prompts advance one chunk per tick with rolls in between."""
+        longer prompts advance one chunk per tick with rolls in between.
+
+        ``prefix_cache`` enables automatic prefix caching: immutable prompt
+        KV pages are published under a content digest and requests sharing a
+        token prefix (the system-prompt pattern) skip prefilling the matched
+        pages entirely (see runtime/prefix_cache.py)."""
         assert prompt_bucket % page_size == 0, "prompt buckets must align to pages"
         assert prefill_chunk % page_size == 0, "prefill chunks must align to pages"
         self.prefill_chunk = prefill_chunk
@@ -453,6 +461,12 @@ class PagedBatchEngine:
             self.v_pool = jax.device_put(self.v_pool, sh)
         self.allocator = PageAllocator(num_pages)
         self._parking = num_pages
+        if prefix_cache:
+            from omchat_tpu.runtime.prefix_cache import PrefixPageCache
+
+            self.prefix_cache: Optional[PrefixPageCache] = PrefixPageCache()
+        else:
+            self.prefix_cache = None
         # max pages one request may map — the fixed table width per compile;
         # per-step attention spans max_len, not the whole pool.  The table is
         # widened by the roll headroom so decode_roll does not shrink the
@@ -495,6 +509,15 @@ class PagedBatchEngine:
                 "raise max_len/num_pages or shorten the request"
             )
         req.n_pages_needed = need
+        if self.prefix_cache is not None:
+            from omchat_tpu.runtime.prefix_cache import page_hashes
+
+            tids = np.asarray(req.plan.token_ids[0])
+            isimg = np.asarray(req.plan.is_image[0])
+            first_img = int(np.argmax(isimg)) if isimg.any() else None
+            req.page_hashes = page_hashes(
+                tids, int(req.plan.lengths[0]), self.page_size, first_img
+            )
         if images is not None:
             req.image_features = self._prefiller.encode_images(images)
         self.queue.append(req)
@@ -525,21 +548,44 @@ class PagedBatchEngine:
     def _n_pages_for(self, total_tokens: int) -> int:
         return -(-total_tokens // self.page_size)
 
+    def _alloc(self, n: int) -> List[int]:
+        """Allocate, reclaiming refcount-0 prefix-cache pages under pressure."""
+        short = n - self.allocator.available
+        if short > 0 and self.prefix_cache is not None:
+            self.allocator.release(self.prefix_cache.evict(short))
+        return self.allocator.alloc(n)
+
     def _admit(self):
         for i in range(self.max_slots):
             if self.slots[i] is not None or not self.queue:
                 continue
             req = self.queue[0]
-            if req.n_pages_needed > self.allocator.available:
-                break  # head-of-line waits for running requests to free pages
+            hit: List[int] = []
+            if self.prefix_cache is not None and req.page_hashes:
+                # cap the hit so at least one prompt token remains to prefill
+                # (the final-position logits come from the prefill dispatch)
+                usable = (int(req.plan.lengths[0]) - 1) // self.page_size
+                hit = self.prefix_cache.lookup(req.page_hashes[:usable])
+            evictable = self.prefix_cache.evictable if self.prefix_cache else 0
+            if req.n_pages_needed - len(hit) > self.allocator.available + evictable:
+                for p in hit:  # head-of-line waits; drop the taken references
+                    self.prefix_cache.unref(p)
+                break
             self.queue.pop(0)
-            req.pages = self.allocator.alloc(req.n_pages_needed)
+            req.cache_refs = hit
+            req.chunk_pos = len(hit) * self.page_size
+            req.pages = self._alloc(req.n_pages_needed - len(hit))
             req.slot = i
             self.slots[i] = req
             self._tables[i, :] = self._parking
-            self._tables[i, : len(req.pages)] = req.pages
+            self._tables[i, : len(hit)] = hit
+            self._tables[i, len(hit) : len(hit) + len(req.pages)] = req.pages
 
     def _release(self, req: _PagedRequest):
+        if self.prefix_cache is not None:
+            for p in req.cache_refs:
+                self.prefix_cache.unref(p)
+            req.cache_refs = []
         self.allocator.release(req.pages)
         req.pages = []
         # park the slot's table so post-release decode writes never touch a
@@ -566,7 +612,9 @@ class PagedBatchEngine:
         plan = req.plan
         total = int(plan.lengths[0])
         req.prompt_len = total
-        if total <= self.prefill_chunk:
+        # a prefix-cache hit (chunk_pos > 0) always takes the chunked path —
+        # the one-shot contiguous prefill cannot start mid-prompt
+        if total <= self.prefill_chunk and req.chunk_pos == 0:
             logits, cache = self._prefiller.prefill(plan, req.image_features, 0)
             n_pages = self._n_pages_for(total)
             # commit the scratch cache's valid rows into the request's pages;
@@ -679,9 +727,26 @@ class PagedBatchEngine:
             first = int(np.asarray(greedy(logits))[0])
         self._finish_with_token(req, first)
 
+    def _publish_prefix_pages(self, req: _PagedRequest):
+        """After a completed prefill, publish the freshly written immutable
+        prompt pages (everything page_hashes addresses beyond the admission
+        hit) to the prefix cache; published pages transfer ownership to the
+        cache and become held references instead."""
+        n_hit = len(req.cache_refs)
+        moved = set()
+        for j in range(n_hit, len(req.page_hashes)):
+            p = req.pages[j - n_hit]
+            if self.prefix_cache.publish(req.page_hashes[j], p):
+                req.cache_refs.append(p)
+                moved.add(j - n_hit)
+        if moved:
+            req.pages = [p for k, p in enumerate(req.pages) if k not in moved]
+
     def _finish_with_token(self, req: _PagedRequest, first: int):
         req.prefilled = True
         req.last_token = first
+        if self.prefix_cache is not None and req.page_hashes:
+            self._publish_prefix_pages(req)
         self._lengths[req.slot] = req.prompt_len
         if first == req.eos_token_id:
             self._release(req)

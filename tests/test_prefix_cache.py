@@ -1,0 +1,207 @@
+"""Automatic prefix caching: KV pages of a shared prompt prefix are reused
+across requests with no output change (differential vs the uncached engines).
+
+Reference analogue: none — the reference's HF `generate` path recomputes every
+prompt from scratch; this is a serving capability beyond it (vLLM-style
+automatic prefix caching, rebuilt on the paged pool)."""
+
+import numpy as np
+import pytest
+
+from omchat_tpu.config import GenerationConfig, OmChatConfig
+from omchat_tpu.runtime.generate import OmChatEngine
+from omchat_tpu.runtime.paged_engine import PagedBatchEngine
+from omchat_tpu.runtime.prefix_cache import PrefixPageCache, page_hashes
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from tests.test_sharding import _tiny_params
+
+    cfg = OmChatConfig.tiny()
+    return cfg, _tiny_params(cfg)
+
+
+def _engine(cfg, params, **kw):
+    kw.setdefault("max_slots", 2)
+    kw.setdefault("num_pages", 16)
+    kw.setdefault("page_size", 8)
+    kw.setdefault("attn_impl", "xla")
+    kw.setdefault("prompt_bucket", 16)
+    kw.setdefault("max_len", 96)
+    kw.setdefault("prefix_cache", True)
+    return PagedBatchEngine(cfg, params, **kw)
+
+
+def _expected(cfg, params, ids, max_new):
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=16)
+    return engine.generate(
+        [ids], None, GenerationConfig(max_new_tokens=max_new, eos_token_id=-1)
+    ).token_ids[0]
+
+
+# -- unit: hashing ----------------------------------------------------------
+
+
+def test_page_hashes_exclude_decode_and_image_pages():
+    ids = list(range(100, 133))  # 33 tokens, page_size 8
+    # prompt_len 33 -> positions 0..32, decode writes at 33 (page 4):
+    # pages 0..3 are immutable and hashable
+    assert len(page_hashes(ids, 33, 8)) == 4
+    # prompt_len 32 -> decode writes at position 32 (page 4): all 4 full pages
+    # of the prompt are still immutable
+    assert len(page_hashes(ids[:32], 32, 8)) == 4
+    # an image at position 20 cuts hashing at its page
+    assert len(page_hashes(ids, 33, 8, first_image_pos=20)) == 2
+    # prefix determinism + divergence
+    a = page_hashes(ids, 33, 8)
+    b = page_hashes(ids[:16] + [7] * 17, 33, 8)
+    assert a[:2] == b[:2] and a[2] != b[2]
+
+
+def test_prefix_page_cache_refcounts_and_eviction():
+    c = PrefixPageCache()
+    h = page_hashes(list(range(24)), 24, 8)
+    assert c.publish(h[0], 5) and c.publish(h[1], 9)
+    assert not c.publish(h[0], 6)  # twin keeps ownership
+    assert c.lookup(h[:2]) == [5, 9]
+    assert c.evictable == 0  # referenced
+    c.unref(5), c.unref(9)
+    c.unref(5), c.unref(9)  # publisher refs
+    assert c.evictable == 2
+    assert c.evict(1) == [5]  # LRU order: released first
+    assert c.lookup(h[:2]) == []  # chain broken at the evicted head
+    c.unref(9) if False else None
+    assert c.stats()["pages_cached"] == 1
+
+
+# -- engine integration ------------------------------------------------------
+
+
+def test_second_request_hits_and_output_matches(setup):
+    cfg, params = setup
+    prefix = [int(t) for t in np.random.default_rng(0).integers(5, 60, 24)]
+    ids_a = prefix + [61, 62, 63]
+    ids_b = prefix + [64, 65]
+    exp_a = _expected(cfg, params, ids_a, 6)
+    exp_b = _expected(cfg, params, ids_b, 6)
+
+    be = _engine(cfg, params)
+    ra = be.submit(ids_a, None, max_new_tokens=6, eos_token_id=-1)
+    be.run_to_completion(max_ticks=300)
+    stats0 = be.prefix_cache.stats()
+    assert stats0["pages_cached"] == 3  # 24-token prefix = 3 full pages
+
+    rb = be.submit(ids_b, None, max_new_tokens=6, eos_token_id=-1)
+    spied = []
+    orig = be._prefill_tick
+
+    def spy(req):
+        spied.append(req.chunk_pos)
+        return orig(req)
+
+    be._prefill_tick = spy
+    be.run_to_completion(max_ticks=300)
+    assert be.result(ra) == exp_a
+    assert be.result(rb) == exp_b
+    # the hit advanced the prefill start past the cached pages
+    assert spied and spied[0] == 24
+    assert be.prefix_cache.stats()["hits"] >= 3
+
+
+def test_concurrent_twins_are_correct(setup):
+    """Two same-prefix requests in flight at once: neither has published when
+    the other admits, so both prefill fully — outputs must still match."""
+    cfg, params = setup
+    prefix = [int(t) for t in np.random.default_rng(1).integers(5, 60, 16)]
+    ids_a = prefix + [33]
+    ids_b = prefix + [44]
+    exp_a = _expected(cfg, params, ids_a, 5)
+    exp_b = _expected(cfg, params, ids_b, 5)
+
+    be = _engine(cfg, params, num_pages=24)
+    ra = be.submit(ids_a, None, max_new_tokens=5, eos_token_id=-1)
+    rb = be.submit(ids_b, None, max_new_tokens=5, eos_token_id=-1)
+    be.run_to_completion(max_ticks=300)
+    assert be.result(ra) == exp_a
+    assert be.result(rb) == exp_b
+    # exactly one twin published each page
+    assert be.prefix_cache.stats()["pages_cached"] == 2  # 16 tokens = 2 pages
+
+
+def test_cache_pages_evict_under_pressure(setup):
+    """With the pool nearly consumed by cached pages, a new unrelated request
+    evicts refcount-0 pages instead of stalling, and still generates
+    correctly."""
+    cfg, params = setup
+    rng = np.random.default_rng(2)
+    be = _engine(cfg, params, num_pages=12, max_slots=1)
+    # fill the cache: 3 distinct prompts x 2 full pages each
+    for i in range(3):
+        ids = [int(t) for t in rng.integers(5, 60, 17)]
+        be.submit(ids, None, max_new_tokens=2, eos_token_id=-1)
+        be.run_to_completion(max_ticks=300)
+    cached = be.prefix_cache.stats()["pages_cached"]
+    assert cached >= 6
+    free0 = be.allocator.available
+
+    ids = [int(t) for t in rng.integers(5, 60, 52)]
+    exp = _expected(cfg, params, ids, 4)
+    need = be._n_pages_for(52 + 4 + be.decode_roll - 1)
+    assert need > free0  # the request genuinely needs evictions
+    rid = be.submit(ids, None, max_new_tokens=4, eos_token_id=-1)
+    be.run_to_completion(max_ticks=300)
+    assert be.result(rid) == exp
+    # the new request publishes 52 // 8 = 6 pages of its own; anything below
+    # cached + 6 means the allocator reclaimed cached pages rather than stall
+    assert be.prefix_cache.stats()["pages_cached"] <= cached + 5
+
+
+def test_decode_never_corrupts_shared_pages(setup):
+    """Request A's decode writes land past the shared prefix pages: request B
+    admitted later over the same prefix must still match the uncached result
+    even while A is mid-generation."""
+    cfg, params = setup
+    prefix = [int(t) for t in np.random.default_rng(3).integers(5, 60, 16)]
+    ids_a = prefix + [10]  # 17 tokens: decode writes from position 17 (page 2)
+    ids_b = prefix + [11, 12]
+    exp_b = _expected(cfg, params, ids_b, 5)
+
+    be = _engine(cfg, params, num_pages=24, max_slots=2)
+    be.submit(ids_a, None, max_new_tokens=20, eos_token_id=-1)
+    for _ in range(3):  # A prefills, publishes, and decodes a few tokens
+        be.step()
+    rb = be.submit(ids_b, None, max_new_tokens=5, eos_token_id=-1)
+    be.run_to_completion(max_ticks=400)
+    assert be.result(rb) == exp_b
+
+
+def test_soak_with_prefix_cache(setup):
+    """The randomized differential soak semantics hold with the cache on:
+    repeated prefixes across waves, every output matches, pages balance."""
+    cfg, params = setup
+    rng = np.random.default_rng(4)
+    prefixes = [
+        [int(t) for t in rng.integers(5, 60, 16)],
+        [int(t) for t in rng.integers(5, 60, 24)],
+    ]
+    reqs = []
+    for i in range(8):
+        tail = [int(t) for t in rng.integers(5, 60, int(rng.integers(1, 6)))]
+        reqs.append((prefixes[i % 2] + tail, int(rng.integers(1, 8))))
+
+    be = _engine(cfg, params, num_pages=32, max_slots=3, decode_roll=3)
+    rids = []
+    for j, (ids, max_new) in enumerate(reqs):
+        rids.append(be.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1))
+        if j % 3 == 2:
+            for _ in range(2):
+                be.step()
+    be.run_to_completion(max_ticks=2000)
+
+    for rid, (ids, max_new) in zip(rids, reqs):
+        assert be.result(rid) == _expected(cfg, params, ids, max_new), f"request {rid}"
+    # all non-cached pages returned; flushing the cache returns the rest
+    be.allocator.release(be.prefix_cache.flush())
+    assert be.prefix_cache.stats()["pages_cached"] == 0
+    assert be.allocator.available == 32
