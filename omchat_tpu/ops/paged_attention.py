@@ -31,20 +31,25 @@ from omchat_tpu.ops.flash_attention import DEFAULT_MASK_VALUE
 def _paged_decode_kernel(
     lengths_ref,  # [B] int32 valid lengths
     tables_ref,  # [B, max_pages] int32 page tables
-    q_ref,  # [G_pad, D]
-    k_pages_ref,  # [page_size, D] (gathered page)
-    v_pages_ref,  # [page_size, D]
-    o_ref,  # [G_pad, D]
-    m_scratch,
+    q_ref,  # [KVH, G_pad, D]
+    k_pages_ref,  # [KVH, page_size, D] (one gathered page, every kv head)
+    v_pages_ref,  # [KVH, page_size, D]
+    o_ref,  # [KVH, G_pad, D]
+    m_scratch,  # [KVH, G_pad, 128]
     l_scratch,
-    acc_scratch,
+    acc_scratch,  # [KVH, G_pad, D]
     *,
     sm_scale: float,
     page_size: int,
     num_blocks: int,
 ):
+    """One grid step = one (request, page): ALL kv heads of the page ride a
+    single strided block fetch.  Decode is DMA-issue-bound, not
+    bandwidth-bound — at B=16/fill=2048 the per-(head, page) variant measured
+    ~24 us per 32 KB fetch (dev/exp_decode_b.py), so quartering the fetch
+    count is worth ~4x more than any compute micro-optimization here."""
     b = pl.program_id(0)
-    ki = pl.program_id(2)
+    ki = pl.program_id(1)
     length = lengths_ref[b]
 
     @pl.when(ki == 0)
@@ -55,31 +60,33 @@ def _paged_decode_kernel(
 
     @pl.when(ki * page_size < length)
     def _run():
-        g_pad = q_ref.shape[0]
-        q = q_ref[...]
-        k = k_pages_ref[...].astype(q.dtype)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * sm_scale
+        kvh, g_pad, _ = q_ref.shape
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (g_pad, page_size), 1) + ki * page_size
-        s = jnp.where(col_ids < length, s, DEFAULT_MASK_VALUE)
+        mask = col_ids < length
+        for h in range(kvh):  # static unroll: per-head online-softmax update
+            q = q_ref[h]
+            k = k_pages_ref[h].astype(q.dtype)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = s * sm_scale
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-        m_prev, l_prev = m_scratch[...], l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[...] = m_next
-        v = v_pages_ref[...].astype(q.dtype)
-        acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+            m_prev, l_prev = m_scratch[h], l_scratch[h]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_scratch[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scratch[h] = m_next
+            v = v_pages_ref[h].astype(q.dtype)
+            acc_scratch[h] = acc_scratch[h] * alpha[:, : acc_scratch.shape[2]] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
 
     @pl.when(ki == num_blocks - 1)
     def _store():
-        l = l_scratch[...][:, :1]
+        l = l_scratch[...][:, :, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
@@ -118,26 +125,26 @@ def paged_flash_decode(
     lengths = jnp.asarray(lengths, jnp.int32)
     page_tables = jnp.asarray(page_tables, jnp.int32)
 
-    def q_index(b, g, ki, lens, tables):
-        return (b, g, 0, 0)
+    def q_index(b, ki, lens, tables):
+        return (b, 0, 0, 0)
 
-    def kv_index(b, g, ki, lens, tables):
+    def kv_index(b, ki, lens, tables):
         last = jnp.maximum(pl.cdiv(lens[b], page_size) - 1, 0)
-        return (g, tables[b, jnp.minimum(ki, last)], 0, 0)
+        return (0, tables[b, jnp.minimum(ki, last)], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, KVH, max_pages),
+        grid=(B, max_pages),
         in_specs=[
-            pl.BlockSpec((None, None, g_pad, D), q_index),
-            pl.BlockSpec((None, None, page_size, D), kv_index),
-            pl.BlockSpec((None, None, page_size, D), kv_index),
+            pl.BlockSpec((None, KVH, g_pad, D), q_index),
+            pl.BlockSpec((KVH, None, page_size, D), kv_index),
+            pl.BlockSpec((KVH, None, page_size, D), kv_index),
         ],
-        out_specs=pl.BlockSpec((None, None, g_pad, D), q_index),
+        out_specs=pl.BlockSpec((None, KVH, g_pad, D), q_index),
         scratch_shapes=[
-            pltpu.VMEM((g_pad, 128), jnp.float32),
-            pltpu.VMEM((g_pad, 128), jnp.float32),
-            pltpu.VMEM((g_pad, D), jnp.float32),
+            pltpu.VMEM((KVH, g_pad, 128), jnp.float32),
+            pltpu.VMEM((KVH, g_pad, 128), jnp.float32),
+            pltpu.VMEM((KVH, g_pad, D), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -148,7 +155,7 @@ def paged_flash_decode(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, g_pad, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths, page_tables, qg, k_pages, v_pages)
