@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--decode-roll", type=int, default=8)
     ap.add_argument("--max-slots", type=int, default=16)
     ap.add_argument("--num-pages", type=int, default=384)
+    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--prefix-cache", action="store_true")
+    ap.add_argument("--shared-prefix", type=int, default=0,
+                    help="prepend a common N-token system prompt to every text request "
+                    "(the prefix-cache showcase workload; pair with --prefix-cache)")
     ap.add_argument("--profile", action="store_true", help="per-phase wall-time breakdown")
     args = ap.parse_args()
 
@@ -46,8 +51,9 @@ def main():
         params,
         max_slots=args.max_slots,
         num_pages=args.num_pages,
-        page_size=64,
-        prompt_bucket=128,
+        page_size=args.page_size,
+        prompt_bucket=max(128, args.page_size),
+        prefix_cache=args.prefix_cache,
         max_len=4096,
         decode_roll=args.decode_roll,
         prefill_chunk=args.prefill_chunk,
@@ -55,11 +61,12 @@ def main():
 
     from omchat_tpu.constants import IMAGE_TOKEN_INDEX
 
+    shared = [int(t) for t in rng.integers(2000, 20000, args.shared_prefix)]
     lengths = [int(rng.integers(64, 513)) for _ in range(N_REQUESTS)]
     reqs = []
     images = []
     for i, n in enumerate(lengths):
-        ids = [151644] + [int(t) for t in rng.integers(2000, 20000, n - 1)]
+        ids = shared + [151644] + [int(t) for t in rng.integers(2000, 20000, n - 1)]
         if i % 4 == 0:
             # every 4th request is multimodal: a 2-tile anyres image
             # (thumbnail + tile -> 2048 image tokens through the ViT)
@@ -150,9 +157,11 @@ def main():
                     "multimodal_requests": sum(1 for i in images if i is not None),
                     "prompt_tokens_min_max": [min(lengths), max(lengths)],
                     "max_new_tokens": MAX_NEW,
+                    "shared_prefix_tokens": args.shared_prefix,
+                    "prefix_cache_stats": engine.prefix_cache.stats() if engine.prefix_cache else None,
                     "wall_s": round(dt, 2),
                     "requests_per_min": round(N_REQUESTS / dt * 60, 1),
-                    "engine": f"PagedBatchEngine slots={args.max_slots} pages={args.num_pages}x64 decode_roll={args.decode_roll} prefill_chunk={args.prefill_chunk}",
+                    "engine": f"PagedBatchEngine slots={args.max_slots} pages={args.num_pages}x{args.page_size} decode_roll={args.decode_roll} prefill_chunk={args.prefill_chunk} prefix_cache={args.prefix_cache}",
                 },
             }
         ),
