@@ -49,7 +49,7 @@ def main():
             max_pages = -(-4096 // PAGE) + 1
             per = -(-fill // PAGE) + 10
             num_pages = S * per + 1
-            shape = (tcfg.num_hidden_layers, tcfg.num_key_value_heads, num_pages + 1, PAGE, tcfg.attn_head_dim)
+            shape = (tcfg.num_hidden_layers, num_pages + 1, tcfg.num_key_value_heads, PAGE, tcfg.attn_head_dim)
             k0 = jnp.zeros(shape, jnp.bfloat16)
             v0 = jnp.zeros(shape, jnp.bfloat16)
             tables = np.full((S, max_pages), num_pages, np.int32)

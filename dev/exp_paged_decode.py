@@ -72,7 +72,7 @@ def main():
     for page_size in (64, 256):
         max_pages = -(-4096 // page_size) + 1
         num_pages = S * (-(-FILL // page_size) + 8) + 1
-        shape = (tcfg.num_hidden_layers, tcfg.num_key_value_heads, num_pages + 1, page_size, tcfg.attn_head_dim)
+        shape = (tcfg.num_hidden_layers, num_pages + 1, tcfg.num_key_value_heads, page_size, tcfg.attn_head_dim)
         k_pool0 = jnp.zeros(shape, jnp.bfloat16)
         v_pool0 = jnp.zeros(shape, jnp.bfloat16)
         tables = np.full((S, max_pages), num_pages, np.int32)

@@ -1,7 +1,8 @@
 """Paged flash-decode: GQA decode attention over a paged KV pool.
 
 Virtual memory for KV caches (guide: ragged paged attention): physical pages
-``[KVH, num_pages, page_size, D]`` shared by all requests; each request maps
+``[num_pages, KVH, page_size, D]`` shared by all requests (page-major: one page
+holds every kv head's slice contiguously, so a page fetch is ONE contiguous DMA); each request maps
 logical blocks to pages via a page table.  Unlike the contiguous-slot cache
 (models/qwen2.KVCache), memory is allocated per page as sequences grow, so
 many variable-length requests share the pool without per-slot max-length
@@ -44,10 +45,11 @@ def _paged_decode_kernel(
     num_blocks: int,
 ):
     """One grid step = one (request, page): ALL kv heads of the page ride a
-    single strided block fetch.  Decode is DMA-issue-bound, not
-    bandwidth-bound — at B=16/fill=2048 the per-(head, page) variant measured
-    ~24 us per 32 KB fetch (dev/exp_decode_b.py), so quartering the fetch
-    count is worth ~4x more than any compute micro-optimization here."""
+    single CONTIGUOUS block fetch (page-major pool layout).  Decode is
+    DMA-issue-bound, not bandwidth-bound — at B=16/fill=2048 the
+    per-(head, page) variant measured ~24 us per 32 KB fetch
+    (dev/exp_decode_b.py), so fetch count and contiguity, not bandwidth, are
+    the levers here."""
     b = pl.program_id(0)
     ki = pl.program_id(1)
     length = lengths_ref[b]
@@ -107,13 +109,13 @@ def paged_flash_decode(
 ) -> jax.Array:
     """Decode attention over paged KV.
 
-    q: [B, 1, H, D]; k/v_pages: [KVH, P, page_size, D]; lengths: [B];
-    page_tables: [B, max_pages] physical page per logical block.
+    q: [B, 1, H, D]; k/v_pages: [P, KVH, page_size, D] (page-major); lengths:
+    [B]; page_tables: [B, max_pages] physical page per logical block.
     Returns [B, 1, H, D].
     """
     B, S, H, D = q.shape
     assert S == 1
-    KVH, _, page_size, _ = k_pages.shape
+    _, KVH, page_size, _ = k_pages.shape
     group = H // KVH
     g_pad = max(8, _round_up(group, 8))
     max_pages = page_tables.shape[1]
@@ -130,15 +132,15 @@ def paged_flash_decode(
 
     def kv_index(b, ki, lens, tables):
         last = jnp.maximum(pl.cdiv(lens[b], page_size) - 1, 0)
-        return (0, tables[b, jnp.minimum(ki, last)], 0, 0)
+        return (tables[b, jnp.minimum(ki, last)], 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, max_pages),
         in_specs=[
             pl.BlockSpec((None, KVH, g_pad, D), q_index),
-            pl.BlockSpec((KVH, None, page_size, D), kv_index),
-            pl.BlockSpec((KVH, None, page_size, D), kv_index),
+            pl.BlockSpec((None, KVH, page_size, D), kv_index),
+            pl.BlockSpec((None, KVH, page_size, D), kv_index),
         ],
         out_specs=pl.BlockSpec((None, KVH, g_pad, D), q_index),
         scratch_shapes=[
@@ -185,11 +187,7 @@ def paged_decode_attention(
     from omchat_tpu.ops.attention import _xla_attention
 
     # gather the logical KV per request: [B, KVH, max_pages*page_size, D]
-    k = jnp.take(k_pages, page_tables, axis=1)  # [KVH, B, max_pages, ps, D]
-    v = jnp.take(v_pages, page_tables, axis=1)
-    kvh, b, mp, ps, d = k.shape
-    k = k.transpose(1, 0, 2, 3, 4).reshape(b, kvh, mp * ps, d)
-    v = v.transpose(1, 0, 2, 3, 4).reshape(b, kvh, mp * ps, d)
+    k, v = _gather_pages(k_pages, v_pages, page_tables)
     return _xla_attention(
         q,
         k.transpose(0, 2, 1, 3),
@@ -288,7 +286,7 @@ def paged_flash_prefill(
     the previous page so the pipeline skips the re-fetch (no dead HBM traffic
     past ``kv_len``)."""
     B, C, H, D = q.shape
-    KVH, _, page_size, _ = k_pages.shape
+    _, KVH, page_size, _ = k_pages.shape
     import math
 
     group = H // KVH
@@ -310,7 +308,7 @@ def paged_flash_prefill(
 
     def kv_index(b, n, qi, ki, lens, offs, tables):
         last = jnp.maximum(pl.cdiv(lens[b], page_size) - 1, 0)
-        return (n, tables[b, jnp.minimum(ki, last)], 0, 0)
+        return (tables[b, jnp.minimum(ki, last)], n, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -347,12 +345,12 @@ def paged_flash_prefill(
 
 
 def _gather_pages(k_pages, v_pages, page_tables):
-    """[KVH, P, ps, D] pools + [B, MP] tables → contiguous [B, KVH, MP*ps, D]."""
-    k = jnp.take(k_pages, page_tables, axis=1)  # [KVH, B, MP, ps, D]
-    v = jnp.take(v_pages, page_tables, axis=1)
-    kvh, b, mp, ps, d = k.shape
-    k = k.transpose(1, 0, 2, 3, 4).reshape(b, kvh, mp * ps, d)
-    v = v.transpose(1, 0, 2, 3, 4).reshape(b, kvh, mp * ps, d)
+    """[P, KVH, ps, D] pools + [B, MP] tables → contiguous [B, KVH, MP*ps, D]."""
+    k = jnp.take(k_pages, page_tables, axis=0)  # [B, MP, KVH, ps, D]
+    v = jnp.take(v_pages, page_tables, axis=0)
+    b, mp, kvh, ps, d = k.shape
+    k = k.transpose(0, 2, 1, 3, 4).reshape(b, kvh, mp * ps, d)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(b, kvh, mp * ps, d)
     return k, v
 
 
@@ -374,7 +372,7 @@ def paged_prefill_attention(
     is what makes the paged engine's prefill length-oblivious: every chunk is
     one fixed-shape program regardless of how long the prompt is.
 
-    q: [B, C, H, D]; k/v_pages: [KVH, P, page_size, D];
+    q: [B, C, H, D]; k/v_pages: [P, KVH, page_size, D] (page-major);
     kv_len, q_offset: [B] or scalar; page_tables: [B, max_pages].
     Returns [B, C, H, D].
     """

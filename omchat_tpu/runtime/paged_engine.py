@@ -2,8 +2,8 @@
 
 The slot engine (:mod:`omchat_tpu.runtime.batch_engine`) reserves
 ``max_len`` cache rows per slot; with mixed-length traffic most of that HBM
-sits idle.  Here KV lives in a shared page pool ([L, KVH, P, page, D] per
-tower half) and each request maps logical blocks to physical pages — the
+sits idle.  Here KV lives in a shared page pool ([L, P, KVH, page, D],
+page-major so a page fetch is one contiguous DMA) and each request maps logical blocks to physical pages — the
 ragged-paged-attention serving design, sized by *actual* tokens:
 
 - **prefill**: short prompts run once through a contiguous scratch cache (the
@@ -74,19 +74,20 @@ def _commit_pages_jit(slot_k, slot_v, k_pool, v_pool, tables, n_pages, page_size
     l, b, kvh, t, d = slot_k.shape
     c = t // page_size
     max_pages = tables.shape[1]
+    # [L, B, KVH, T, D] -> [L, B*C, KVH, page, D] (page-major pool)
     chunks_k = (
         slot_k.reshape(l, b, kvh, c, page_size, d)
-        .transpose(0, 2, 1, 3, 4, 5)
-        .reshape(l, kvh, b * c, page_size, d)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(l, b * c, kvh, page_size, d)
     )
     chunks_v = (
         slot_v.reshape(l, b, kvh, c, page_size, d)
-        .transpose(0, 2, 1, 3, 4, 5)
-        .reshape(l, kvh, b * c, page_size, d)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(l, b * c, kvh, page_size, d)
     )
     idx = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), (b, c))
     valid = (idx < n_pages[:, None]) & (idx < max_pages)
-    parked = k_pool.shape[2] - 1
+    parked = k_pool.shape[1] - 1
     pages = jnp.where(
         valid,
         jnp.take_along_axis(
@@ -94,8 +95,8 @@ def _commit_pages_jit(slot_k, slot_v, k_pool, v_pool, tables, n_pages, page_size
         ),
         parked,
     ).reshape(b * c)
-    k_pool = k_pool.at[:, :, pages].set(chunks_k.astype(k_pool.dtype))
-    v_pool = v_pool.at[:, :, pages].set(chunks_v.astype(v_pool.dtype))
+    k_pool = k_pool.at[:, pages].set(chunks_k.astype(k_pool.dtype))
+    v_pool = v_pool.at[:, pages].set(chunks_v.astype(v_pool.dtype))
     return k_pool, v_pool
 
 
@@ -106,7 +107,7 @@ def _decode_step_core(
     lengths,  # [S] int32 valid tokens already in pages
     active,  # [S] bool
     tables,  # [S, max_pages] int32
-    k_pool,  # [L, KVH, P, page, D]
+    k_pool,  # [L, P, KVH, page, D] (page-major)
     v_pool,
     page_size: int,
     attn_impl: Optional[str] = None,
@@ -150,16 +151,16 @@ def _decode_step_core(
             # one batched scatter writes every request's new K/V at its
             # (page, offset).  Inactive slots' parked (page, offset) pairs may
             # collide; any write order is fine on the parking page.
-            kp = kp.at[:, page_idx, offsets].set(k[:, 0].transpose(1, 0, 2).astype(kp.dtype))
-            vp = vp.at[:, page_idx, offsets].set(v[:, 0].transpose(1, 0, 2).astype(vp.dtype))
+            kp = kp.at[page_idx, :, offsets].set(k[:, 0].astype(kp.dtype))
+            vp = vp.at[page_idx, :, offsets].set(v[:, 0].astype(vp.dtype))
         else:  # "dus_loop": S dependent in-place row updates
 
             def write(i, pools_):
                 kpp, vpp = pools_
-                upd_k = k[i, 0].astype(kpp.dtype)[:, None, None]  # [KVH,1,1,D]
-                upd_v = v[i, 0].astype(vpp.dtype)[:, None, None]
-                kpp = jax.lax.dynamic_update_slice(kpp, upd_k, (0, page_idx[i], offsets[i], 0))
-                vpp = jax.lax.dynamic_update_slice(vpp, upd_v, (0, page_idx[i], offsets[i], 0))
+                upd_k = k[i, 0].astype(kpp.dtype)[None, :, None]  # [1,KVH,1,D]
+                upd_v = v[i, 0].astype(vpp.dtype)[None, :, None]
+                kpp = jax.lax.dynamic_update_slice(kpp, upd_k, (page_idx[i], 0, offsets[i], 0))
+                vpp = jax.lax.dynamic_update_slice(vpp, upd_v, (page_idx[i], 0, offsets[i], 0))
                 return kpp, vpp
 
             kp, vp = jax.lax.fori_loop(0, s, write, (kp, vp))
@@ -306,8 +307,9 @@ def _paged_prefill_chunk_jit(
 
     def attend(q, k, v, pools):
         kp, vp = pools
-        kc = k[0].transpose(1, 0, 2).reshape(kvh, n_chunk_pages, page_size, hd)
-        vc = v[0].transpose(1, 0, 2).reshape(kvh, n_chunk_pages, page_size, hd)
+        # [1, C, KVH, hd] -> [C/ps, KVH, ps, hd] (page-major pool)
+        kc = k[0].reshape(n_chunk_pages, page_size, kvh, hd).transpose(0, 2, 1, 3)
+        vc = v[0].reshape(n_chunk_pages, page_size, kvh, hd).transpose(0, 2, 1, 3)
         # one batched scatter over whole pages (vs a chunk_pages-long chain of
         # dependent updates).  Rows past the table width go to the parking
         # page (pool's last index) directly — clamping onto table[-1] would
@@ -315,10 +317,10 @@ def _paged_prefill_chunk_jit(
         # scatter duplicate-index resolution is undefined.
         idx = start_page + jnp.arange(n_chunk_pages)
         pages = jnp.where(
-            idx < max_pages, table[jnp.minimum(idx, max_pages - 1)], kp.shape[1] - 1
+            idx < max_pages, table[jnp.minimum(idx, max_pages - 1)], kp.shape[0] - 1
         )
-        kp = kp.at[:, pages].set(kc.astype(kp.dtype))
-        vp = vp.at[:, pages].set(vc.astype(vp.dtype))
+        kp = kp.at[pages].set(kc.astype(kp.dtype))
+        vp = vp.at[pages].set(vc.astype(vp.dtype))
         out = paged_prefill_attention(
             q, kp, vp, kv_len, table[None], chunk_start, impl=attn_impl
         )
@@ -448,7 +450,9 @@ class PagedBatchEngine:
         dtype = params["language_model"]["embed_tokens"].dtype
         # one extra physical page parks writes from inactive slots (their
         # table rows point at it, so a freed/reassigned page is never touched)
-        shape = (tc.num_hidden_layers, tc.num_key_value_heads, num_pages + 1, page_size, tc.attn_head_dim)
+        # page-major pool: one page holds every kv head's slice contiguously,
+        # so the decode kernel's per-page fetch is one contiguous DMA
+        shape = (tc.num_hidden_layers, num_pages + 1, tc.num_key_value_heads, page_size, tc.attn_head_dim)
         self.k_pool = jnp.zeros(shape, dtype)
         self.v_pool = jnp.zeros(shape, dtype)
         if mesh is not None:
@@ -456,7 +460,7 @@ class PagedBatchEngine:
 
             tp = mesh.shape["model"]
             head_axis = "model" if cfg.text.num_key_value_heads % tp == 0 else None
-            sh = NamedSharding(mesh, P(None, head_axis, None, None, None))
+            sh = NamedSharding(mesh, P(None, None, head_axis, None, None))
             self.k_pool = jax.device_put(self.k_pool, sh)
             self.v_pool = jax.device_put(self.v_pool, sh)
         self.allocator = PageAllocator(num_pages)

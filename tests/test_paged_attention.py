@@ -22,16 +22,16 @@ def test_paged_decode_matches_contiguous(rng):
 
     # scatter into a shared page pool with shuffled page tables
     alloc = PageAllocator(num_pages)
-    k_pages = np.zeros((KVH, num_pages, page_size, D), np.float32)
-    v_pages = np.zeros((KVH, num_pages, page_size, D), np.float32)
+    k_pages = np.zeros((num_pages, KVH, page_size, D), np.float32)
+    v_pages = np.zeros((num_pages, KVH, page_size, D), np.float32)
     tables = np.zeros((B, max_pages), np.int32)
     for b in range(B):
         n_blocks = -(-int(lengths[b]) // page_size)
         pages = alloc.alloc(n_blocks)
         for i, pg in enumerate(pages):
             sl = slice(i * page_size, (i + 1) * page_size)
-            k_pages[:, pg] = k[b, :, sl]
-            v_pages[:, pg] = v[b, :, sl]
+            k_pages[pg] = k[b, :, sl]
+            v_pages[pg] = v[b, :, sl]
             tables[b, i] = pg
 
     ref = _xla_attention(
@@ -72,15 +72,15 @@ def test_paged_prefill_matches_contiguous(rng, C, block_q):
     q = jnp.asarray(rng.standard_normal((B, C, H, D)).astype(np.float32))
 
     alloc = PageAllocator(num_pages)
-    k_pages = np.zeros((KVH, num_pages, page_size, D), np.float32)
-    v_pages = np.zeros((KVH, num_pages, page_size, D), np.float32)
+    k_pages = np.zeros((num_pages, KVH, page_size, D), np.float32)
+    v_pages = np.zeros((num_pages, KVH, page_size, D), np.float32)
     tables = np.zeros((B, max_pages), np.int32)
     for b in range(B):
         n_blocks = -(-int(kv_len[b]) // page_size)
         for i, pg in enumerate(alloc.alloc(n_blocks)):
             sl = slice(i * page_size, (i + 1) * page_size)
-            k_pages[:, pg] = k[b, :, sl]
-            v_pages[:, pg] = v[b, :, sl]
+            k_pages[pg] = k[b, :, sl]
+            v_pages[pg] = v[b, :, sl]
             tables[b, i] = pg
 
     ref = _xla_attention(

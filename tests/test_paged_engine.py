@@ -35,16 +35,16 @@ def test_paged_xla_fallback_matches_contiguous(rng):
 
     B, H, KVH, D, ps, P = 2, 4, 2, 16, 8, 8
     q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
-    pages_k = jnp.asarray(rng.standard_normal((KVH, P, ps, D)).astype(np.float32))
-    pages_v = jnp.asarray(rng.standard_normal((KVH, P, ps, D)).astype(np.float32))
+    pages_k = jnp.asarray(rng.standard_normal((P, KVH, ps, D)).astype(np.float32))
+    pages_v = jnp.asarray(rng.standard_normal((P, KVH, ps, D)).astype(np.float32))
     tables = jnp.asarray([[3, 1, 5, 0], [6, 2, 4, 7]], jnp.int32)
     lengths = jnp.asarray([19, 26], jnp.int32)
 
     out = paged_decode_attention(q, pages_k, pages_v, lengths, tables, impl="xla")
 
     for b in range(B):
-        k = pages_k[:, np.asarray(tables)[b]].reshape(KVH, -1, D)
-        v = pages_v[:, np.asarray(tables)[b]].reshape(KVH, -1, D)
+        k = pages_k[np.asarray(tables)[b]].transpose(1, 0, 2, 3).reshape(KVH, -1, D)
+        v = pages_v[np.asarray(tables)[b]].transpose(1, 0, 2, 3).reshape(KVH, -1, D)
         ref = _xla_attention(
             q[b : b + 1], k[None].transpose(0, 2, 1, 3), v[None].transpose(0, 2, 1, 3),
             causal=False, q_offset=None, kv_len=lengths[b : b + 1],
@@ -266,7 +266,7 @@ def test_kv_write_variants_agree(setup, rng):
     cfg, params = setup
     tc = cfg.text
     S, ps, P, mp = 3, 8, 12, 6
-    shape = (tc.num_hidden_layers, tc.num_key_value_heads, P + 1, ps, tc.attn_head_dim)
+    shape = (tc.num_hidden_layers, P + 1, tc.num_key_value_heads, ps, tc.attn_head_dim)
     k0 = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     v0 = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
     tables = jnp.asarray([[0, 1, 2, P, P, P], [3, 4, P, P, P, P], [5, 6, 7, P, P, P]], jnp.int32)
@@ -284,5 +284,5 @@ def test_kv_write_variants_agree(setup, rng):
     np.testing.assert_array_equal(outs["scatter"][0], outs["dus_loop"][0])
     # pools agree everywhere except the parking page (collision order differs)
     real = slice(0, P)
-    np.testing.assert_allclose(outs["scatter"][1][:, :, real], outs["dus_loop"][1][:, :, real], atol=1e-6)
-    np.testing.assert_allclose(outs["scatter"][2][:, :, real], outs["dus_loop"][2][:, :, real], atol=1e-6)
+    np.testing.assert_allclose(outs["scatter"][1][:, real], outs["dus_loop"][1][:, real], atol=1e-6)
+    np.testing.assert_allclose(outs["scatter"][2][:, real], outs["dus_loop"][2][:, real], atol=1e-6)
