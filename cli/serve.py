@@ -276,7 +276,7 @@ def main():
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel degree (Megatron shardings over the device mesh)")
     parser.add_argument("--paged", action="store_true", help="paged KV pool instead of contiguous slots (ragged-length memory efficiency)")
     parser.add_argument("--num-pages", type=int, default=1024)
-    parser.add_argument("--page-size", type=int, default=64)
+    parser.add_argument("--page-size", type=int, default=128)
     parser.add_argument("--decode-roll", type=int, default=1,
                         help="paged engine: decode steps per dispatch (throughput mode; >1 amortizes host round trips, adds up to roll-1 tokens of admission latency)")
     parser.add_argument("--prefill-chunk", type=int, default=1024,

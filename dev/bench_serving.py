@@ -31,8 +31,8 @@ def main():
     ap.add_argument("--prefill-chunk", type=int, default=2048)
     ap.add_argument("--decode-roll", type=int, default=8)
     ap.add_argument("--max-slots", type=int, default=16)
-    ap.add_argument("--num-pages", type=int, default=384)
-    ap.add_argument("--page-size", type=int, default=64)
+    ap.add_argument("--num-pages", type=int, default=192)
+    ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--prefix-cache", action="store_true")
     ap.add_argument("--shared-prefix", type=int, default=0,
                     help="prepend a common N-token system prompt to every text request "

@@ -381,7 +381,11 @@ class PagedBatchEngine:
         *,
         max_slots: int = 4,
         num_pages: int = 256,
-        page_size: int = 64,
+        # 128 measured best on v5e across fills (dev/exp_decode_b.py + the
+        # ps sweep: B16/fill2048 ps64=50.5, ps128=45.9, ps256=47.4 ms/step;
+        # the decode kernel is DMA-issue/grid-bound, so fewer bigger pages
+        # win until block latency hiding saturates)
+        page_size: int = 128,
         attn_impl: Optional[str] = None,
         prompt_bucket: int = 128,
         rng_seed: int = 0,
