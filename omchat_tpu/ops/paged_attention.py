@@ -164,6 +164,142 @@ def paged_flash_decode(
     return out[:, :, :group].reshape(B, 1, H, D)
 
 
+NBUF = 4  # pages in flight per request in the manual-DMA decode kernel
+
+
+def _paged_decode_manual_kernel(
+    lengths_ref,  # [B] int32 (scalar prefetch)
+    tables_ref,  # [B, max_pages] int32
+    q_ref,  # [KVH, G_pad, D] (VMEM block)
+    k_hbm,  # [P, KVH, page_size, D] (stays in HBM)
+    v_hbm,
+    o_ref,  # [KVH, G_pad, D]
+    kbuf,  # [NBUF, KVH, page_size, D] VMEM ring
+    vbuf,
+    m_s,  # [KVH, G_pad, 128] f32
+    l_s,
+    acc_s,  # [KVH, G_pad, D] f32
+    sems,  # DMA semaphores [NBUF, 2]
+    *,
+    page_size: int,
+    sm_scale: float,
+):
+    """Grid (B,): each request walks its own page list with an NBUF-deep ring
+    of manual async copies — pages stream while the previous page's online
+    softmax runs.  This replaces the auto-pipelined per-page grid, whose
+    per-step issue overhead capped KV streaming at ~56-66 GB/s
+    (BENCH.md decode anatomy; dev/exp_manual_decode.py is the measured A/B)."""
+    b = pl.program_id(0)
+    length = lengths_ref[b]
+    n_pages = pl.cdiv(length, page_size)
+    kvh, g_pad, _ = q_ref.shape
+
+    m_s[...] = jnp.full(m_s.shape, -jnp.inf, jnp.float32)
+    l_s[...] = jnp.zeros(l_s.shape, jnp.float32)
+    acc_s[...] = jnp.zeros(acc_s.shape, jnp.float32)
+
+    def start(slot, pi):
+        page = tables_ref[b, pi]
+        pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot], sems.at[slot, 0]).start()
+        pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot], sems.at[slot, 1]).start()
+
+    def wait(slot, pi):
+        page = tables_ref[b, pi]
+        pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot], sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot], sems.at[slot, 1]).wait()
+
+    for i in range(NBUF):  # warmup: up to NBUF pages in flight
+        @pl.when(i < n_pages)
+        def _(i=i):
+            start(i, i)
+
+    def body(pi, _):
+        slot = jax.lax.rem(pi, NBUF)
+        wait(slot, pi)
+        col = jax.lax.broadcasted_iota(jnp.int32, (g_pad, page_size), 1) + pi * page_size
+        mask = col < length
+        for h in range(kvh):
+            q = q_ref[h]
+            k = kbuf[slot, h].astype(q.dtype)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * sm_scale
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            m_prev, l_prev = m_s[h], l_s[h]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_s[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_s[h] = m_next
+            v = vbuf[slot, h].astype(q.dtype)
+            acc_s[h] = acc_s[h] * alpha[:, : acc_s.shape[2]] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+
+        @pl.when(pi + NBUF < n_pages)  # refill this slot NBUF pages ahead
+        def _():
+            start(slot, pi + NBUF)
+        return _
+
+    jax.lax.fori_loop(0, n_pages, body, None)
+
+    l = l_s[...][:, :, :1]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[...] = (acc_s[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_flash_decode_manual(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    page_tables: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Manual-DMA variant of :func:`paged_flash_decode` (same contract)."""
+    B, S, H, D = q.shape
+    assert S == 1
+    _, KVH, page_size, _ = k_pages.shape
+    group = H // KVH
+    g_pad = max(8, _round_up(group, 8))
+
+    qg = q[:, 0].reshape(B, KVH, group, D)
+    if g_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+    lengths = jnp.asarray(lengths, jnp.int32)
+    page_tables = jnp.asarray(page_tables, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, KVH, g_pad, D), lambda b, lens, tabs: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((None, KVH, g_pad, D), lambda b, lens, tabs: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, KVH, page_size, D), k_pages.dtype),
+            pltpu.VMEM((NBUF, KVH, page_size, D), v_pages.dtype),
+            pltpu.VMEM((KVH, g_pad, 128), jnp.float32),
+            pltpu.VMEM((KVH, g_pad, 128), jnp.float32),
+            pltpu.VMEM((KVH, g_pad, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_paged_decode_manual_kernel, page_size=page_size, sm_scale=D**-0.5),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, g_pad, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(lengths, page_tables, qg, k_pages, v_pages)
+    return out[:, :, :group].reshape(B, 1, H, D)
+
+
 def paged_decode_attention(
     q: jax.Array,
     k_pages: jax.Array,
@@ -183,6 +319,8 @@ def paged_decode_attention(
         impl = "xla"
     if impl == "pallas":
         return paged_flash_decode(q, k_pages, v_pages, lengths, page_tables)
+    if impl == "pallas_manual":
+        return paged_flash_decode_manual(q, k_pages, v_pages, lengths, page_tables)
 
     from omchat_tpu.ops.attention import _xla_attention
 

@@ -117,3 +117,26 @@ def test_page_allocator():
         a.alloc(1)
     a.release(p1)
     assert a.available == 2
+
+
+def test_manual_dma_decode_matches_production(rng):
+    """The manual-DMA ring variant (grid (B,), NBUF pages in flight) is exact
+    vs the auto-pipelined kernel, including ragged lengths and a partial last
+    page."""
+    from omchat_tpu.ops.paged_attention import (
+        paged_flash_decode,
+        paged_flash_decode_manual,
+    )
+    import jax.numpy as jnp
+
+    B, H, KVH, D, ps, P = 2, 8, 2, 128, 16, 24
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+    kp = jnp.asarray(rng.standard_normal((P, KVH, ps, D)).astype(np.float32))
+    vp = jnp.asarray(rng.standard_normal((P, KVH, ps, D)).astype(np.float32))
+    tables = jnp.asarray(
+        np.stack([rng.permutation(P)[:8] for _ in range(B)]), jnp.int32
+    )
+    lengths = jnp.asarray([100, 37], jnp.int32)  # ragged, partial last pages
+    ref = paged_flash_decode(q, kp, vp, lengths, tables, interpret=True)
+    out = paged_flash_decode_manual(q, kp, vp, lengths, tables, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
