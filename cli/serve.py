@@ -283,6 +283,8 @@ def main():
                         help="paged engine: prompts longer than this stream through fixed-shape paged chunks, decode rolls interleaved between chunks")
     parser.add_argument("--prefix-cache", action="store_true",
                         help="paged engine: automatic prefix caching - requests sharing a token prefix (system prompts) reuse its KV pages instead of re-prefilling")
+    parser.add_argument("--kv-cache-dtype", choices=["bf16", "fp8"], default="bf16",
+                        help="paged engine: page-pool storage dtype; fp8 (e4m3) halves KV HBM and page DMA bytes, kernels dequantize on load")
     parser.add_argument("--speculative", action="store_true",
                         help="prompt-lookup speculative decoding on the single-request engine path (greedy requests only; identical tokens, fewer device steps)")
     args = parser.parse_args()
@@ -295,6 +297,8 @@ def main():
     batch_engine = None
     if args.continuous_batching:
         if args.paged:
+            import jax.numpy as jnp
+
             from omchat_tpu.runtime.paged_engine import PagedBatchEngine
 
             batch_engine = PagedBatchEngine(
@@ -309,6 +313,7 @@ def main():
                 decode_roll=args.decode_roll,
                 prefill_chunk=args.prefill_chunk,
                 prefix_cache=args.prefix_cache,
+                cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
             )
         else:
             from omchat_tpu.runtime.batch_engine import BatchEngine

@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--shared-prefix", type=int, default=0,
                     help="prepend a common N-token system prompt to every text request "
                     "(the prefix-cache showcase workload; pair with --prefix-cache)")
+    ap.add_argument("--kv-cache-dtype", choices=["bf16", "fp8"], default="bf16")
     ap.add_argument("--profile", action="store_true", help="per-phase wall-time breakdown")
     args = ap.parse_args()
 
@@ -57,6 +58,7 @@ def main():
         max_len=4096,
         decode_roll=args.decode_roll,
         prefill_chunk=args.prefill_chunk,
+        cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
     )
 
     from omchat_tpu.constants import IMAGE_TOKEN_INDEX

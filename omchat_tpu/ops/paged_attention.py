@@ -326,6 +326,7 @@ def paged_decode_attention(
 
     # gather the logical KV per request: [B, KVH, max_pages*page_size, D]
     k, v = _gather_pages(k_pages, v_pages, page_tables)
+    k, v = k.astype(q.dtype), v.astype(q.dtype)  # pool may be fp8
     return _xla_attention(
         q,
         k.transpose(0, 2, 1, 3),
@@ -526,6 +527,7 @@ def paged_prefill_attention(
     from omchat_tpu.ops.attention import _xla_attention
 
     k, v = _gather_pages(k_pages, v_pages, page_tables)
+    k, v = k.astype(q.dtype), v.astype(q.dtype)  # pool may be fp8
     return _xla_attention(
         q,
         k.transpose(0, 2, 1, 3),

@@ -395,6 +395,7 @@ class PagedBatchEngine:
         moe_impl: str = "dense",
         prefill_chunk: int = 1024,
         prefix_cache: bool = False,
+        cache_dtype=None,
     ):
         """``max_len`` caps one request's prompt+generation (it sets the page
         TABLE width, so per-step attention cost scales with the request cap,
@@ -412,7 +413,13 @@ class PagedBatchEngine:
         ``prefix_cache`` enables automatic prefix caching: immutable prompt
         KV pages are published under a content digest and requests sharing a
         token prefix (the system-prompt pattern) skip prefilling the matched
-        pages entirely (see runtime/prefix_cache.py)."""
+        pages entirely (see runtime/prefix_cache.py).
+
+        ``cache_dtype`` overrides the page-pool storage dtype — e.g.
+        ``jnp.float8_e4m3fn`` halves page bytes (double the resident KV per
+        HBM byte, and at a fixed page byte size double the tokens per DMA);
+        all scatter paths quantize on write and the attention kernels
+        dequantize on load (same contract as OmChatEngine's ``cache_dtype``)."""
         assert prompt_bucket % page_size == 0, "prompt buckets must align to pages"
         assert prefill_chunk % page_size == 0, "prefill chunks must align to pages"
         self.prefill_chunk = prefill_chunk
@@ -451,7 +458,7 @@ class PagedBatchEngine:
         self._prefiller = OmChatEngine(cfg, params, attn_impl=attn_impl, prompt_bucket=prompt_bucket)
 
         tc = cfg.text
-        dtype = params["language_model"]["embed_tokens"].dtype
+        dtype = cache_dtype or params["language_model"]["embed_tokens"].dtype
         # one extra physical page parks writes from inactive slots (their
         # table rows point at it, so a freed/reassigned page is never touched)
         # page-major pool: one page holds every kv head's slice contiguously,

@@ -286,3 +286,28 @@ def test_kv_write_variants_agree(setup, rng):
     real = slice(0, P)
     np.testing.assert_allclose(outs["scatter"][1][:, real], outs["dus_loop"][1][:, real], atol=1e-6)
     np.testing.assert_allclose(outs["scatter"][2][:, real], outs["dus_loop"][2][:, real], atol=1e-6)
+
+
+def test_fp8_page_pool(setup):
+    """fp8(e4m3) page pool: the engine runs end-to-end with half-width KV
+    pages (scatters quantize on write, attention dequantizes on load) and
+    matches the bf16-pool engine's greedy argmax on the first token."""
+    cfg, params = setup
+    max_new = 4
+    reqs = [([5, 6, 7, 8, 9, 10], None), ([11, 12, 13], None)]
+
+    def run(cache_dtype):
+        be = PagedBatchEngine(
+            cfg, params, max_slots=2, num_pages=12, page_size=8, attn_impl="xla",
+            prompt_bucket=16, max_len=96, cache_dtype=cache_dtype,
+        )
+        rids = [be.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1) for ids, _ in reqs]
+        be.run_to_completion(max_ticks=300)
+        assert be.k_pool.dtype == (cache_dtype or be.params["language_model"]["embed_tokens"].dtype)
+        return [be.result(rid) for rid in rids]
+
+    ref = run(None)
+    f8 = run(jnp.float8_e4m3fn)
+    for r, f in zip(ref, f8):
+        assert len(f) == max_new
+        assert f[0] == r[0]
