@@ -285,6 +285,8 @@ def main():
                         help="paged engine: automatic prefix caching - requests sharing a token prefix (system prompts) reuse its KV pages instead of re-prefilling")
     parser.add_argument("--kv-cache-dtype", choices=["bf16", "fp8"], default="bf16",
                         help="paged engine: page-pool storage dtype; fp8 (e4m3) halves KV HBM and page DMA bytes, kernels dequantize on load")
+    parser.add_argument("--decode-kernel", choices=["auto", "manual"], default="auto",
+                        help="paged engine: 'manual' streams KV pages through an in-kernel async-copy ring instead of the auto-pipelined per-page grid (TPU only)")
     parser.add_argument("--speculative", action="store_true",
                         help="prompt-lookup speculative decoding on the single-request engine path (greedy requests only; identical tokens, fewer device steps)")
     args = parser.parse_args()
@@ -314,6 +316,7 @@ def main():
                 prefill_chunk=args.prefill_chunk,
                 prefix_cache=args.prefix_cache,
                 cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
+                decode_kernel=args.decode_kernel,
             )
         else:
             from omchat_tpu.runtime.batch_engine import BatchEngine

@@ -38,6 +38,7 @@ def main():
                     help="prepend a common N-token system prompt to every text request "
                     "(the prefix-cache showcase workload; pair with --prefix-cache)")
     ap.add_argument("--kv-cache-dtype", choices=["bf16", "fp8"], default="bf16")
+    ap.add_argument("--decode-kernel", choices=["auto", "manual"], default="auto")
     ap.add_argument("--profile", action="store_true", help="per-phase wall-time breakdown")
     args = ap.parse_args()
 
@@ -59,6 +60,7 @@ def main():
         decode_roll=args.decode_roll,
         prefill_chunk=args.prefill_chunk,
         cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
+        decode_kernel=args.decode_kernel,
     )
 
     from omchat_tpu.constants import IMAGE_TOKEN_INDEX

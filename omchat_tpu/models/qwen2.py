@@ -216,7 +216,7 @@ def quant_glue_ok(attn_impl) -> bool:
     """Glue kernels engage only for single-device Pallas-path serving: the
     multi-device engines force attn_impl to "xla" or the ("pallas_tp", mesh)
     tuple, under which the opaque pallas_calls would not shard."""
-    return attn_impl is None or attn_impl == "pallas"
+    return attn_impl is None or attn_impl in ("pallas", "pallas_manual")
 
 
 def _layer_forward(cfg, attn_impl, carry, xs):

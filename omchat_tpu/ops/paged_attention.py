@@ -521,7 +521,7 @@ def paged_prefill_attention(
         # pallas_tp shard_map wrapper not wired for the paged pool layout; the
         # gather+flash path partitions under GSPMD (kv-head axis sharded).
         impl = "xla"
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_manual"):  # manual ring is a decode-only variant
         return paged_flash_prefill(q, k_pages, v_pages, kv_len, page_tables, q_offset)
 
     from omchat_tpu.ops.attention import _xla_attention

@@ -396,6 +396,7 @@ class PagedBatchEngine:
         prefill_chunk: int = 1024,
         prefix_cache: bool = False,
         cache_dtype=None,
+        decode_kernel: str = "auto",
     ):
         """``max_len`` caps one request's prompt+generation (it sets the page
         TABLE width, so per-step attention cost scales with the request cap,
@@ -419,7 +420,12 @@ class PagedBatchEngine:
         ``jnp.float8_e4m3fn`` halves page bytes (double the resident KV per
         HBM byte, and at a fixed page byte size double the tokens per DMA);
         all scatter paths quantize on write and the attention kernels
-        dequantize on load (same contract as OmChatEngine's ``cache_dtype``)."""
+        dequantize on load (same contract as OmChatEngine's ``cache_dtype``).
+
+        ``decode_kernel``: "auto" uses the auto-pipelined paged decode kernel;
+        "manual" uses the manual-DMA ring variant (grid (B,), NBUF pages in
+        flight per request — see ops/paged_attention.paged_flash_decode_manual).
+        TPU + single-device only; ignored elsewhere."""
         assert prompt_bucket % page_size == 0, "prompt buckets must align to pages"
         assert prefill_chunk % page_size == 0, "prefill chunks must align to pages"
         self.prefill_chunk = prefill_chunk
@@ -448,6 +454,14 @@ class PagedBatchEngine:
                 attn_impl = ("pallas_tp", mesh)
             else:
                 attn_impl = "xla"
+        if (
+            decode_kernel == "manual"
+            and attn_impl in (None, "pallas")
+            and jax.default_backend() == "tpu"
+        ):
+            # decode-only variant: paged_prefill_attention and quant_glue_ok
+            # treat "pallas_manual" exactly like "pallas"
+            attn_impl = "pallas_manual"
         self.attn_impl = attn_impl
         self.decode_roll = max(1, int(decode_roll))
         self.moe_impl = moe_impl
@@ -455,7 +469,11 @@ class PagedBatchEngine:
         from omchat_tpu.runtime.generate import OmChatEngine
 
         # contiguous prefill reuses the single-request engine's jitted buckets
-        self._prefiller = OmChatEngine(cfg, params, attn_impl=attn_impl, prompt_bucket=prompt_bucket)
+        self._prefiller = OmChatEngine(
+            cfg, params,
+            attn_impl=None if attn_impl == "pallas_manual" else attn_impl,
+            prompt_bucket=prompt_bucket,
+        )
 
         tc = cfg.text
         dtype = cache_dtype or params["language_model"]["embed_tokens"].dtype
