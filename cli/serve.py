@@ -36,6 +36,21 @@ from omchat_tpu.config import GenerationConfig
 from omchat_tpu.utils.logging import build_logger
 
 
+def _parse_stops(req):
+    """OpenAI ``stop``: a string or list of up to 4 strings."""
+    stop = req.get("stop") or []
+    if isinstance(stop, str):
+        stop = [stop]
+    return [s for s in stop if s][:4]
+
+
+def _cut_at_stop(text, stops):
+    """Trim ``text`` at the earliest stop-string occurrence.
+    Returns (trimmed_text, hit)."""
+    pos = min((text.find(s) for s in stops if s in text), default=-1)
+    return (text[:pos], True) if pos >= 0 else (text, False)
+
+
 def _parse_messages(messages):
     """Extract (question, history, images) from OpenAI-style messages."""
     images = []
@@ -113,7 +128,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
             self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
             self.wfile.flush()
 
-        def _stream_completion(self, inputs, gen):
+        def _stream_completion(self, inputs, gen, stops=()):
             """OpenAI-style SSE: role chunk, content deltas, finish, [DONE].
             Incremental text uses a bounded decode window (full-prefix
             re-decode per token is O(n²)).
@@ -127,6 +142,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
             self._sse_chunk({"role": "assistant"})
             tok = model.tokenizer
             emitted = []
+            stop_hit = []
 
             def emit(token_id: int):
                 emitted.append(token_id)
@@ -134,6 +150,16 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 text = tok.decode(tail, skip_special_tokens=True)
                 prev = tok.decode(tail[:-1], skip_special_tokens=True)
                 piece = text[len(prev):]
+                if stops:
+                    cut, hit = _cut_at_stop(text, stops)
+                    if hit:
+                        # emit only the chars of this piece that precede the
+                        # stop string (the stop itself is never streamed)
+                        keep = len(piece) - (len(text) - len(cut))
+                        if keep > 0:
+                            self._sse_chunk({"content": piece[:keep]})
+                        stop_hit.append(True)
+                        return
                 if piece:
                     self._sse_chunk({"content": piece})
 
@@ -153,7 +179,13 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     tokens, done = batch_engine.snapshot(rid)
                     for t in tokens[sent:]:
                         emit(t)
+                        if stop_hit:
+                            break
                     sent = len(tokens)
+                    if stop_hit:
+                        batch_engine.cancel(rid)
+                        finish = "stop"
+                        break
                     if done:
                         break
                     if getattr(batch_engine, "dead", False):
@@ -173,10 +205,12 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         inputs.get("images"),
                         gen,
                         stream_callback=emit,
+                        stop_keywords=stops,
+                        tokenizer=tok,
                     )
                 n_new = len(out.token_ids[0])
             if finish is None:
-                finish = "stop" if n_new < gen.max_new_tokens else "length"
+                finish = "stop" if (stop_hit or n_new < gen.max_new_tokens) else "length"
             self._sse_chunk({}, finish_reason=finish)
             self.wfile.write(b"data: [DONE]\n\n")
             self.wfile.flush()
@@ -195,12 +229,13 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     temperature=float(req.get("temperature", 1.0)) or 1.0,
                     top_p=float(req.get("top_p", 1.0)),
                 )
+                stops = _parse_stops(req)
                 t0 = time.time()
                 inputs = model.processor(question, images=images, history=history, system=system)
                 if req.get("stream"):
                     # SSE path runs the single-request engine (per-token host
                     # callbacks); concurrent requests still ride the batch.
-                    self._stream_completion(inputs, gen)
+                    self._stream_completion(inputs, gen, stops)
                     return
                 # sampled requests ride the continuous batch too: the decode
                 # step takes per-slot generation params (sample_batch)
@@ -214,9 +249,20 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                             generation=gen,
                         )
                     deadline = time.time() + 60 + 0.5 * gen.max_new_tokens
+                    from omchat_tpu.runtime.generate import KeywordStopper
+
+                    stopper = KeywordStopper(stops, model.tokenizer) if stops else None
+                    seen = 0
                     while not batch_engine.finished(rid):
                         if getattr(batch_engine, "dead", False) or time.time() > deadline:
                             raise RuntimeError("batch scheduler unavailable or request timed out")
+                        if stopper is not None:
+                            tokens, _ = batch_engine.snapshot(rid)
+                            if len(tokens) > seen:
+                                seen = len(tokens)
+                                if stopper.should_stop(tokens):
+                                    batch_engine.cancel(rid)
+                                    break
                         time.sleep(0.005)
                     token_ids, prompt_len = batch_engine.pop_result(rid)
                 elif speculative and not gen.do_sample:
@@ -231,12 +277,16 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 else:
                     with lock:
                         out = model.engine.generate(
-                            [inputs["input_ids"][0].tolist()], inputs.get("images"), gen
+                            [inputs["input_ids"][0].tolist()], inputs.get("images"), gen,
+                            stop_keywords=stops, tokenizer=model.tokenizer,
                         )
                     token_ids = out.token_ids[0]
                     prompt_len = int(out.prompt_len[0])
                 text = model.tokenizer.decode(token_ids, skip_special_tokens=True)
                 n_new = len(token_ids)
+                stop_cut = False
+                if stops:
+                    text, stop_cut = _cut_at_stop(text, stops)
                 self._json(
                     200,
                     {
@@ -246,7 +296,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                             {
                                 "index": 0,
                                 "message": {"role": "assistant", "content": text},
-                                "finish_reason": "stop" if n_new < gen.max_new_tokens else "length",
+                                "finish_reason": "stop" if (stop_cut or n_new < gen.max_new_tokens) else "length",
                             }
                         ],
                         "usage": {

@@ -135,6 +135,7 @@ class _Request:
     generated: List[int] = field(default_factory=list)
     done: bool = False
     last_token: Optional[int] = None
+    cancelled: bool = False  # cooperative: swept by the scheduler at tick start
 
     @property
     def samples(self) -> bool:
@@ -268,6 +269,21 @@ class BatchEngine:
         req = self.requests.pop(request_id)
         return list(req.generated), int(req.plan.lengths[0])
 
+    def cancel(self, request_id: int) -> None:
+        """Request early termination (client disconnect, stop string hit).
+        Safe to call from any thread: only a flag is set here; the scheduler
+        thread releases the slot at the start of its next tick."""
+        self.requests[request_id].cancelled = True
+
+    def _sweep_cancelled(self):
+        for req in list(self.slots):
+            if req is not None and req.cancelled and not req.done:
+                self._release(req)
+        if any(r.cancelled for r in self.queue):
+            for req in [r for r in self.queue if r.cancelled]:
+                req.done = True
+            self.queue = [r for r in self.queue if not r.cancelled]
+
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
 
@@ -290,6 +306,7 @@ class BatchEngine:
     def step(self):
         """One scheduler tick: advance at most one prefill chunk for a joining
         request, then one decode step for every slot in decode phase."""
+        self._sweep_cancelled()
         self._admit()
 
         d = self.params["language_model"]["embed_tokens"].shape[1]

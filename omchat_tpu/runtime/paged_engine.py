@@ -365,6 +365,7 @@ class _PagedRequest:
     chunk_pos: int = 0  # next chunk start for in-progress paged prefill
     page_hashes: List[bytes] = field(default_factory=list)  # prefix-cache digests
     cache_refs: List[int] = field(default_factory=list)  # pages held via the cache
+    cancelled: bool = False  # cooperative: swept by the scheduler at tick start
 
     @property
     def samples(self) -> bool:
@@ -572,6 +573,21 @@ class PagedBatchEngine:
     def pop_result(self, request_id: int):
         req = self.requests.pop(request_id)
         return list(req.generated), req.prompt_len
+
+    def cancel(self, request_id: int) -> None:
+        """Request early termination (client disconnect, stop string hit).
+        Safe to call from any thread: only a flag is set here; the scheduler
+        thread releases the slot/pages at the start of its next tick."""
+        self.requests[request_id].cancelled = True
+
+    def _sweep_cancelled(self):
+        for req in list(self.slots):
+            if req is not None and req.cancelled and not req.done:
+                self._release(req)
+        if any(r.cancelled for r in self.queue):
+            for req in [r for r in self.queue if r.cancelled]:
+                req.done = True
+            self.queue = [r for r in self.queue if not r.cancelled]
 
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
@@ -789,6 +805,7 @@ class PagedBatchEngine:
                 self._release(req)
 
     def step(self):
+        self._sweep_cancelled()
         self._admit()
         # Advance EVERY pending prefill per tick, then roll.  Pending short
         # text-only prompts ride ONE batched prefill dispatch; long/multimodal

@@ -128,3 +128,24 @@ def test_more_requests_than_slots(setup):
     be.run_to_completion(max_ticks=1000)
     for rid, exp in zip(rids, expected):
         assert be.result(rid) == exp
+
+
+def test_cancel_frees_slot(setup):
+    """cancel() releases the slot at the next tick; the other request and a
+    later wave complete normally."""
+    from omchat_tpu.runtime.batch_engine import BatchEngine
+
+    cfg, params = setup
+    be = BatchEngine(cfg, params, max_slots=2, max_len=64, attn_impl="xla", chunk_size=16)
+    r1 = be.submit([5, 6, 7, 8], None, max_new_tokens=40, eos_token_id=-1)
+    r2 = be.submit([9, 10, 11], None, max_new_tokens=4, eos_token_id=-1)
+    for _ in range(3):
+        be.step()
+    be.cancel(r1)
+    be.run_to_completion(max_ticks=300)
+    assert be.finished(r1) and be.finished(r2)
+    assert len(be.result(r1)) < 40
+    assert len(be.result(r2)) == 4
+    r3 = be.submit([12, 13], None, max_new_tokens=3, eos_token_id=-1)
+    be.run_to_completion(max_ticks=300)
+    assert len(be.result(r3)) == 3

@@ -311,3 +311,43 @@ def test_fp8_page_pool(setup):
     for r, f in zip(ref, f8):
         assert len(f) == max_new
         assert f[0] == r[0]
+
+
+def test_cancel_releases_pages(setup):
+    """cancel() is cooperative: the next tick releases the slot and returns
+    the request's pages to the allocator; other requests are unaffected."""
+    cfg, params = setup
+    be = PagedBatchEngine(
+        cfg, params, max_slots=2, num_pages=12, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=96,
+    )
+    free0 = be.allocator.available
+    r1 = be.submit([5, 6, 7, 8], None, max_new_tokens=40, eos_token_id=-1)
+    r2 = be.submit([9, 10, 11], None, max_new_tokens=4, eos_token_id=-1)
+    for _ in range(3):
+        be.step()
+    assert not be.finished(r1)
+    be.cancel(r1)
+    be.run_to_completion(max_ticks=200)
+    assert be.finished(r1) and be.finished(r2)
+    toks1, _ = be.pop_result(r1)
+    toks2, _ = be.pop_result(r2)
+    assert len(toks1) < 40  # stopped early
+    assert len(toks2) == 4  # unaffected
+    assert be.allocator.available == free0  # every page returned
+
+
+def test_cancel_queued_request(setup):
+    """Cancelling a request still in the admission queue drops it without
+    touching the pool."""
+    cfg, params = setup
+    be = PagedBatchEngine(
+        cfg, params, max_slots=1, num_pages=12, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=96,
+    )
+    r1 = be.submit([5, 6, 7, 8], None, max_new_tokens=4, eos_token_id=-1)
+    r2 = be.submit([9, 10, 11], None, max_new_tokens=4, eos_token_id=-1)  # queued behind r1
+    be.cancel(r2)
+    be.run_to_completion(max_ticks=200)
+    assert be.finished(r1) and be.finished(r2)
+    assert be.result(r2) == []

@@ -112,3 +112,37 @@ def test_image_completion(server_port, rng):
         },
     )
     assert out["usage"]["prompt_tokens"] > 16  # image tokens got spliced
+
+
+def test_stop_strings(server_port):
+    """OpenAI ``stop``: generation is cut before the stop string and
+    finish_reason is "stop" (greedy => deterministic across the two calls)."""
+    base = _post(
+        server_port,
+        {"messages": [{"role": "user", "content": "hello"}], "max_tokens": 8},
+    )
+    text = base["choices"][0]["message"]["content"]
+    if len(text) < 3:
+        pytest.skip("tiny model emitted undecodable text")
+    stop = text[1:3]
+    out = _post(
+        server_port,
+        {"messages": [{"role": "user", "content": "hello"}], "max_tokens": 8, "stop": stop},
+    )
+    cut = out["choices"][0]["message"]["content"]
+    assert stop not in cut
+    assert cut == text[: text.find(stop)]
+    assert out["choices"][0]["finish_reason"] == "stop"
+
+
+def test_stop_helpers():
+    """_parse_stops normalizes the OpenAI field; _cut_at_stop trims at the
+    EARLIEST occurrence across stop strings."""
+    from serve import _cut_at_stop, _parse_stops
+
+    assert _parse_stops({"stop": "\n"}) == ["\n"]
+    assert _parse_stops({"stop": ["a", "", "b", "c", "d", "e"]}) == ["a", "b", "c", "d"]
+    assert _parse_stops({}) == []
+    assert _cut_at_stop("hello world", ["wor"]) == ("hello ", True)
+    assert _cut_at_stop("a.b,c", [",", "."]) == ("a", True)
+    assert _cut_at_stop("plain", ["zzz"]) == ("plain", False)
