@@ -92,6 +92,22 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
     """batch_engine: optional BatchEngine — requests join the continuous batch
     and poll for completion instead of serializing behind the lock."""
     lock = threading.Lock()
+    metrics = {
+        "requests_total": 0,
+        "requests_failed_total": 0,
+        "prompt_tokens_total": 0,
+        "completion_tokens_total": 0,
+        "request_latency_ms_sum": 0.0,
+    }
+    metrics_lock = threading.Lock()
+
+    def count(prompt_tokens=0, completion_tokens=0, latency_ms=0.0, failed=False):
+        with metrics_lock:
+            metrics["requests_total"] += 1
+            metrics["requests_failed_total"] += int(failed)
+            metrics["prompt_tokens_total"] += prompt_tokens
+            metrics["completion_tokens_total"] += completion_tokens
+            metrics["request_latency_ms_sum"] += latency_ms
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -108,8 +124,30 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
         def do_GET(self):
             if self.path == "/health":
                 self._json(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                self._metrics()
             else:
                 self._json(404, {"error": "not found"})
+
+        def _metrics(self):
+            """Prometheus text exposition: request counters plus live
+            scheduler gauges (slot occupancy, admission queue, page pool,
+            prefix-cache hit rate)."""
+            with metrics_lock:
+                rows = dict(metrics)
+            if batch_engine is not None:
+                rows.update({f"engine_{k}": v for k, v in batch_engine.stats().items()})
+                rows["engine_dead"] = int(getattr(batch_engine, "dead", False))
+            body = "".join(
+                f"# TYPE omchat_{k} {'counter' if k in metrics else 'gauge'}\n"
+                f"omchat_{k} {v}\n"
+                for k, v in rows.items()
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         # -- SSE streaming ------------------------------------------------
 
@@ -138,6 +176,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
             held only for submit, so a streaming client never serializes the
             other requests.  Without a batch engine the single-request engine
             necessarily holds the lock for the whole generation."""
+            t_start = time.time()
             self._sse_start()
             self._sse_chunk({"role": "assistant"})
             tok = model.tokenizer
@@ -214,6 +253,12 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
             self._sse_chunk({}, finish_reason=finish)
             self.wfile.write(b"data: [DONE]\n\n")
             self.wfile.flush()
+            count(
+                prompt_tokens=len(inputs["input_ids"][0]),
+                completion_tokens=len(emitted),
+                latency_ms=(time.time() - t_start) * 1000,
+                failed=finish == "error",
+            )
 
         def do_POST(self):
             if self.path not in ("/v1/chat/completions", "/chat"):
@@ -307,8 +352,10 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         },
                     },
                 )
+                count(prompt_len, n_new, (time.time() - t0) * 1000)
             except Exception as e:  # noqa: BLE001
                 logger.exception("request failed")
+                count(failed=True)
                 self._json(500, {"error": str(e)})
 
     return Handler

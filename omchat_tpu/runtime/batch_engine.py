@@ -287,6 +287,14 @@ class BatchEngine:
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
 
+    def stats(self) -> dict:
+        """Scheduler gauges for observability surfaces (serve.py /metrics)."""
+        return {
+            "slots_busy": sum(r is not None for r in self.slots),
+            "slots_total": self.max_slots,
+            "queue_depth": len(self.queue),
+        }
+
     # -- scheduler ----------------------------------------------------------
 
     def _admit(self):

@@ -592,6 +592,19 @@ class PagedBatchEngine:
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
 
+    def stats(self) -> dict:
+        """Scheduler gauges for observability surfaces (serve.py /metrics)."""
+        out = {
+            "slots_busy": sum(r is not None for r in self.slots),
+            "slots_total": self.max_slots,
+            "queue_depth": len(self.queue),
+            "pages_free": self.allocator.available,
+            "pages_total": self.allocator.num_pages,
+        }
+        if self.prefix_cache is not None:
+            out.update({f"prefix_cache_{k}": v for k, v in self.prefix_cache.stats().items()})
+        return out
+
     # -- scheduler ----------------------------------------------------------
 
     def _n_pages_for(self, total_tokens: int) -> int:

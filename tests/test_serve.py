@@ -146,3 +146,17 @@ def test_stop_helpers():
     assert _cut_at_stop("hello world", ["wor"]) == ("hello ", True)
     assert _cut_at_stop("a.b,c", [",", "."]) == ("a", True)
     assert _cut_at_stop("plain", ["zzz"]) == ("plain", False)
+
+
+def test_metrics_endpoint(server_port):
+    """/metrics: Prometheus text format with request counters."""
+    _post(server_port, {"messages": [{"role": "user", "content": "m"}], "max_tokens": 2})
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/metrics", timeout=30) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        body = resp.read().decode()
+    lines = dict(
+        l.split(" ", 1) for l in body.splitlines() if l and not l.startswith("#")
+    )
+    assert int(lines["omchat_requests_total"]) >= 1
+    assert int(lines["omchat_completion_tokens_total"]) >= 2
+    assert "# TYPE omchat_requests_total counter" in body
