@@ -282,9 +282,13 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     # callbacks); concurrent requests still ride the batch.
                     self._stream_completion(inputs, gen, stops)
                     return
+                # logprobs requests run the single-request engine (the batch
+                # decode step returns tokens only); they serialize on the lock
+                want_logprobs = bool(req.get("logprobs"))
+                out_logprobs = None
                 # sampled requests ride the continuous batch too: the decode
                 # step takes per-slot generation params (sample_batch)
-                if batch_engine is not None:
+                if batch_engine is not None and not want_logprobs:
                     with lock:
                         rid = batch_engine.submit(
                             inputs["input_ids"][0].tolist(),
@@ -310,7 +314,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                                     break
                         time.sleep(0.005)
                     token_ids, prompt_len = batch_engine.pop_result(rid)
-                elif speculative and not gen.do_sample:
+                elif speculative and not gen.do_sample and not want_logprobs:
                     from omchat_tpu.runtime.speculative import generate_speculative
 
                     with lock:
@@ -324,9 +328,20 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         out = model.engine.generate(
                             [inputs["input_ids"][0].tolist()], inputs.get("images"), gen,
                             stop_keywords=stops, tokenizer=model.tokenizer,
+                            return_logprobs=want_logprobs,
                         )
                     token_ids = out.token_ids[0]
                     prompt_len = int(out.prompt_len[0])
+                    if want_logprobs:
+                        out_logprobs = {
+                            "content": [
+                                {
+                                    "token": model.tokenizer.decode([t], skip_special_tokens=True),
+                                    "logprob": lp,
+                                }
+                                for t, lp in zip(token_ids, out.logprobs[0])
+                            ]
+                        }
                 text = model.tokenizer.decode(token_ids, skip_special_tokens=True)
                 n_new = len(token_ids)
                 stop_cut = False
@@ -341,6 +356,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                             {
                                 "index": 0,
                                 "message": {"role": "assistant", "content": text},
+                                "logprobs": out_logprobs,
                                 "finish_reason": "stop" if (stop_cut or n_new < gen.max_new_tokens) else "length",
                             }
                         ],

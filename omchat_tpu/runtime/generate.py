@@ -249,6 +249,16 @@ class KeywordStopper:
 class GenerateOutput:
     token_ids: List[List[int]]  # generated tokens per sequence (eos excluded)
     prompt_len: np.ndarray
+    # per-token log p(token | prefix) for each sequence, aligned with
+    # token_ids; only populated when generate(return_logprobs=True)
+    logprobs: Optional[List[List[float]]] = None
+
+
+@jax.jit
+def _chosen_logprob_jit(logits, tokens):
+    """log softmax of the selected token per row: [B, V], [B] -> [B] f32."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, tokens[:, None], axis=1)[:, 0]
 
 
 class OmChatEngine:
@@ -409,6 +419,7 @@ class OmChatEngine:
         stop_keywords: Sequence[str] = (),
         tokenizer=None,
         rng_key: Optional[jax.Array] = None,
+        return_logprobs: bool = False,
     ) -> GenerateOutput:
         """Greedy/sampled decode with host streaming.
 
@@ -431,6 +442,7 @@ class OmChatEngine:
         key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
 
         generated: List[List[int]] = [[] for _ in range(b)]
+        logprobs: List[List[float]] = [[] for _ in range(b)]
         done = np.zeros(b, bool)
         tokens = None
         decode_t0 = time.perf_counter()
@@ -441,12 +453,15 @@ class OmChatEngine:
             else:
                 tokens = greedy(logits)
             toks = np.asarray(tokens)
+            lps = np.asarray(_chosen_logprob_jit(logits, tokens)) if return_logprobs else None
             for i in range(b):
                 if not done[i]:
                     if int(toks[i]) == gen.eos_token_id:
                         done[i] = True
                     else:
                         generated[i].append(int(toks[i]))
+                        if lps is not None:
+                            logprobs[i].append(float(lps[i]))
                         if stream_callback is not None and b == 1:
                             stream_callback(int(toks[i]))
                         if stopper is not None and stopper.should_stop(generated[i]):
@@ -457,7 +472,10 @@ class OmChatEngine:
             kv_len = kv_len + 1
 
         self.spans["decode"] = time.perf_counter() - decode_t0
-        return GenerateOutput(token_ids=generated, prompt_len=plan.lengths)
+        return GenerateOutput(
+            token_ids=generated, prompt_len=plan.lengths,
+            logprobs=logprobs if return_logprobs else None,
+        )
 
     def generate_ondevice(
         self,

@@ -149,3 +149,27 @@ def test_cancel_frees_slot(setup):
     r3 = be.submit([12, 13], None, max_new_tokens=3, eos_token_id=-1)
     be.run_to_completion(max_ticks=300)
     assert len(be.result(r3)) == 3
+
+
+def test_generate_return_logprobs(setup):
+    """return_logprobs: greedy's chosen-token logprob IS the distribution max
+    (argmax token ⇒ max log-softmax), one per generated token."""
+    import jax
+    import jax.numpy as jnp
+
+    from omchat_tpu.runtime.generate import _chosen_logprob_jit
+
+    cfg, params = setup
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=16)
+    out = engine.generate(
+        [[5, 6, 7, 8]], None, GenerationConfig(max_new_tokens=5, eos_token_id=-1),
+        return_logprobs=True,
+    )
+    assert len(out.logprobs[0]) == len(out.token_ids[0]) == 5
+    assert all(lp <= 0.0 for lp in out.logprobs[0])
+    # cross-check the helper: chosen logprob of the argmax == max of log_softmax
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal((2, 11)), jnp.float32)
+    toks = jnp.argmax(logits, axis=-1)
+    got = np.asarray(_chosen_logprob_jit(logits, toks))
+    want = np.asarray(jnp.max(jax.nn.log_softmax(logits, -1), axis=-1))
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -160,3 +160,16 @@ def test_metrics_endpoint(server_port):
     assert int(lines["omchat_requests_total"]) >= 1
     assert int(lines["omchat_completion_tokens_total"]) >= 2
     assert "# TYPE omchat_requests_total counter" in body
+
+
+def test_logprobs(server_port):
+    """OpenAI ``logprobs``: per-token chosen logprobs, all <= 0, aligned with
+    the completion length."""
+    out = _post(
+        server_port,
+        {"messages": [{"role": "user", "content": "hello"}], "max_tokens": 4, "logprobs": True},
+    )
+    lp = out["choices"][0]["logprobs"]
+    assert lp is not None and "content" in lp
+    assert len(lp["content"]) == out["usage"]["completion_tokens"]
+    assert all(e["logprob"] <= 0.0 for e in lp["content"])
