@@ -285,36 +285,51 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 # logprobs requests run the single-request engine (the batch
                 # decode step returns tokens only); they serialize on the lock
                 want_logprobs = bool(req.get("logprobs"))
-                out_logprobs = None
+                seed = req.get("seed")
+                n = max(1, min(int(req.get("n", 1) or 1), 8))
+                # logprobs/seed run the single-request engine (the batch decode
+                # step returns tokens only, and samples from an engine-global
+                # rng); they serialize on the lock
+                use_engine = want_logprobs or seed is not None
+                # completions: [(token_ids, prompt_len, logprobs | None)]
+                completions = []
                 # sampled requests ride the continuous batch too: the decode
-                # step takes per-slot generation params (sample_batch)
-                if batch_engine is not None and not want_logprobs:
+                # step takes per-slot generation params (sample_batch); n > 1
+                # choices become n concurrent members of the shared batch
+                if batch_engine is not None and not use_engine:
                     with lock:
-                        rid = batch_engine.submit(
-                            inputs["input_ids"][0].tolist(),
-                            inputs.get("images"),
-                            max_new_tokens=gen.max_new_tokens,
-                            eos_token_id=gen.eos_token_id,
-                            generation=gen,
-                        )
+                        rids = [
+                            batch_engine.submit(
+                                inputs["input_ids"][0].tolist(),
+                                inputs.get("images"),
+                                max_new_tokens=gen.max_new_tokens,
+                                eos_token_id=gen.eos_token_id,
+                                generation=gen,
+                            )
+                            for _ in range(n)
+                        ]
                     deadline = time.time() + 60 + 0.5 * gen.max_new_tokens
                     from omchat_tpu.runtime.generate import KeywordStopper
 
                     stopper = KeywordStopper(stops, model.tokenizer) if stops else None
-                    seen = 0
-                    while not batch_engine.finished(rid):
+                    seen = {rid: 0 for rid in rids}
+                    while not all(batch_engine.finished(rid) for rid in rids):
                         if getattr(batch_engine, "dead", False) or time.time() > deadline:
                             raise RuntimeError("batch scheduler unavailable or request timed out")
                         if stopper is not None:
-                            tokens, _ = batch_engine.snapshot(rid)
-                            if len(tokens) > seen:
-                                seen = len(tokens)
-                                if stopper.should_stop(tokens):
-                                    batch_engine.cancel(rid)
-                                    break
+                            for rid in rids:
+                                if batch_engine.finished(rid):
+                                    continue
+                                tokens, _ = batch_engine.snapshot(rid)
+                                if len(tokens) > seen[rid]:
+                                    seen[rid] = len(tokens)
+                                    if stopper.should_stop(tokens):
+                                        batch_engine.cancel(rid)
                         time.sleep(0.005)
-                    token_ids, prompt_len = batch_engine.pop_result(rid)
-                elif speculative and not gen.do_sample and not want_logprobs:
+                    for rid in rids:
+                        token_ids, prompt_len = batch_engine.pop_result(rid)
+                        completions.append((token_ids, prompt_len, None))
+                elif speculative and not gen.do_sample and not use_engine and n == 1:
                     from omchat_tpu.runtime.speculative import generate_speculative
 
                     with lock:
@@ -322,53 +337,66 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                             model.engine, inputs["input_ids"][0].tolist(),
                             inputs.get("images"), gen,
                         )
-                    prompt_len = len(inputs["input_ids"][0])
+                    completions.append((token_ids, len(inputs["input_ids"][0]), None))
                 else:
-                    with lock:
-                        out = model.engine.generate(
-                            [inputs["input_ids"][0].tolist()], inputs.get("images"), gen,
-                            stop_keywords=stops, tokenizer=model.tokenizer,
-                            return_logprobs=want_logprobs,
-                        )
-                    token_ids = out.token_ids[0]
-                    prompt_len = int(out.prompt_len[0])
-                    if want_logprobs:
-                        out_logprobs = {
+                    import jax
+
+                    for i in range(n):
+                        key = jax.random.PRNGKey(int(seed) + i) if seed is not None else None
+                        with lock:
+                            out = model.engine.generate(
+                                [inputs["input_ids"][0].tolist()], inputs.get("images"), gen,
+                                stop_keywords=stops, tokenizer=model.tokenizer,
+                                return_logprobs=want_logprobs, rng_key=key,
+                            )
+                        completions.append((
+                            out.token_ids[0], int(out.prompt_len[0]),
+                            out.logprobs[0] if want_logprobs else None,
+                        ))
+                choices = []
+                total_new = 0
+                prompt_len = completions[0][1]
+                for idx, (token_ids, _plen, lps) in enumerate(completions):
+                    text = model.tokenizer.decode(token_ids, skip_special_tokens=True)
+                    n_new = len(token_ids)
+                    total_new += n_new
+                    stop_cut = False
+                    if stops:
+                        text, stop_cut = _cut_at_stop(text, stops)
+                    logprobs_obj = None
+                    if lps is not None:
+                        logprobs_obj = {
                             "content": [
                                 {
                                     "token": model.tokenizer.decode([t], skip_special_tokens=True),
                                     "logprob": lp,
                                 }
-                                for t, lp in zip(token_ids, out.logprobs[0])
+                                for t, lp in zip(token_ids, lps)
                             ]
                         }
-                text = model.tokenizer.decode(token_ids, skip_special_tokens=True)
-                n_new = len(token_ids)
-                stop_cut = False
-                if stops:
-                    text, stop_cut = _cut_at_stop(text, stops)
+                    choices.append(
+                        {
+                            "index": idx,
+                            "message": {"role": "assistant", "content": text},
+                            "logprobs": logprobs_obj,
+                            "finish_reason": "stop" if (stop_cut or n_new < gen.max_new_tokens) else "length",
+                        }
+                    )
                 self._json(
                     200,
                     {
                         "object": "chat.completion",
                         "model": "omchat-tpu",
-                        "choices": [
-                            {
-                                "index": 0,
-                                "message": {"role": "assistant", "content": text},
-                                "logprobs": out_logprobs,
-                                "finish_reason": "stop" if (stop_cut or n_new < gen.max_new_tokens) else "length",
-                            }
-                        ],
+                        "choices": choices,
                         "usage": {
                             "prompt_tokens": prompt_len,
-                            "completion_tokens": n_new,
-                            "total_tokens": prompt_len + n_new,
+                            "completion_tokens": total_new,
+                            "total_tokens": prompt_len + total_new,
                             "latency_ms": round((time.time() - t0) * 1000, 1),
                         },
                     },
                 )
-                count(prompt_len, n_new, (time.time() - t0) * 1000)
+                count(prompt_len, total_new, (time.time() - t0) * 1000)
             except Exception as e:  # noqa: BLE001
                 logger.exception("request failed")
                 count(failed=True)

@@ -173,3 +173,24 @@ def test_logprobs(server_port):
     assert lp is not None and "content" in lp
     assert len(lp["content"]) == out["usage"]["completion_tokens"]
     assert all(e["logprob"] <= 0.0 for e in lp["content"])
+
+
+def test_n_choices_and_seed(server_port):
+    """``n`` returns that many choices; ``seed`` makes sampling reproducible."""
+    out = _post(
+        server_port,
+        {"messages": [{"role": "user", "content": "hi"}], "max_tokens": 3, "n": 2},
+    )
+    assert [c["index"] for c in out["choices"]] == [0, 1]
+    assert out["usage"]["completion_tokens"] <= 6
+    a = _post(
+        server_port,
+        {"messages": [{"role": "user", "content": "hi"}], "max_tokens": 4,
+         "temperature": 0.9, "seed": 7},
+    )
+    b = _post(
+        server_port,
+        {"messages": [{"role": "user", "content": "hi"}], "max_tokens": 4,
+         "temperature": 0.9, "seed": 7},
+    )
+    assert a["choices"][0]["message"]["content"] == b["choices"][0]["message"]["content"]
