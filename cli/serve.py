@@ -287,10 +287,16 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 want_logprobs = bool(req.get("logprobs"))
                 seed = req.get("seed")
                 n = max(1, min(int(req.get("n", 1) or 1), 8))
-                # logprobs/seed run the single-request engine (the batch decode
-                # step returns tokens only, and samples from an engine-global
-                # rng); they serialize on the lock
-                use_engine = want_logprobs or seed is not None
+                guided = req.get("guided_choice")
+                allowed_fn = None
+                if guided:
+                    from omchat_tpu.runtime.constrained import choice_mask_fn
+
+                    allowed_fn = choice_mask_fn(model.tokenizer, [str(c) for c in guided])
+                # logprobs/seed/guided_choice run the single-request engine
+                # (the batch decode step returns tokens only, and samples from
+                # an engine-global rng); they serialize on the lock
+                use_engine = want_logprobs or seed is not None or allowed_fn is not None
                 # completions: [(token_ids, prompt_len, logprobs | None)]
                 completions = []
                 # sampled requests ride the continuous batch too: the decode
@@ -348,6 +354,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                                 [inputs["input_ids"][0].tolist()], inputs.get("images"), gen,
                                 stop_keywords=stops, tokenizer=model.tokenizer,
                                 return_logprobs=want_logprobs, rng_key=key,
+                                allowed_tokens_fn=allowed_fn,
                             )
                         completions.append((
                             out.token_ids[0], int(out.prompt_len[0]),

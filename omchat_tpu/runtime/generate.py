@@ -420,6 +420,7 @@ class OmChatEngine:
         tokenizer=None,
         rng_key: Optional[jax.Array] = None,
         return_logprobs: bool = False,
+        allowed_tokens_fn: Optional[Callable[[List[int]], Optional[List[int]]]] = None,
     ) -> GenerateOutput:
         """Greedy/sampled decode with host streaming.
 
@@ -427,6 +428,8 @@ class OmChatEngine:
         sentinel order (the reference's cur_image_idx contract)."""
         gen = generation or GenerationConfig()
         stopper = KeywordStopper(stop_keywords, tokenizer) if stop_keywords else None
+        if allowed_tokens_fn is not None and len(batch_input_ids) != 1:
+            raise ValueError("constrained decoding is single-request (b == 1)")
 
         from omchat_tpu.utils.profiling import trace_span
 
@@ -447,13 +450,24 @@ class OmChatEngine:
         tokens = None
         decode_t0 = time.perf_counter()
         for step in range(gen.max_new_tokens):
+            step_logits = logits
+            if allowed_tokens_fn is not None:
+                # constrained decoding (runtime/constrained.py): additively
+                # mask the logits to the tokens extending some candidate;
+                # None means the generated path IS a complete candidate
+                allowed = allowed_tokens_fn(generated[0])
+                if allowed is None:
+                    break
+                bias = np.full((int(logits.shape[-1]),), -np.inf, np.float32)
+                bias[np.asarray(allowed, np.int64)] = 0.0
+                step_logits = logits + jnp.asarray(bias)
             if gen.do_sample:
                 key, sub = jax.random.split(key)
-                tokens = sample(logits, sub, gen)
+                tokens = sample(step_logits, sub, gen)
             else:
-                tokens = greedy(logits)
+                tokens = greedy(step_logits)
             toks = np.asarray(tokens)
-            lps = np.asarray(_chosen_logprob_jit(logits, tokens)) if return_logprobs else None
+            lps = np.asarray(_chosen_logprob_jit(step_logits, tokens)) if return_logprobs else None
             for i in range(b):
                 if not done[i]:
                     if int(toks[i]) == gen.eos_token_id:
