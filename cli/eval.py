@@ -22,11 +22,15 @@ def main():
     parser.add_argument("--truths-file", default=None, help="JSON {question_id: answer(s)}")
     parser.add_argument("--max-new-tokens", type=int, default=128)
     parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--guided-mc", action="store_true",
+                        help="constrain answers to the choice letters A-E via trie-masked decoding (MC protocols only)")
     args = parser.parse_args()
 
+    guided = list("ABCDE") if args.guided_mc else None
     model = load_pretrained_model(args.model_path, quantize_int8=args.int8)
     samples = read_question_file(args.question_file, args.image_folder)
-    run_eval(model, samples, args.answers_file, max_new_tokens=args.max_new_tokens)
+    run_eval(model, samples, args.answers_file, max_new_tokens=args.max_new_tokens,
+             guided_choices=guided)
 
     if args.truths_file:
         with open(args.truths_file) as f:

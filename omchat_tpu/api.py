@@ -40,15 +40,19 @@ class OmChatModel:
         generation: Optional[GenerationConfig] = None,
         stream_callback=None,
         speculative: bool = False,
+        guided_choices=None,
     ) -> str:
         """One chat turn: build the anyres context, generate, decode.
 
         ``speculative=True`` (greedy only) decodes with prompt-lookup
         speculation — bit-identical tokens, fewer device steps on
-        echo-heavy continuations (summarization/extraction)."""
+        echo-heavy continuations (summarization/extraction).
+
+        ``guided_choices``: restrict the reply to one of these strings via
+        trie-masked decoding (runtime/constrained.py) — e.g. MC eval letters."""
         inputs = self.processor(text, images=image, history=history)
         gen = generation or GenerationConfig()
-        if speculative and not gen.do_sample:
+        if speculative and not gen.do_sample and not guided_choices:
             from omchat_tpu.runtime.speculative import generate_speculative
 
             ids, _ = generate_speculative(
@@ -59,12 +63,18 @@ class OmChatModel:
                 stream_callback=stream_callback,
             )
             return self.tokenizer.decode(ids, skip_special_tokens=True)
+        allowed_fn = None
+        if guided_choices:
+            from omchat_tpu.runtime.constrained import choice_mask_fn
+
+            allowed_fn = choice_mask_fn(self.tokenizer, list(guided_choices))
         out = self.engine.generate(
             [inputs["input_ids"][0].tolist()],
             inputs.get("images"),
             gen,
             stream_callback=stream_callback,
             tokenizer=self.tokenizer,
+            allowed_tokens_fn=allowed_fn,
         )
         return self.tokenizer.decode(out.token_ids[0], skip_special_tokens=True)
 

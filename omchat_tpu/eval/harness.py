@@ -56,10 +56,15 @@ def run_eval(
     *,
     max_new_tokens: int = 128,
     progress: bool = True,
+    guided_choices: Optional[List[str]] = None,
 ) -> None:
     """Generate an answer per sample and write the answers JSONL.
 
-    ``model`` is an :class:`omchat_tpu.api.OmChatModel`."""
+    ``model`` is an :class:`omchat_tpu.api.OmChatModel`.
+
+    ``guided_choices`` constrains every answer to one of the given strings
+    (trie-masked decoding) — for MC protocols this removes the free-form
+    letter-extraction failure mode entirely."""
     from omchat_tpu.config import GenerationConfig
 
     gen = GenerationConfig(max_new_tokens=max_new_tokens)
@@ -67,7 +72,7 @@ def run_eval(
     with open(answers_file, "w") as out:
         for i, s in enumerate(samples):
             image = Image.open(s.image_path).convert("RGB") if s.image_path else None
-            answer = model.chat(s.text, image=image, generation=gen)
+            answer = model.chat(s.text, image=image, generation=gen, guided_choices=guided_choices)
             out.write(json.dumps({"question_id": s.question_id, "text": answer}) + "\n")
             if progress and i % 20 == 0:
                 print(f"[eval] {i} done", flush=True)

@@ -61,3 +61,15 @@ def test_guided_requires_single_request():
             [[1, 2], [3, 4]], None, GenerationConfig(max_new_tokens=2),
             allowed_tokens_fn=lambda p: [1],
         )
+
+
+def test_api_chat_guided_choices():
+    """OmChatModel.chat(guided_choices=...) returns exactly one candidate."""
+    import sys
+
+    sys.path.insert(0, "cli")
+    from tests.test_serve import _tiny_model
+
+    model = _tiny_model()
+    out = model.chat("Is this a cat or a wolf?", guided_choices=["cat", "wolf"])
+    assert out in ("cat", "wolf")
