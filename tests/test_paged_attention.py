@@ -140,3 +140,27 @@ def test_manual_dma_decode_matches_production(rng):
     ref = paged_flash_decode(q, kp, vp, lengths, tables, interpret=True)
     out = paged_flash_decode_manual(q, kp, vp, lengths, tables, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_fp8_pool_both_kernels(rng):
+    """fp8(e4m3) pages through BOTH pallas decode kernels (interpret):
+    dequantize-on-load matches the xla fallback on the same quantized pool."""
+    import jax.numpy as jnp
+
+    from omchat_tpu.ops.paged_attention import (
+        paged_decode_attention,
+        paged_flash_decode,
+        paged_flash_decode_manual,
+    )
+
+    B, H, KVH, D, ps, P = 2, 8, 2, 128, 16, 24
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+    kp = jnp.asarray(rng.standard_normal((P, KVH, ps, D)), jnp.float8_e4m3fn)
+    vp = jnp.asarray(rng.standard_normal((P, KVH, ps, D)), jnp.float8_e4m3fn)
+    tables = jnp.asarray(np.stack([rng.permutation(P)[:8] for _ in range(B)]), jnp.int32)
+    lengths = jnp.asarray([100, 37], jnp.int32)
+    ref = paged_decode_attention(q, kp, vp, lengths, tables, impl="xla")
+    auto = paged_flash_decode(q, kp, vp, lengths, tables, interpret=True)
+    manual = paged_flash_decode_manual(q, kp, vp, lengths, tables, interpret=True)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(ref), atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(manual), np.asarray(ref), atol=2e-2, rtol=2e-2)
