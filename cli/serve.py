@@ -469,6 +469,8 @@ def main():
         else:
             from omchat_tpu.runtime.batch_engine import BatchEngine
 
+            import jax.numpy as jnp
+
             batch_engine = BatchEngine(
                 model.config,
                 model.engine.params,
@@ -476,6 +478,7 @@ def main():
                 max_len=args.max_len,
                 attn_impl=model.engine.attn_impl,
                 mesh=model.engine.mesh,
+                cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
             )
 
         def scheduler():

@@ -164,10 +164,15 @@ class BatchEngine:
         attn_impl: Optional[str] = None,
         rng_seed: int = 0,
         mesh=None,
+        cache_dtype=None,
     ):
         """mesh: optional device mesh — shards the shared KV cache per
         kv_cache_specs (kv heads over `model` when divisible, replicated
-        otherwise) so TP serving keeps the cache distributed across chips."""
+        otherwise) so TP serving keeps the cache distributed across chips.
+
+        cache_dtype: KV-cache storage override (e.g. ``jnp.float8_e4m3fn``
+        halves the shared cache's HBM; kernels dequantize on load — same
+        contract as OmChatEngine/PagedBatchEngine)."""
         self.cfg = cfg
         self.params = params
         self.max_slots = max_slots
@@ -195,7 +200,7 @@ class BatchEngine:
         self.attn_impl = attn_impl
 
         dtype = params["language_model"]["embed_tokens"].dtype
-        self.cache = init_kv_cache(cfg.text, max_slots, max_len, dtype=dtype)
+        self.cache = init_kv_cache(cfg.text, max_slots, max_len, dtype=cache_dtype or dtype)
         if mesh is not None:
             from jax.sharding import NamedSharding
 

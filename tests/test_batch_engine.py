@@ -173,3 +173,26 @@ def test_generate_return_logprobs(setup):
     got = np.asarray(_chosen_logprob_jit(logits, toks))
     want = np.asarray(jnp.max(jax.nn.log_softmax(logits, -1), axis=-1))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_fp8_shared_cache(setup):
+    """fp8(e4m3) shared slot cache: generation runs and matches the bf16-cache
+    engine's greedy argmax on the first token."""
+    import jax.numpy as jnp
+
+    cfg, params = setup
+
+    def run(cache_dtype):
+        be = BatchEngine(cfg, params, max_slots=2, max_len=64, attn_impl="xla",
+                         chunk_size=16, cache_dtype=cache_dtype)
+        rids = [be.submit([5, 6, 7, 8], None, max_new_tokens=4, eos_token_id=-1),
+                be.submit([9, 10, 11], None, max_new_tokens=4, eos_token_id=-1)]
+        be.run_to_completion(max_ticks=300)
+        if cache_dtype is not None:
+            assert be.cache.k.dtype == cache_dtype
+        return [be.result(r) for r in rids]
+
+    ref = run(None)
+    f8 = run(jnp.float8_e4m3fn)
+    for r, f in zip(ref, f8):
+        assert len(f) == 4 and f[0] == r[0]
