@@ -22,12 +22,19 @@ def main():
     parser.add_argument("--question", type=str, required=True)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--int8", action="store_true", help="int8 weight-only quantization")
+    parser.add_argument("--kv-cache-dtype", choices=["bf16", "fp8"], default="bf16",
+                        help="KV-cache storage dtype; fp8 (e4m3) halves cache HBM, kernels dequantize on load")
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     parser.add_argument("--speculative", action="store_true",
                         help="prompt-lookup speculative decoding (greedy; identical tokens, fewer device steps on echo-heavy outputs)")
     args = parser.parse_args()
 
-    model = load_pretrained_model(args.model_path, quantize_int8=args.int8, tp=args.tp)
+    import jax.numpy as jnp
+
+    model = load_pretrained_model(
+        args.model_path, quantize_int8=args.int8, tp=args.tp,
+        cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
+    )
     image = Image.open(args.image_path).convert("RGB")
 
     from omchat_tpu.runtime.generate import make_stdout_streamer

@@ -114,6 +114,7 @@ def load_pretrained_model(
     quantize_int8: bool = False,
     attn_impl: Optional[str] = None,
     tp: int = 1,
+    cache_dtype=None,
 ) -> OmChatModel:
     """Load an OmChat checkpoint directory (HF-bundle or repo-native layout).
 
@@ -121,6 +122,9 @@ def load_pretrained_model(
     (pjit/GSPMD inserts the ICI collectives) — the genuinely-parallel
     replacement for the reference's sequential ``device_map="auto"`` layer
     placement (builder.py:22-28).
+
+    ``cache_dtype``: KV-cache storage override (e.g. ``jnp.float8_e4m3fn``
+    for half-HBM long-context caches; kernels dequantize on load).
     """
     from transformers import AutoTokenizer
 
@@ -140,7 +144,7 @@ def load_pretrained_model(
         # serving mesh is pure TP: exactly tp devices, no data axis
         mesh = create_mesh(tp=tp, devices=jax.devices()[:tp])
         params = shard_params(params, mesh, omchat_param_specs(config, params))
-    engine = OmChatEngine(config, params, attn_impl=attn_impl, mesh=mesh)
+    engine = OmChatEngine(config, params, attn_impl=attn_impl, mesh=mesh, cache_dtype=cache_dtype)
     image_processor = OmChatImageProcessor(
         crop_size=config.vision.image_size,
         shortest_edge=config.vision.image_size,
