@@ -285,6 +285,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 # logprobs requests run the single-request engine (the batch
                 # decode step returns tokens only); they serialize on the lock
                 want_logprobs = bool(req.get("logprobs"))
+                n_top = max(0, min(int(req.get("top_logprobs", 0) or 0), 5)) if want_logprobs else 0
                 seed = req.get("seed")
                 n = max(1, min(int(req.get("n", 1) or 1), 8))
                 guided = req.get("guided_choice")
@@ -353,12 +354,13 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                             out = model.engine.generate(
                                 [inputs["input_ids"][0].tolist()], inputs.get("images"), gen,
                                 stop_keywords=stops, tokenizer=model.tokenizer,
-                                return_logprobs=want_logprobs, rng_key=key,
-                                allowed_tokens_fn=allowed_fn,
+                                return_logprobs=want_logprobs, top_logprobs=n_top,
+                                rng_key=key, allowed_tokens_fn=allowed_fn,
                             )
                         completions.append((
                             out.token_ids[0], int(out.prompt_len[0]),
-                            out.logprobs[0] if want_logprobs else None,
+                            (out.logprobs[0], out.top_logprobs[0] if n_top else None)
+                            if want_logprobs else None,
                         ))
                 choices = []
                 total_new = 0
@@ -372,15 +374,23 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         text, stop_cut = _cut_at_stop(text, stops)
                     logprobs_obj = None
                     if lps is not None:
-                        logprobs_obj = {
-                            "content": [
-                                {
-                                    "token": model.tokenizer.decode([t], skip_special_tokens=True),
-                                    "logprob": lp,
-                                }
-                                for t, lp in zip(token_ids, lps)
-                            ]
-                        }
+                        chosen, top = lps
+                        entries = []
+                        for pos, (t, lp) in enumerate(zip(token_ids, chosen)):
+                            e = {
+                                "token": model.tokenizer.decode([t], skip_special_tokens=True),
+                                "logprob": lp,
+                            }
+                            if top is not None:
+                                e["top_logprobs"] = [
+                                    {
+                                        "token": model.tokenizer.decode([tid], skip_special_tokens=True),
+                                        "logprob": tlp,
+                                    }
+                                    for tid, tlp in top[pos]
+                                ]
+                            entries.append(e)
+                        logprobs_obj = {"content": entries}
                     choices.append(
                         {
                             "index": idx,

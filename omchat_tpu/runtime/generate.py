@@ -252,6 +252,9 @@ class GenerateOutput:
     # per-token log p(token | prefix) for each sequence, aligned with
     # token_ids; only populated when generate(return_logprobs=True)
     logprobs: Optional[List[List[float]]] = None
+    # per-token top-k alternatives [(token_id, logprob), ...] per sequence,
+    # aligned with token_ids; populated when generate(top_logprobs=k > 0)
+    top_logprobs: Optional[List[List[List[tuple]]]] = None
 
 
 @jax.jit
@@ -259,6 +262,13 @@ def _chosen_logprob_jit(logits, tokens):
     """log softmax of the selected token per row: [B, V], [B] -> [B] f32."""
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return jnp.take_along_axis(lp, tokens[:, None], axis=1)[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _top_logprobs_jit(logits, k: int):
+    """Top-k (logprob, token id) per row: [B, V] -> ([B, k] f32, [B, k] i32)."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jax.lax.top_k(lp, k)
 
 
 class OmChatEngine:
@@ -420,6 +430,7 @@ class OmChatEngine:
         tokenizer=None,
         rng_key: Optional[jax.Array] = None,
         return_logprobs: bool = False,
+        top_logprobs: int = 0,
         allowed_tokens_fn: Optional[Callable[[List[int]], Optional[List[int]]]] = None,
     ) -> GenerateOutput:
         """Greedy/sampled decode with host streaming.
@@ -446,6 +457,7 @@ class OmChatEngine:
 
         generated: List[List[int]] = [[] for _ in range(b)]
         logprobs: List[List[float]] = [[] for _ in range(b)]
+        tops: List[List[List[tuple]]] = [[] for _ in range(b)]
         done = np.zeros(b, bool)
         tokens = None
         decode_t0 = time.perf_counter()
@@ -468,6 +480,10 @@ class OmChatEngine:
                 tokens = greedy(step_logits)
             toks = np.asarray(tokens)
             lps = np.asarray(_chosen_logprob_jit(step_logits, tokens)) if return_logprobs else None
+            top_lp = top_id = None
+            if top_logprobs > 0:
+                tl, ti = _top_logprobs_jit(step_logits, top_logprobs)
+                top_lp, top_id = np.asarray(tl), np.asarray(ti)
             for i in range(b):
                 if not done[i]:
                     if int(toks[i]) == gen.eos_token_id:
@@ -476,6 +492,10 @@ class OmChatEngine:
                         generated[i].append(int(toks[i]))
                         if lps is not None:
                             logprobs[i].append(float(lps[i]))
+                        if top_lp is not None:
+                            tops[i].append(
+                                [(int(t), float(l)) for t, l in zip(top_id[i], top_lp[i])]
+                            )
                         if stream_callback is not None and b == 1:
                             stream_callback(int(toks[i]))
                         if stopper is not None and stopper.should_stop(generated[i]):
@@ -489,6 +509,7 @@ class OmChatEngine:
         return GenerateOutput(
             token_ids=generated, prompt_len=plan.lengths,
             logprobs=logprobs if return_logprobs else None,
+            top_logprobs=tops if top_logprobs > 0 else None,
         )
 
     def generate_ondevice(

@@ -194,3 +194,20 @@ def test_n_choices_and_seed(server_port):
          "temperature": 0.9, "seed": 7},
     )
     assert a["choices"][0]["message"]["content"] == b["choices"][0]["message"]["content"]
+
+
+def test_top_logprobs(server_port):
+    """``top_logprobs``: k alternatives per position, sorted descending, and
+    the chosen (greedy) token's logprob equals the top-1 alternative's."""
+    out = _post(
+        server_port,
+        {"messages": [{"role": "user", "content": "hello"}], "max_tokens": 3,
+         "logprobs": True, "top_logprobs": 3},
+    )
+    content = out["choices"][0]["logprobs"]["content"]
+    assert len(content) == out["usage"]["completion_tokens"]
+    for e in content:
+        tops = e["top_logprobs"]
+        assert len(tops) == 3
+        assert tops == sorted(tops, key=lambda x: -x["logprob"])
+        assert abs(e["logprob"] - tops[0]["logprob"]) < 1e-5  # greedy == top-1
