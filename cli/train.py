@@ -124,6 +124,10 @@ def main():
     parser.add_argument("--tp", type=int, default=1)
     parser.add_argument("--fsdp", action="store_true")
     parser.add_argument("--sequence-parallel", action="store_true", help="Megatron SP: shard activation sequence axis over the model axis")
+    parser.add_argument("--grad-clip", type=float, default=1.0,
+                        help="global-norm gradient clipping (HF Trainer max_grad_norm default); 0 disables")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="micro-batches per optimizer update (optax.MultiSteps)")
     parser.add_argument("--output-dir", default="./train_out")
     args = parser.parse_args()
 
@@ -157,6 +161,10 @@ def main():
     specs = omchat_param_specs(cfg, params, fsdp=args.fsdp)
     schedule = warmup_cosine_schedule(args.lr, total_steps=total, warmup_steps=args.warmup)
     optimizer = optax.adamw(schedule, b1=0.9, b2=0.95)
+    if args.grad_clip > 0:
+        optimizer = optax.chain(optax.clip_by_global_norm(args.grad_clip), optimizer)
+    if args.grad_accum > 1:
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=args.grad_accum)
     step_fn, batch_shardings, _ = make_sharded_train_step(
         cfg, mesh, specs, optimizer, sequence_parallel=args.sequence_parallel
     )

@@ -54,15 +54,27 @@ def make_optimizer(
     b1=0.9,
     b2=0.95,
     trainable_mask: Optional[dict] = None,
+    grad_clip: Optional[float] = None,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """``trainable_mask``: optional pytree of bools over the params (True =
     train) — e.g. from
     :func:`omchat_tpu.training.vision_tokenizer.initialize_vision_tokenizer`;
-    frozen leaves get zero updates (the functional requires_grad=False)."""
+    frozen leaves get zero updates (the functional requires_grad=False).
+
+    ``grad_clip``: global-norm gradient clipping (the reference trains under
+    HF Trainer whose default max_grad_norm=1.0 — pass 1.0 to match).
+    ``grad_accum``: micro-batches per optimizer update (optax.MultiSteps —
+    the deepspeed gradient_accumulation_steps equivalent); params change only
+    every k-th step, identical math to a k× larger batch with mean loss."""
     tx = optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if trainable_mask is not None:
         labels = jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask)
         tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
 
 
