@@ -65,7 +65,7 @@ def test_eval_run_loop(tmp_path, rng):
     )
 
     class StubModel:
-        def chat(self, text, image=None, generation=None):
+        def chat(self, text, image=None, generation=None, guided_choices=None):
             return "The answer is A." if image is not None else "B"
 
     samples = read_question_file(str(qf), str(tmp_path))
