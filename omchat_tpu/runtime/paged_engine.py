@@ -430,6 +430,7 @@ class PagedBatchEngine:
         assert prompt_bucket % page_size == 0, "prompt buckets must align to pages"
         assert prefill_chunk % page_size == 0, "prefill chunks must align to pages"
         self.prefill_chunk = prefill_chunk
+        self._prompt_bucket = prompt_bucket
         import math
 
         self._chunk_bucket = math.lcm(prompt_bucket, page_size)
@@ -738,6 +739,23 @@ class PagedBatchEngine:
             return logits
         return None
 
+    def _bucket_shorts(self, reqs):
+        """Group pending short prompts by power-of-two length bucket.
+
+        Grouping key = prompt length rounded up to a power-of-two multiple of
+        the prompt bucket (128, 256, 512, …, prefill_chunk), so a 71-token
+        prompt never pads to a 499-token peer's width.  Program count stays
+        bounded: ≤ log2(prefill_chunk/bucket)+1 widths × log2(max_slots)+1
+        batch sizes."""
+        groups = {}
+        for r in reqs:
+            n = int(r.plan.lengths[0])
+            b = self._prompt_bucket
+            while b < n:
+                b *= 2
+            groups.setdefault(min(b, self.prefill_chunk), []).append(r)
+        return [groups[k] for k in sorted(groups)]
+
     def _prefill_shorts(self, reqs):
         """ONE batched contiguous prefill + page commit for several short
         text-only prompts.
@@ -755,7 +773,13 @@ class PagedBatchEngine:
             bb *= 2
         n_pad = bb - len(reqs)
         batch_ids = [r.input_ids for r in reqs] + [reqs[0].input_ids] * n_pad
-        plan = self._prefiller.plan(batch_ids)
+        # pin the width to the group's power-of-two bucket (the same key
+        # _bucket_shorts grouped on) so program count stays bounded by
+        # pow2-width × pow2-batch combinations
+        width = self._prompt_bucket
+        while width < max(int(r.plan.lengths[0]) for r in reqs):
+            width *= 2
+        plan = self._prefiller.plan(batch_ids, pad_to=min(width, self.prefill_chunk))
         logits, cache = self._prefiller.prefill(plan, None, 0)
         tables = np.concatenate(
             [
@@ -836,9 +860,15 @@ class PagedBatchEngine:
             and r.chunk_pos == 0
             and int(r.plan.lengths[0]) <= self.prefill_chunk
         ]
-        batch = None
+        batches = []
         if len(shorts) >= 2:
-            batch = (shorts, self._prefill_shorts(shorts))
+            # Length-bucketed groups, one batched dispatch each: padding every
+            # prompt to the longest member's bucket costs more than the extra
+            # per-group weight streams (measured [16,512] 367 ms vs bucketed
+            # groups 225 ms at the mixed workload's length spread —
+            # dev/exp_prefill_phase.py).
+            for group in self._bucket_shorts(shorts):
+                batches.append((group, self._prefill_shorts(group)))
             pending = [r for r in pending if r not in shorts]
         finished_prefills = []
         for req in pending:
@@ -847,8 +877,7 @@ class PagedBatchEngine:
                 finished_prefills.append((req, logits))
         # first-token readbacks AFTER every dispatch is queued: the device
         # works on prefill i+1 while the host reads prefill i's logits
-        if batch is not None:
-            breqs, blogits = batch
+        for breqs, blogits in batches:
             greedy_toks = None
             for i, r in enumerate(breqs):
                 if r.samples:
