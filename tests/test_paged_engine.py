@@ -103,6 +103,39 @@ def test_batched_short_prefill_path_taken(setup):
     assert be.allocator.available == 12
 
 
+def test_short_prefill_length_bucketing(setup):
+    """Shorts whose prompt buckets differ ride separate batched dispatches
+    (a 3-token prompt must not pad to a 30-token peer's width), and outputs
+    still match the single-request engine."""
+    cfg, params = setup
+    max_new = 4
+    reqs = [
+        ([5, 6, 7], None),                                   # bucket 16
+        ([8, 9, 10, 11], None),                              # bucket 16
+        ([int(20 + i) for i in range(30)], None),            # bucket 32
+    ]
+    expected = _expected(cfg, params, reqs, max_new)
+
+    be = PagedBatchEngine(
+        cfg, params, max_slots=3, num_pages=24, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=64, prefill_chunk=32,
+    )
+    calls = []
+    orig = be._prefill_shorts
+
+    def spy(rs):
+        calls.append(sorted(int(r.plan.lengths[0]) for r in rs))
+        return orig(rs)
+
+    be._prefill_shorts = spy
+    rids = [be.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1) for ids, _ in reqs]
+    be.run_to_completion(max_ticks=200)
+    assert calls == [[3, 4], [30]]  # one dispatch per length bucket
+    for rid, exp in zip(rids, expected):
+        assert be.result(rid) == exp
+    assert be.allocator.available == 24
+
+
 def test_pages_are_reused_across_waves(setup):
     """The pool is smaller than the total demand; requests queue for PAGES
     (not just slots) and freed pages serve later waves uncorrupted."""
