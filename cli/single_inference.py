@@ -18,7 +18,12 @@ from omchat_tpu.config import GenerationConfig
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-path", type=str, required=True)
-    parser.add_argument("--image-path", type=str, required=True)
+    parser.add_argument("--image-path", type=str, default=None)
+    parser.add_argument("--video-path", type=str, default=None,
+                        help="video QA: a container file (imageio), animated GIF/WebP, "
+                        "or a directory of frame images; uniform 32-frame sampling")
+    parser.add_argument("--video-frames", type=int, default=32,
+                        help="frames sampled from --video-path (MMBench-Video uses 32)")
     parser.add_argument("--question", type=str, required=True)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--int8", action="store_true", help="int8 weight-only quantization")
@@ -31,19 +36,29 @@ def main():
 
     import jax.numpy as jnp
 
+    if (args.image_path is None) == (args.video_path is None):
+        parser.error("exactly one of --image-path / --video-path is required")
+
     model = load_pretrained_model(
         args.model_path, quantize_int8=args.int8, tp=args.tp,
         cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
     )
-    image = Image.open(args.image_path).convert("RGB")
 
     from omchat_tpu.runtime.generate import make_stdout_streamer
 
     stream = make_stdout_streamer(model.tokenizer)
-
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens)
-    model.chat(args.question, image=image, generation=gen, stream_callback=stream,
-               speculative=args.speculative)
+
+    if args.video_path is not None:
+        from omchat_tpu.processing.video import load_video_frames
+
+        frames = load_video_frames(args.video_path, num_samples=args.video_frames)
+        model.chat_video(args.question, frames, num_samples=args.video_frames,
+                         generation=gen, stream_callback=stream)
+    else:
+        image = Image.open(args.image_path).convert("RGB")
+        model.chat(args.question, image=image, generation=gen, stream_callback=stream,
+                   speculative=args.speculative)
     print()
 
 

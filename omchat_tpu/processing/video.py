@@ -41,6 +41,48 @@ def process_video_frames(
     return np.stack(arrays, axis=0)
 
 
+def load_video_frames(path: str, num_samples: int = 32) -> List[Image.Image]:
+    """Decode ``path`` into at most ``num_samples`` uniformly-sampled frames.
+
+    Accepts a directory of frame images (sorted by name), a multi-frame image
+    PIL can step through (animated GIF/WebP), or any container imageio can
+    read (mp4 etc. — imageio is optional; a clear error names it if absent).
+    """
+    import os
+
+    if os.path.isdir(path):
+        names = sorted(
+            n for n in os.listdir(path)
+            if n.lower().endswith((".jpg", ".jpeg", ".png", ".bmp", ".webp"))
+        )
+        if not names:
+            raise ValueError(f"no frame images found in directory {path}")
+        idx = sample_frame_indices(len(names), num_samples)
+        return [Image.open(os.path.join(path, names[i])).convert("RGB") for i in idx]
+
+    if path.lower().endswith((".gif", ".webp", ".png", ".apng")):
+        img = Image.open(path)
+        n = getattr(img, "n_frames", 1)
+        frames = []
+        for i in sample_frame_indices(n, num_samples):
+            img.seek(i)
+            frames.append(img.convert("RGB"))
+        return frames
+
+    try:
+        import imageio.v3 as iio
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "reading video containers needs imageio; pass a directory of "
+            "frames or an animated GIF instead"
+        ) from e
+    arr = iio.imread(path)  # [T, H, W, C]
+    if arr.ndim == 3:
+        arr = arr[None]
+    idx = sample_frame_indices(arr.shape[0], num_samples)
+    return [Image.fromarray(arr[i]).convert("RGB") for i in idx]
+
+
 def video_prompt(text: str, num_frames: int) -> str:
     """One sentinel per frame: ``frame:<image>`` lines then the question."""
     return (

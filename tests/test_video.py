@@ -26,6 +26,26 @@ def test_process_video_frames(rng):
     assert arr.dtype == np.float32
 
 
+def test_load_video_frames(rng, tmp_path):
+    from omchat_tpu.processing.video import load_video_frames
+
+    mk = lambda: Image.fromarray(rng.integers(0, 255, (24, 32, 3), dtype=np.uint8))
+
+    # directory of frame images, sorted by name
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(10):
+        mk().save(d / f"f{i:03d}.png")
+    frames = load_video_frames(str(d), num_samples=4)
+    assert len(frames) == 4 and frames[0].mode == "RGB"
+
+    # animated GIF via PIL seek
+    gif = tmp_path / "clip.gif"
+    mk().save(gif, save_all=True, append_images=[mk() for _ in range(7)])
+    frames = load_video_frames(str(gif), num_samples=4)
+    assert len(frames) == 4 and frames[0].size == (32, 24)
+
+
 def test_video_prompt_sentinels(mock_tokenizer):
     prompt = video_prompt("what happens?", 4)
     ids = tokenizer_image_token(prompt, mock_tokenizer)
