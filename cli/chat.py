@@ -29,6 +29,8 @@ def main():
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     parser.add_argument("--speculative", action="store_true",
                         help="prompt-lookup speculative decoding (greedy; pays off in multi-turn chat where replies echo context)")
+    parser.add_argument("--lora", type=str, default=None,
+                        help="LoRA adapter directory to merge into the base weights at load")
     args = parser.parse_args()
 
     import jax.numpy as jnp
@@ -36,6 +38,7 @@ def main():
     model = load_pretrained_model(
         args.model_path, quantize_int8=args.int8, tp=args.tp,
         cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
+        lora_path=args.lora,
     )
     image = Image.open(args.image_path).convert("RGB") if args.image_path else None
     gen = GenerationConfig(max_new_tokens=args.max_new_tokens)

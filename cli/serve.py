@@ -447,12 +447,15 @@ def main():
                         help="paged engine: 'manual' streams KV pages through an in-kernel async-copy ring instead of the auto-pipelined per-page grid (TPU only)")
     parser.add_argument("--speculative", action="store_true",
                         help="prompt-lookup speculative decoding on the single-request engine path (greedy requests only; identical tokens, fewer device steps)")
+    parser.add_argument("--lora", type=str, default=None,
+                        help="LoRA adapter directory to merge into the base weights at load")
     args = parser.parse_args()
     if args.paged and not args.continuous_batching:
         args.continuous_batching = True  # --paged implies the batch scheduler
 
     logger = build_logger("omchat.serve", "serve.log")
-    model = load_pretrained_model(args.model_path, quantize_int8=args.int8, tp=args.tp)
+    model = load_pretrained_model(args.model_path, quantize_int8=args.int8, tp=args.tp,
+                                  lora_path=args.lora)
 
     batch_engine = None
     if args.continuous_batching:

@@ -111,6 +111,77 @@ def jsonl_batches(path, image_root, tokenizer, cfg, batch_size, epochs=1000000):
                 batch_ids, spans, tiles = [], [], []
 
 
+def _train_lora(args, cfg, params, total, logger):
+    """LoRA / QLoRA branch: rank-sized adapter training over the frozen base,
+    periodic orbax checkpoints with auto-resume, final adapter export
+    (loadable via ``load_pretrained_model(lora_path=...)`` / ``--lora``)."""
+    import optax
+
+    from omchat_tpu.checkpoint.save import TrainCheckpointer, save_lora_adapter
+    from omchat_tpu.training.lora import init_lora, lora_train_step
+    from omchat_tpu.training.train_step import default_train_attn_impl
+
+    if args.qlora:
+        from omchat_tpu.ops.linear import quantize_tree
+
+        lm = dict(params["language_model"])
+        lm["layers"] = quantize_tree(lm["layers"])
+        params = {**params, "language_model": lm}
+
+    targets = tuple(t.strip() for t in args.lora_targets.split(",") if t.strip())
+    lora = init_lora(
+        jax.random.PRNGKey(0), params, rank=args.lora_rank, alpha=args.lora_alpha, targets=targets
+    )
+    schedule = warmup_cosine_schedule(args.lr, total_steps=total, warmup_steps=args.warmup)
+    optimizer = optax.adamw(schedule, b1=0.9, b2=0.95)
+    if args.grad_clip > 0:
+        optimizer = optax.chain(optax.clip_by_global_norm(args.grad_clip), optimizer)
+    if args.grad_accum > 1:
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=args.grad_accum)
+    # the scalar "scale" (= alpha/rank) is a hyperparameter, not a weight
+    optimizer = optax.masked(optimizer, {**jax.tree.map(lambda _: True, lora), "scale": False})
+    opt_state = optimizer.init(lora)
+
+    attn = default_train_attn_impl()
+
+    @jax.jit
+    def step_fn(lora_, opt_state_, params_, batch):
+        return lora_train_step(lora_, opt_state_, params_, cfg, batch, optimizer, attn_impl=attn)
+
+    ckpt = TrainCheckpointer(os.path.join(args.output_dir, "ckpt"))
+    state, resumed = ckpt.restore({"lora": lora, "opt": opt_state})
+    lora, opt_state = state["lora"], state["opt"]
+    start_step = resumed + 1 if resumed is not None else 0
+    if resumed is not None:
+        logger.info(f"auto-resumed LoRA training from step {resumed}")
+
+    metrics = JsonlMetricsWriter(os.path.join(args.output_dir, "metrics.jsonl"))
+    meter = MetricLogger()
+    rng = np.random.default_rng(0)
+    if args.data:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.model_path, use_fast=True)
+        data_iter = jsonl_batches(args.data, args.image_root, tokenizer, cfg, args.batch_size)
+    else:
+        data_iter = None
+
+    for step in range(start_step, total):
+        batch = next(data_iter) if data_iter is not None else synthetic_batch(cfg, args.batch_size, rng)
+        t0 = time.time()
+        lora, opt_state, loss = step_fn(lora, opt_state, params, batch)
+        loss_f = float(loss)
+        meter.update(loss=loss_f, step_time=time.time() - t0)
+        metrics.update(step, loss=loss_f, lr=float(schedule(step)))
+        if step % 10 == 0:
+            logger.info(f"step {step}: {meter}")
+        if step > 0 and step % 50 == 0:
+            ckpt.save(step, {"lora": lora, "opt": opt_state})
+    adapter_dir = os.path.join(args.output_dir, "adapter")
+    save_lora_adapter(adapter_dir, lora, base_model=args.model_path)
+    logger.info(f"adapter saved to {adapter_dir}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-path", default=None, help="checkpoint to fine-tune (None = tiny random)")
@@ -128,6 +199,14 @@ def main():
                         help="global-norm gradient clipping (HF Trainer max_grad_norm default); 0 disables")
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="micro-batches per optimizer update (optax.MultiSteps)")
+    parser.add_argument("--lora-rank", type=int, default=0,
+                        help="train rank-r LoRA adapters over a frozen base instead of full fine-tuning (0 = off)")
+    parser.add_argument("--lora-alpha", type=float, default=None,
+                        help="LoRA scale numerator (default: rank, i.e. scale 1.0)")
+    parser.add_argument("--lora-targets", default="q_proj,k_proj,v_proj,o_proj",
+                        help="comma-separated linears to adapt (add gate_proj,up_proj,down_proj for MLP)")
+    parser.add_argument("--qlora", action="store_true",
+                        help="hold the frozen base in int8 (QLoRA); adapters stay bf16")
     parser.add_argument("--output-dir", default="./train_out")
     args = parser.parse_args()
 
@@ -154,6 +233,17 @@ def main():
     total = args.synthetic or args.steps
     if args.warmup >= total:
         parser.error(f"--warmup {args.warmup} must be < total steps {total}")
+
+    if args.lora_rank > 0:
+        if args.tp != 1 or args.fsdp or args.sequence_parallel:
+            parser.error("--lora-rank trains single-device adapters; drop --tp/--fsdp/--sequence-parallel")
+        if not args.data and not args.synthetic:
+            parser.error("pass --data (JSONL dataset) or --synthetic N (smoke mode)")
+        _train_lora(args, cfg, params, total, logger)
+        return
+    if args.qlora:
+        parser.error("--qlora requires --lora-rank")
+
     mesh = create_mesh(tp=args.tp)
     dp = mesh.shape["data"]
     if args.batch_size % dp != 0:

@@ -115,6 +115,7 @@ def load_pretrained_model(
     attn_impl: Optional[str] = None,
     tp: int = 1,
     cache_dtype=None,
+    lora_path: Optional[str] = None,
 ) -> OmChatModel:
     """Load an OmChat checkpoint directory (HF-bundle or repo-native layout).
 
@@ -130,6 +131,13 @@ def load_pretrained_model(
 
     tokenizer = AutoTokenizer.from_pretrained(model_path, use_fast=True)
     config, params = load_omchat_checkpoint(model_path, dtype)
+    if lora_path is not None:
+        from omchat_tpu.checkpoint.loader import load_lora_adapter
+        from omchat_tpu.training.lora import merge_lora
+
+        # merge in bf16 BEFORE quantization so int8 scales cover the
+        # fine-tuned weights, not the base
+        params = merge_lora(params, load_lora_adapter(lora_path, dtype))
     if quantize_int8:
         from omchat_tpu.ops.linear import quantize_tree
 

@@ -228,6 +228,26 @@ def convert_omchat_state_dict(
     }
 
 
+def load_lora_adapter(directory: str, dtype=jnp.bfloat16) -> dict:
+    """Read an adapter written by :func:`checkpoint.save.save_lora_adapter`
+    back into the training/lora.py tree layout."""
+    import json
+
+    from safetensors.numpy import load_file
+
+    with open(os.path.join(directory, "adapter_config.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != "omchat-tpu-lora":
+        raise ValueError(f"not an omchat-tpu LoRA adapter: {directory}")
+    flat = load_file(os.path.join(directory, "adapter_model.safetensors"))
+    layers: dict = {}
+    for key, arr in flat.items():
+        prefix, group, name, leaf = key.split(".")
+        assert prefix == "layers" and leaf in ("a", "b"), key
+        layers.setdefault(group, {}).setdefault(name, {})[leaf] = jnp.asarray(arr, dtype)
+    return {"layers": layers, "scale": float(meta["scale"])}
+
+
 def load_omchat_checkpoint(
     model_path: str, dtype=jnp.bfloat16, config: Optional[OmChatConfig] = None
 ):

@@ -195,6 +195,41 @@ def export_hf_bundle(config, params: dict, directory: str, source_dir: Optional[
                 shutil.copy(os.path.join(source_dir, name), os.path.join(directory, name))
 
 
+def save_lora_adapter(directory: str, lora: dict, *, base_model: Optional[str] = None) -> None:
+    """Write a LoRA adapter tree (training/lora.py layout: ``layers.{group}
+    .{name}.{a,b}`` stacked [L, ...] leaves + scalar ``scale``) as
+    ``adapter_model.safetensors`` + ``adapter_config.json``.
+
+    The PEFT-shaped artifact the reference's users expect (its builder
+    imports peft, builder.py:13): base checkpoint + small adapter file,
+    mergeable at load via ``load_pretrained_model(lora_path=...)``."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(directory, exist_ok=True)
+    flat: Dict[str, np.ndarray] = {}
+    targets = set()
+    rank = None
+    for group, adapters in lora["layers"].items():
+        for name, ab in adapters.items():
+            flat[f"layers.{group}.{name}.a"] = _t(ab["a"])
+            flat[f"layers.{group}.{name}.b"] = _t(ab["b"])
+            targets.add(name)
+            rank = int(ab["a"].shape[-1])
+    save_file(flat, os.path.join(directory, "adapter_model.safetensors"))
+    cfg = {
+        "format": "omchat-tpu-lora",
+        "scale": float(lora["scale"]),
+        "rank": rank,
+        "targets": sorted(targets),
+    }
+    if base_model:
+        cfg["base_model"] = base_model
+    with open(os.path.join(directory, "adapter_config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+
+
 class TrainCheckpointer:
     """orbax-backed train-state save + latest-scan auto-resume
     (the working replacement for multimodal_encoder/utils.py:444-517)."""

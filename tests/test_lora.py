@@ -114,3 +114,35 @@ def test_qlora_int8_base(setup, rng):
     assert "kernel_q" in merged["language_model"]["layers"]["self_attn"]["q_proj"]
     loss_q, _ = loss_fn(merged, cfg, batch, attn_impl="xla", remat=False)
     assert np.isfinite(float(loss_q))
+
+
+def test_adapter_save_load_roundtrip(setup, rng, tmp_path):
+    """save_lora_adapter → load_lora_adapter reproduces the adapter exactly;
+    the merged model matches an in-memory merge."""
+    from omchat_tpu.checkpoint.loader import load_lora_adapter
+    from omchat_tpu.checkpoint.save import save_lora_adapter
+
+    cfg, params = setup
+    lora = init_lora(jax.random.PRNGKey(4), params, rank=4, alpha=8.0)
+    lora = jax.tree.map(
+        lambda x: x + 0.02 if getattr(x, "ndim", 0) == 3 else x, lora
+    )
+    save_lora_adapter(str(tmp_path / "ad"), lora, base_model="tiny")
+    loaded = load_lora_adapter(str(tmp_path / "ad"))
+
+    assert loaded["scale"] == lora["scale"] == 2.0
+    for group, adapters in lora["layers"].items():
+        for name, ab in adapters.items():
+            got = loaded["layers"][group][name]
+            np.testing.assert_array_equal(np.asarray(got["a"]), np.asarray(ab["a"]))
+            np.testing.assert_array_equal(np.asarray(got["b"]), np.asarray(ab["b"]))
+
+    batch = _batch(cfg, rng)
+    want, _ = loss_fn(merge_lora(params, lora), cfg, batch, attn_impl="xla", remat=False)
+    got, _ = loss_fn(merge_lora(params, loaded), cfg, batch, attn_impl="xla", remat=False)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+    import json
+    meta = json.loads((tmp_path / "ad" / "adapter_config.json").read_text())
+    assert meta["rank"] == 4 and meta["base_model"] == "tiny"
+    assert set(meta["targets"]) == {"q_proj", "k_proj", "v_proj", "o_proj"}
