@@ -265,6 +265,37 @@ def main():
         _log(f"batched decode B={bsz} done")
     batch_decode_toks = batch_decode[4]
 
+    # --- Paged continuous-batching serving (mixed text+image workload) ---
+    serving_toks = None
+    try:
+        del cache, bcache, blogits, bfirst, bout  # free scratch KV before the page pool
+        from dev.bench_serving import MAX_NEW, build_workload
+        from omchat_tpu.runtime.paged_engine import PagedBatchEngine
+
+        _log("compiling paged serving engine")
+        pengine = PagedBatchEngine(
+            cfg, params, max_slots=16, num_pages=192, page_size=128,
+            prompt_bucket=128, max_len=4096, decode_roll=16, prefill_chunk=2048,
+        )
+        sreqs, simages, _ = build_workload(np.random.default_rng(0))
+        wids = [pengine.submit(list(r), im, max_new_tokens=4, eos_token_id=-1)
+                for r, im in zip(sreqs, simages)]
+        pengine.run_to_completion()
+        for w in wids:
+            pengine.pop_result(w)
+        _log("serving warmup done")
+        t0 = time.perf_counter()
+        rids = [pengine.submit(list(r), im, max_new_tokens=MAX_NEW, eos_token_id=-1)
+                for r, im in zip(sreqs, simages)]
+        pengine.run_to_completion()
+        serving_wall = time.perf_counter() - t0
+        n_gen = sum(len(pengine.pop_result(r)[0]) for r in rids)
+        serving_toks = round(n_gen / serving_wall, 2)
+        del pengine
+        _log(f"serving: {serving_toks} tok/s")
+    except Exception as e:  # never lose the core metrics to the serving add-on
+        _log(f"serving bench skipped: {type(e).__name__}: {e}")
+
     # Effective FLOP rates (model-geometry FLOPs / measured time).
     v, t = cfg.vision, cfg.text
     s_vit = v.num_patch_tokens + 1
@@ -298,6 +329,8 @@ def main():
                     "decode_tokens": DECODE_TOKENS,
                     "batch4_decode_tokens_per_sec": round(batch_decode_toks, 2),
                     "batch8_decode_tokens_per_sec": round(batch_decode[8], 2),
+                    "serving_tokens_per_sec": serving_toks,
+                    "serving_note": "paged continuous batching, 16 mixed requests (64-512 prompt tokens, 2-tile image every 4th), 64 generated each (dev/bench_serving.py workload)",
                     "baseline_assumption": "30 tok/s: A100 fp16 HF-4.41 generate (reference stack)",
                     "bf16_decode_note": "13B bf16 weights (26GB) exceed one 16GB v5e chip; int8 weight-only is the single-chip serving dtype (bf16 needs TP>=2). Decode is HBM-bound, so bf16 at TP=2 ~= the same tok/s as int8 at TP=1.",
                 },

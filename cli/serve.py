@@ -126,6 +126,14 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 self._json(200, {"status": "ok"})
             elif self.path == "/metrics":
                 self._metrics()
+            elif self.path == "/v1/models":
+                # OpenAI clients list models before chatting; serve the one
+                # loaded checkpoint under the id requests should pass back
+                self._json(200, {
+                    "object": "list",
+                    "data": [{"id": "omchat-tpu", "object": "model",
+                              "created": 0, "owned_by": "omchat-tpu"}],
+                })
             else:
                 self._json(404, {"error": "not found"})
 

@@ -24,6 +24,28 @@ N_REQUESTS = 16
 MAX_NEW = 64
 
 
+def build_workload(rng, n_requests=N_REQUESTS, shared_prefix=0):
+    """The standard mixed serving workload: n mixed-length text requests
+    (64–512 prompt tokens), a 2-tile anyres image on every 4th request.
+    Returns (request_token_lists, images, text_lengths)."""
+    from omchat_tpu.constants import IMAGE_TOKEN_INDEX
+
+    shared = [int(t) for t in rng.integers(2000, 20000, shared_prefix)]
+    lengths = [int(rng.integers(64, 513)) for _ in range(n_requests)]
+    reqs = []
+    images = []
+    for i, n in enumerate(lengths):
+        ids = shared + [151644] + [int(t) for t in rng.integers(2000, 20000, n - 1)]
+        if i % 4 == 0:
+            # thumbnail + tile -> 2048 image tokens through the ViT
+            ids = ids[:2] + [IMAGE_TOKEN_INDEX, IMAGE_TOKEN_INDEX] + ids[2:]
+            images.append(jnp.asarray(rng.standard_normal((2, 3, 448, 448)), jnp.bfloat16))
+        else:
+            images.append(None)
+        reqs.append(ids)
+    return reqs, images, lengths
+
+
 def main():
     import argparse
 
@@ -63,24 +85,7 @@ def main():
         decode_kernel=args.decode_kernel,
     )
 
-    from omchat_tpu.constants import IMAGE_TOKEN_INDEX
-
-    shared = [int(t) for t in rng.integers(2000, 20000, args.shared_prefix)]
-    lengths = [int(rng.integers(64, 513)) for _ in range(N_REQUESTS)]
-    reqs = []
-    images = []
-    for i, n in enumerate(lengths):
-        ids = shared + [151644] + [int(t) for t in rng.integers(2000, 20000, n - 1)]
-        if i % 4 == 0:
-            # every 4th request is multimodal: a 2-tile anyres image
-            # (thumbnail + tile -> 2048 image tokens through the ViT)
-            ids = ids[:2] + [IMAGE_TOKEN_INDEX, IMAGE_TOKEN_INDEX] + ids[2:]
-            images.append(
-                jnp.asarray(rng.standard_normal((2, 3, 448, 448)), jnp.bfloat16)
-            )
-        else:
-            images.append(None)
-        reqs.append(ids)
+    reqs, images, lengths = build_workload(rng, N_REQUESTS, args.shared_prefix)
 
     # Warmup: run the measured workload once at max_new_tokens=4 — this
     # compiles exactly the programs the measurement hits (the batched

@@ -7,6 +7,7 @@ import os
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 
@@ -92,4 +93,31 @@ def test_load_pretrained_model_int8(tmp_path, rng):
     model = load_pretrained_model(d, dtype=jnp.float32, quantize_int8=True, attn_impl="xla")
     assert "kernel_q" in model.engine.params["language_model"]["layers"]["mlp"]["gate_proj"]
     out = model.chat("hi", generation=GenerationConfig(max_new_tokens=2))
+    assert isinstance(out, str)
+
+
+def test_load_pretrained_model_lora(tmp_path, rng):
+    """--lora path: a saved adapter merges into the base at load and changes
+    the effective weights (non-zero b), then chat still runs."""
+    from omchat_tpu.api import load_pretrained_model
+    from omchat_tpu.checkpoint.save import save_lora_adapter
+    from omchat_tpu.config import GenerationConfig
+    from omchat_tpu.training.lora import init_lora
+
+    d = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    _write_tiny_tokenizer(d)
+    cfg, params = _write_tiny_checkpoint(d)
+
+    lora = init_lora(jax.random.PRNGKey(0), params, rank=2)
+    lora = jax.tree.map(lambda x: x + 0.05 if getattr(x, "ndim", 0) == 3 else x, lora)
+    ad = str(tmp_path / "adapter")
+    save_lora_adapter(ad, lora, base_model=d)
+
+    base = load_pretrained_model(d, dtype=jnp.float32, attn_impl="xla")
+    merged = load_pretrained_model(d, dtype=jnp.float32, attn_impl="xla", lora_path=ad)
+    kb = np.asarray(base.engine.params["language_model"]["layers"]["self_attn"]["q_proj"]["kernel"])
+    km = np.asarray(merged.engine.params["language_model"]["layers"]["self_attn"]["q_proj"]["kernel"])
+    assert np.abs(km - kb).max() > 1e-4
+    out = merged.chat("hi", generation=GenerationConfig(max_new_tokens=2))
     assert isinstance(out, str)
