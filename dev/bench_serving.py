@@ -99,6 +99,20 @@ def main():
     engine.run_to_completion()
     for wid in wids:
         engine.pop_result(wid)
+    if args.prefix_cache:
+        # Second pass: the first ran against a COLD cache (every lookup
+        # misses until the publisher prefill completes), so it never touched
+        # the resumed-suffix programs (grouped chunked prefill at the hit
+        # widths).  Re-running against the now-seeded cache compiles those —
+        # and makes the measurement the steady state a shared-system-prompt
+        # deployment actually runs in.
+        wids = [
+            engine.submit(list(ids), img, max_new_tokens=4, eos_token_id=-1)
+            for ids, img in zip(reqs, images)
+        ]
+        engine.run_to_completion()
+        for wid in wids:
+            engine.pop_result(wid)
     bench._log("warmup/compile done")
 
     prof = {"submit_s": 0.0, "prefill_s": 0.0, "decode_s": 0.0, "prefill_ticks": 0, "decode_ticks": 0}
@@ -127,6 +141,17 @@ def main():
             return out
 
         engine._prefill_shorts = timed_shorts
+        orig_group = engine._prefill_chunk_group
+
+        def timed_group(reqs_):
+            t = time.perf_counter()
+            out = orig_group(reqs_)
+            float(engine.k_pool[0, 0, 0, 0, 0])
+            prof["prefill_s"] += time.perf_counter() - t
+            prof["prefill_ticks"] += 1
+            return out
+
+        engine._prefill_chunk_group = timed_group
 
         def timed_step():
             t = time.perf_counter()

@@ -261,23 +261,24 @@ def _paged_decode_roll_jit(
 def _paged_prefill_chunk_jit(
     params,
     cfg: OmChatConfig,
-    token_ids,  # [1, C]
+    token_ids,  # [B, C]
     is_image,
     image_index,
     image_features,
     positions,
-    chunk_start,  # scalar int32, page-aligned
-    chunk_len,  # scalar int32 valid tokens in this chunk
-    table,  # [max_pages] int32
+    chunk_start,  # [B] int32, page-aligned per request
+    chunk_len,  # [B] int32 valid tokens of each row's chunk
+    tables,  # [B, max_pages] int32
     k_pool,
     v_pool,
     page_size: int,
     attn_impl=None,
     moe_impl: str = "dense",
 ):
-    """One chunk of a paged prefill: scatter this chunk's K/V into the
-    request's pages and attend to everything cached so far *through the page
-    table*.
+    """One chunk of a paged prefill for B requests at once: scatter each
+    row's K/V into its own pages and attend to everything cached so far
+    *through the page tables* (per-row ``chunk_start``/``chunk_len``, so the
+    rows need not be at the same progress point).
 
     Unlike the contiguous chunked prefill (generate.py:_prefill_chunk_jit,
     whose donated cache shape varies with prompt length), every operand here
@@ -286,43 +287,51 @@ def _paged_prefill_chunk_jit(
     (VERDICT r2 #1).  Padded tail rows write into decode headroom pages (or
     the parking page past the allocation) and are never attended: attention
     masks at ``kv_len`` and decode overwrites position L before reading it.
+
+    Batching matters for throughput, not just latency: a chunk dispatch pays
+    the full int8 weight stream regardless of B, so prefix-cache suffix
+    prefills that used to run one-per-request amortize it.
     """
     from omchat_tpu.models.omchat import fuse_embeddings
     from omchat_tpu.ops.paged_attention import paged_prefill_attention
 
     tc = cfg.text
-    c = token_ids.shape[1]
+    b, c = token_ids.shape
     n_chunk_pages = c // page_size
-    max_pages = table.shape[0]
+    max_pages = tables.shape[1]
     kvh, hd = tc.num_key_value_heads, tc.attn_head_dim
 
-    x = fuse_embeddings(params, token_ids, is_image, image_index, image_features)  # [1, C, D]
+    x = fuse_embeddings(params, token_ids, is_image, image_index, image_features)  # [B, C, D]
     cos, sin = rope_cos_sin(
         positions, hd, theta=tc.rope_theta, scaling=tc.rope_scaling,
         max_position_embeddings=tc.max_position_embeddings, dtype=x.dtype,
     )
-    kv_len = chunk_start + chunk_len
-    start_page = chunk_start // page_size
+    kv_len = chunk_start + chunk_len  # [B]
+    start_page = chunk_start // page_size  # [B]
     mlp_fn = _mlp_fn(tc, moe_impl)
 
     def attend(q, k, v, pools):
         kp, vp = pools
-        # [1, C, KVH, hd] -> [C/ps, KVH, ps, hd] (page-major pool)
-        kc = k[0].reshape(n_chunk_pages, page_size, kvh, hd).transpose(0, 2, 1, 3)
-        vc = v[0].reshape(n_chunk_pages, page_size, kvh, hd).transpose(0, 2, 1, 3)
+        # [B, C, KVH, hd] -> [B*C/ps, KVH, ps, hd] (page-major pool)
+        kc = k.reshape(b * n_chunk_pages, page_size, kvh, hd).transpose(0, 2, 1, 3)
+        vc = v.reshape(b * n_chunk_pages, page_size, kvh, hd).transpose(0, 2, 1, 3)
         # one batched scatter over whole pages (vs a chunk_pages-long chain of
         # dependent updates).  Rows past the table width go to the parking
         # page (pool's last index) directly — clamping onto table[-1] would
         # collide with a full-allocation request's real last page, and
-        # scatter duplicate-index resolution is undefined.
-        idx = start_page + jnp.arange(n_chunk_pages)
+        # scatter duplicate-index resolution is undefined.  (Multiple padded
+        # rows scattering to the parking page is fine: its contents are never
+        # attended, so the undefined pick is between two garbage values.)
+        idx = start_page[:, None] + jnp.arange(n_chunk_pages)[None, :]  # [B, n]
         pages = jnp.where(
-            idx < max_pages, table[jnp.minimum(idx, max_pages - 1)], kp.shape[0] - 1
-        )
+            idx < max_pages,
+            jnp.take_along_axis(tables, jnp.minimum(idx, max_pages - 1), axis=1),
+            kp.shape[0] - 1,
+        ).reshape(-1)
         kp = kp.at[pages].set(kc.astype(kp.dtype))
         vp = vp.at[pages].set(vc.astype(vp.dtype))
         out = paged_prefill_attention(
-            q, kp, vp, kv_len, table[None], chunk_start, impl=attn_impl
+            q, kp, vp, kv_len, tables, chunk_start, impl=attn_impl
         )
         return out, (kp, vp)
 
@@ -339,9 +348,9 @@ def _paged_prefill_chunk_jit(
         layer, x, (params["language_model"]["layers"], k_pool, v_pool)
     )
     xf = rms_norm(xf, params["language_model"]["norm"]["scale"], tc.rms_norm_eps)
-    idx = jnp.maximum(chunk_len - 1, 0)
-    last = jnp.take_along_axis(xf, jnp.full((1, 1, 1), 0, jnp.int32) + idx, axis=1)  # [1,1,D]
-    logits = lm_head(params["language_model"], tc, last)[:, 0]  # [1, V]
+    idx = jnp.maximum(chunk_len - 1, 0)  # [B]
+    last = jnp.take_along_axis(xf, idx[:, None, None], axis=1)  # [B,1,D]
+    logits = lm_head(params["language_model"], tc, last)[:, 0]  # [B, V]
     return logits, k_pool, v_pool
 
 
@@ -398,6 +407,7 @@ class PagedBatchEngine:
         prefix_cache: bool = False,
         cache_dtype=None,
         decode_kernel: str = "auto",
+        prefill_batch_tokens: int = 8192,
     ):
         """``max_len`` caps one request's prompt+generation (it sets the page
         TABLE width, so per-step attention cost scales with the request cap,
@@ -431,6 +441,7 @@ class PagedBatchEngine:
         assert prefill_chunk % page_size == 0, "prefill chunks must align to pages"
         self.prefill_chunk = prefill_chunk
         self._prompt_bucket = prompt_bucket
+        self.prefill_batch_tokens = prefill_batch_tokens
         import math
 
         self._chunk_bucket = math.lcm(prompt_bucket, page_size)
@@ -725,9 +736,9 @@ class PagedBatchEngine:
             cut(plan.image_index),
             feats,
             cut(plan.positions),
-            jnp.asarray(np.int32(c0)),
-            jnp.asarray(np.int32(min(total - c0, chunk))),
-            jnp.asarray(self._tables[req.slot]),
+            jnp.asarray([c0], jnp.int32),
+            jnp.asarray([min(total - c0, chunk)], jnp.int32),
+            jnp.asarray(self._tables[req.slot])[None],
             self.k_pool,
             self.v_pool,
             self.page_size,
@@ -739,6 +750,85 @@ class PagedBatchEngine:
             return logits
         return None
 
+    def _chunk_width(self, req) -> int:
+        """Next paged-prefill chunk width for ``req``: remaining prompt
+        bucketed up to ``_chunk_bucket`` multiples, capped at prefill_chunk
+        (the final-chunk bucketing rule of _prefill_tick)."""
+        total = int(req.plan.lengths[0])
+        remaining = max(1, total - req.chunk_pos)
+        return min(
+            self.prefill_chunk,
+            -(-remaining // self._chunk_bucket) * self._chunk_bucket,
+        )
+
+    def _prefill_chunk_group(self, reqs):
+        """Advance B text-only chunked prefills (equal next-chunk width) one
+        chunk each in ONE batched dispatch.
+
+        This is what makes prefix-cache hits profitable: a hit resumes
+        mid-prompt (chunk_pos > 0), which the contiguous batched-shorts path
+        cannot do, and per-request chunk dispatches each pay the full int8
+        weight stream — measured 2× slower end-to-end than no cache at all on
+        the shared-system-prompt workload.  Batch pads to a power of two with
+        replica rows committed to the parking page.  Returns
+        [(req, logits_row)] for rows whose prompt completed this chunk."""
+        width = self._chunk_width(reqs[0])
+        bb = 1
+        while bb < len(reqs):
+            bb *= 2
+        rows = list(reqs) + [reqs[0]] * (bb - len(reqs))
+
+        def cut(plan, c0, a, fill=0):
+            m = a.shape[1]
+            csize = max(0, min(width, m - c0))
+            part = a[:, c0 : c0 + csize]
+            if width - csize:
+                part = np.pad(part, ((0, 0), (0, width - csize)), constant_values=fill)
+            return part
+
+        tok, isi, idx, pos, starts, lens, tables = [], [], [], [], [], [], []
+        for i, r in enumerate(rows):
+            plan, c0 = r.plan, r.chunk_pos
+            total = int(plan.lengths[0])
+            tok.append(cut(plan, c0, plan.token_ids))
+            isi.append(cut(plan, c0, plan.is_image))
+            idx.append(cut(plan, c0, plan.image_index))
+            pos.append(cut(plan, c0, plan.positions))
+            starts.append(c0)
+            lens.append(min(total - c0, width))
+            if i < len(reqs):
+                tables.append(self._tables[r.slot])
+            else:  # replica pad row: all writes land on the parking page
+                tables.append(np.full(self.max_pages, self._parking, np.int32))
+
+        d = self.params["language_model"]["embed_tokens"].shape[1]
+        feats = jnp.zeros((1, d), self.params["language_model"]["embed_tokens"].dtype)
+        logits, self.k_pool, self.v_pool = _paged_prefill_chunk_jit(
+            self.params,
+            self.cfg,
+            jnp.asarray(np.concatenate(tok)),
+            jnp.asarray(np.concatenate(isi)),
+            jnp.asarray(np.concatenate(idx)),
+            feats,
+            jnp.asarray(np.concatenate(pos)),
+            jnp.asarray(np.asarray(starts, np.int32)),
+            jnp.asarray(np.asarray(lens, np.int32)),
+            jnp.asarray(np.stack(tables)),
+            self.k_pool,
+            self.v_pool,
+            self.page_size,
+            self.attn_impl,
+            self.moe_impl,
+        )
+        finished = []
+        for i, r in enumerate(reqs):
+            total = int(r.plan.lengths[0])
+            r.prompt_len = total
+            r.chunk_pos += width
+            if r.chunk_pos >= total:
+                finished.append((r, logits[i : i + 1]))
+        return finished
+
     def _bucket_shorts(self, reqs):
         """Group pending short prompts by power-of-two length bucket.
 
@@ -746,7 +836,10 @@ class PagedBatchEngine:
         the prompt bucket (128, 256, 512, …, prefill_chunk), so a 71-token
         prompt never pads to a 499-token peer's width.  Program count stays
         bounded: ≤ log2(prefill_chunk/bucket)+1 widths × log2(max_slots)+1
-        batch sizes."""
+        batch sizes.  Each group is further split so B × width stays under
+        ``prefill_batch_tokens`` — the batched dispatch materializes a
+        [B, width] scratch KV cache, and an unbounded group (16 × 2048 ≈ 2 GB
+        at the 13B geometry) OOMs a chip that holds the weights + page pool."""
         groups = {}
         for r in reqs:
             n = int(r.plan.lengths[0])
@@ -754,7 +847,12 @@ class PagedBatchEngine:
             while b < n:
                 b *= 2
             groups.setdefault(min(b, self.prefill_chunk), []).append(r)
-        return [groups[k] for k in sorted(groups)]
+        out = []
+        for width in sorted(groups):
+            g = groups[width]
+            cap = max(1, self.prefill_batch_tokens // width)
+            out.extend(g[i : i + cap] for i in range(0, len(g), cap))
+        return out
 
     def _prefill_shorts(self, reqs):
         """ONE batched contiguous prefill + page commit for several short
@@ -871,6 +969,25 @@ class PagedBatchEngine:
                 batches.append((group, self._prefill_shorts(group)))
             pending = [r for r in pending if r not in shorts]
         finished_prefills = []
+        # Text-only CHUNKED prefills (prefix-cache resumes, long prompts)
+        # with the same next-chunk width advance together in one dispatch —
+        # per-request chunk dispatches each pay the full weight stream.
+        chunked = [r for r in pending if r.image_features is None]
+        if len(chunked) >= 2:
+            groups = {}
+            for r in chunked:
+                groups.setdefault(self._chunk_width(r), []).append(r)
+            taken = []
+            for w in sorted(groups):
+                g = groups[w]
+                if len(g) < 2:
+                    continue
+                cap = max(1, self.prefill_batch_tokens // w)
+                for i in range(0, len(g), cap):
+                    sub = g[i : i + cap]
+                    finished_prefills.extend(self._prefill_chunk_group(sub))
+                    taken.extend(sub)
+            pending = [r for r in pending if r not in taken]
         for req in pending:
             logits = self._prefill_tick(req)
             if logits is not None:

@@ -205,3 +205,33 @@ def test_soak_with_prefix_cache(setup):
     be.allocator.release(be.prefix_cache.flush())
     assert be.prefix_cache.stats()["pages_cached"] == 0
     assert be.allocator.available == 32
+
+
+def test_prefix_hit_suffixes_batch_into_one_dispatch(setup):
+    """≥2 concurrent requests resuming after a prefix hit advance through ONE
+    batched chunk dispatch (the grouped chunked prefill), outputs unchanged."""
+    cfg, params = setup
+    shared = list(range(200, 216))  # 2 full pages at ps=8
+    reqs = [shared + [300 + i, 301 + i, 302 + i] for i in range(3)]
+    max_new = 4
+    expected = [_expected(cfg, params, ids, max_new) for ids in reqs]
+
+    be = _engine(cfg, params, max_slots=4, num_pages=24)
+    # seed the cache so the concurrent wave below all hit
+    rid = be.submit(list(reqs[0]), None, max_new_tokens=1, eos_token_id=-1)
+    be.run_to_completion(max_ticks=100)
+    be.pop_result(rid)
+
+    calls = []
+    orig = be._prefill_chunk_group
+
+    def spy(rs):
+        calls.append(len(rs))
+        return orig(rs)
+
+    be._prefill_chunk_group = spy
+    rids = [be.submit(list(ids), None, max_new_tokens=max_new, eos_token_id=-1) for ids in reqs]
+    be.run_to_completion(max_ticks=200)
+    assert calls and max(calls) >= 2, calls  # suffixes rode a batched dispatch
+    for rid, exp in zip(rids, expected):
+        assert be.result(rid) == exp
