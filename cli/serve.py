@@ -52,7 +52,13 @@ def _cut_at_stop(text, stops):
 
 
 def _parse_messages(messages):
-    """Extract (question, history, images) from OpenAI-style messages."""
+    """Extract (question, history, images, system, image_key) from
+    OpenAI-style messages.  ``image_key`` hashes the request's compressed
+    image payloads in order — the encoded-image LRU's identity
+    (runtime/feature_cache.py), ~1000x cheaper than hashing decoded tiles."""
+    import hashlib
+
+    img_hash = hashlib.blake2b(digest_size=16)
     images = []
     history = []
     question = ""
@@ -70,7 +76,9 @@ def _parse_messages(messages):
                     url = part.get("image_url", {}).get("url", "")
                     if url.startswith("data:"):
                         b64 = url.split(",", 1)[1]
-                        images.append(Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB"))
+                        raw = base64.b64decode(b64)
+                        img_hash.update(raw)
+                        images.append(Image.open(io.BytesIO(raw)).convert("RGB"))
             text = "\n".join(text_parts)
         else:
             text = str(content)
@@ -85,7 +93,8 @@ def _parse_messages(messages):
                 history.append((pending_user, text))
                 pending_user = None
     question = pending_user or ""
-    return question, history, images or None, system
+    image_key = f"req-imgs-{img_hash.hexdigest()}" if images else None
+    return question, history, images or None, system, image_key
 
 
 def make_handler(model, logger, batch_engine=None, speculative=False):
@@ -174,7 +183,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
             self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
             self.wfile.flush()
 
-        def _stream_completion(self, inputs, gen, stops=()):
+        def _stream_completion(self, inputs, gen, stops=(), image_key=None):
             """OpenAI-style SSE: role chunk, content deltas, finish, [DONE].
             Incremental text uses a bounded decode window (full-prefix
             re-decode per token is O(n²)).
@@ -218,6 +227,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         max_new_tokens=gen.max_new_tokens,
                         eos_token_id=gen.eos_token_id,
                         generation=gen,
+                        image_cache_key=image_key,
                     )
                 deadline = time.time() + 60 + 0.5 * gen.max_new_tokens
                 sent = 0
@@ -275,7 +285,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
-                question, history, images, system = _parse_messages(req.get("messages", []))
+                question, history, images, system, image_key = _parse_messages(req.get("messages", []))
                 gen = GenerationConfig(
                     max_new_tokens=int(req.get("max_tokens", 1024)),
                     do_sample=float(req.get("temperature", 0.0)) > 0.0,
@@ -288,7 +298,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 if req.get("stream"):
                     # SSE path runs the single-request engine (per-token host
                     # callbacks); concurrent requests still ride the batch.
-                    self._stream_completion(inputs, gen, stops)
+                    self._stream_completion(inputs, gen, stops, image_key=image_key)
                     return
                 # logprobs requests run the single-request engine (the batch
                 # decode step returns tokens only); they serialize on the lock
@@ -320,6 +330,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                                 max_new_tokens=gen.max_new_tokens,
                                 eos_token_id=gen.eos_token_id,
                                 generation=gen,
+                                image_cache_key=image_key,
                             )
                             for _ in range(n)
                         ]
@@ -449,6 +460,8 @@ def main():
                         help="paged engine: prompts longer than this stream through fixed-shape paged chunks, decode rolls interleaved between chunks")
     parser.add_argument("--prefix-cache", action="store_true",
                         help="paged engine: automatic prefix caching - requests sharing a token prefix (system prompts) reuse its KV pages instead of re-prefilling")
+    parser.add_argument("--image-cache", type=int, default=8, metavar="N",
+                        help="encoded-image LRU entries (0 disables): repeated images (multi-turn VQA, shared assets) skip the ViT encode; keyed by the compressed payload bytes")
     parser.add_argument("--kv-cache-dtype", choices=["bf16", "fp8"], default="bf16",
                         help="paged engine: page-pool storage dtype; fp8 (e4m3) halves KV HBM and page DMA bytes, kernels dequantize on load")
     parser.add_argument("--decode-kernel", choices=["auto", "manual"], default="auto",
@@ -486,6 +499,7 @@ def main():
                 prefix_cache=args.prefix_cache,
                 cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
                 decode_kernel=args.decode_kernel,
+                image_cache_size=args.image_cache,
             )
         else:
             from omchat_tpu.runtime.batch_engine import BatchEngine
@@ -500,6 +514,7 @@ def main():
                 attn_impl=model.engine.attn_impl,
                 mesh=model.engine.mesh,
                 cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
+                image_cache_size=args.image_cache,
             )
 
         def scheduler():

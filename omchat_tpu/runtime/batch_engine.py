@@ -165,6 +165,7 @@ class BatchEngine:
         rng_seed: int = 0,
         mesh=None,
         cache_dtype=None,
+        image_cache_size: int = 8,
     ):
         """mesh: optional device mesh — shards the shared KV cache per
         kv_cache_specs (kv heads over `model` when divisible, replicated
@@ -219,6 +220,12 @@ class BatchEngine:
         self._tokens = np.zeros(max_slots, np.int32)
         self._lengths = np.zeros(max_slots, np.int32)
         self._key = jax.random.PRNGKey(rng_seed)
+        if image_cache_size:
+            from omchat_tpu.runtime.feature_cache import ImageFeatureCache
+
+            self.image_cache = ImageFeatureCache(image_cache_size)
+        else:
+            self.image_cache = None
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -233,14 +240,25 @@ class BatchEngine:
         max_new_tokens: int = 256,
         eos_token_id: int = 151645,
         generation: Optional[GenerationConfig] = None,
+        image_cache_key: Optional[str] = None,
     ) -> int:
         """``generation`` carries per-request sampling knobs (temperature /
-        top-k / top-p); None or do_sample=False decodes greedily."""
+        top-k / top-p); None or do_sample=False decodes greedily.
+
+        ``image_cache_key``: identity for the encoded-image LRU (e.g. a hash
+        of the compressed image bytes); host numpy images are content-hashed
+        when no key is given (feature_cache.py)."""
+        from omchat_tpu.runtime.feature_cache import cached_encode
         from omchat_tpu.runtime.generate import _encode_images_jit
 
         feats = None
         if images is not None:
-            feats = _encode_images_jit(self.params, self.cfg, jnp.asarray(images), self.attn_impl)
+            feats = cached_encode(
+                self.image_cache,
+                images,
+                image_cache_key,
+                lambda pv: _encode_images_jit(self.params, self.cfg, jnp.asarray(pv), self.attn_impl),
+            )
         req = _Request(next(self._ids), list(input_ids), feats, max_new_tokens, eos_token_id, generation)
         plan = plan_multimodal_merge([req.input_ids], self.cfg.image_seq_len, bucket=self.chunk_size)
         # prefill writes cover the chunk-padded plan length; decode extends to
@@ -294,11 +312,14 @@ class BatchEngine:
 
     def stats(self) -> dict:
         """Scheduler gauges for observability surfaces (serve.py /metrics)."""
-        return {
+        out = {
             "slots_busy": sum(r is not None for r in self.slots),
             "slots_total": self.max_slots,
             "queue_depth": len(self.queue),
         }
+        if self.image_cache is not None:
+            out.update({f"image_cache_{k}": v for k, v in self.image_cache.stats().items()})
+        return out
 
     # -- scheduler ----------------------------------------------------------
 

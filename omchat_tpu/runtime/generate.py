@@ -287,10 +287,15 @@ class OmChatEngine:
         prompt_bucket: int = 128,
         cache_dtype=None,
         mesh=None,
+        image_cache_size: int = 8,
     ):
         """cache_dtype: override the KV-cache storage dtype — e.g.
         ``jnp.float8_e4m3fn`` halves cache HBM (long-context serving); kernels
         dequantize on load.
+
+        image_cache_size: entries in the encoded-image LRU (feature_cache.py);
+        0 disables.  Multi-turn chat resends the same image every turn — a hit
+        skips the whole ViT+projector stage (~224 ms/turn at the 13B geometry).
 
         mesh: the device mesh the params are sharded over (tensor parallel);
         recorded so serving layers (BatchEngine, serve.py) can shard their
@@ -319,12 +324,30 @@ class OmChatEngine:
         self.prompt_bucket = prompt_bucket
         self.cache_dtype = cache_dtype
         self.mesh = mesh
+        if image_cache_size:
+            from omchat_tpu.runtime.feature_cache import ImageFeatureCache
+
+            self.image_cache = ImageFeatureCache(image_cache_size)
+        else:
+            self.image_cache = None
 
     # -- stages ------------------------------------------------------------
 
-    def encode_images(self, pixel_values: np.ndarray) -> jax.Array:
-        """[N, 3, H, W] tiles → flattened [N*L, D] projected features."""
-        return _encode_images_jit(self.params, self.cfg, jnp.asarray(pixel_values), self.attn_impl)
+    def encode_images(self, pixel_values: np.ndarray, cache_key=None) -> jax.Array:
+        """[N, 3, H, W] tiles → flattened [N*L, D] projected features.
+
+        ``cache_key``: caller-supplied identity for the image-feature LRU
+        (feature_cache.py) — e.g. a hash of the compressed image bytes.  When
+        absent, host-side numpy inputs are content-hashed; device arrays are
+        encoded uncached (hashing them would pull pixels back to the host)."""
+        from omchat_tpu.runtime.feature_cache import cached_encode
+
+        return cached_encode(
+            self.image_cache,
+            pixel_values,
+            cache_key,
+            lambda pv: _encode_images_jit(self.params, self.cfg, jnp.asarray(pv), self.attn_impl),
+        )
 
     def plan(self, batch_input_ids, pad_to=None) -> MergePlan:
         return plan_multimodal_merge(

@@ -408,6 +408,7 @@ class PagedBatchEngine:
         cache_dtype=None,
         decode_kernel: str = "auto",
         prefill_batch_tokens: int = 8192,
+        image_cache_size: int = 8,
     ):
         """``max_len`` caps one request's prompt+generation (it sets the page
         TABLE width, so per-step attention cost scales with the request cap,
@@ -486,6 +487,7 @@ class PagedBatchEngine:
             cfg, params,
             attn_impl=None if attn_impl == "pallas_manual" else attn_impl,
             prompt_bucket=prompt_bucket,
+            image_cache_size=image_cache_size,
         )
 
         tc = cfg.text
@@ -541,6 +543,7 @@ class PagedBatchEngine:
         max_new_tokens: int = 256,
         eos_token_id: int = 151645,
         generation=None,
+        image_cache_key: Optional[str] = None,
     ) -> int:
         req = _PagedRequest(next(self._ids), list(input_ids), None, max_new_tokens, eos_token_id, generation)
         # plan + feasibility first (both need only input_ids): reject requests
@@ -565,7 +568,9 @@ class PagedBatchEngine:
                 tids, int(req.plan.lengths[0]), self.page_size, first_img
             )
         if images is not None:
-            req.image_features = self._prefiller.encode_images(images)
+            # feature LRU rides the prefiller engine (feature_cache.py):
+            # repeated images (multi-turn VQA) skip the whole ViT stage
+            req.image_features = self._prefiller.encode_images(images, cache_key=image_cache_key)
         self.queue.append(req)
         self.requests[req.request_id] = req
         return req.request_id
@@ -615,6 +620,10 @@ class PagedBatchEngine:
         }
         if self.prefix_cache is not None:
             out.update({f"prefix_cache_{k}": v for k, v in self.prefix_cache.stats().items()})
+        if self._prefiller.image_cache is not None:
+            out.update(
+                {f"image_cache_{k}": v for k, v in self._prefiller.image_cache.stats().items()}
+            )
         return out
 
     # -- scheduler ----------------------------------------------------------
