@@ -312,9 +312,17 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     from omchat_tpu.runtime.constrained import choice_mask_fn
 
                     allowed_fn = choice_mask_fn(model.tokenizer, [str(c) for c in guided])
-                # logprobs/seed/guided_choice run the single-request engine
-                # (the batch decode step returns tokens only, and samples from
-                # an engine-global rng); they serialize on the lock
+                rf = req.get("response_format") or {}
+                if allowed_fn is None and isinstance(rf, dict) and rf.get("type") == "json_object":
+                    # OpenAI JSON mode: mask every step to valid-JSON prefixes
+                    # (runtime/json_mode.py); first request pays the one-time
+                    # vocab table build (~1-2 s), memoized per tokenizer
+                    from omchat_tpu.runtime.json_mode import get_json_mode
+
+                    allowed_fn = get_json_mode(model.tokenizer).mask_fn()
+                # logprobs/seed/guided_choice/json_mode run the single-request
+                # engine (the batch decode step returns tokens only, and
+                # samples from an engine-global rng); they serialize on the lock
                 use_engine = want_logprobs or seed is not None or allowed_fn is not None
                 # completions: [(token_ids, prompt_len, logprobs | None)]
                 completions = []

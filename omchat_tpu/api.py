@@ -41,6 +41,7 @@ class OmChatModel:
         stream_callback=None,
         speculative: bool = False,
         guided_choices=None,
+        json_mode: bool = False,
     ) -> str:
         """One chat turn: build the anyres context, generate, decode.
 
@@ -49,10 +50,13 @@ class OmChatModel:
         echo-heavy continuations (summarization/extraction).
 
         ``guided_choices``: restrict the reply to one of these strings via
-        trie-masked decoding (runtime/constrained.py) — e.g. MC eval letters."""
+        trie-masked decoding (runtime/constrained.py) — e.g. MC eval letters.
+
+        ``json_mode``: constrain the reply to a valid JSON object
+        (runtime/json_mode.py — OpenAI ``response_format: json_object``)."""
         inputs = self.processor(text, images=image, history=history)
         gen = generation or GenerationConfig()
-        if speculative and not gen.do_sample and not guided_choices:
+        if speculative and not gen.do_sample and not guided_choices and not json_mode:
             from omchat_tpu.runtime.speculative import generate_speculative
 
             ids, _ = generate_speculative(
@@ -68,6 +72,10 @@ class OmChatModel:
             from omchat_tpu.runtime.constrained import choice_mask_fn
 
             allowed_fn = choice_mask_fn(self.tokenizer, list(guided_choices))
+        elif json_mode:
+            from omchat_tpu.runtime.json_mode import get_json_mode
+
+            allowed_fn = get_json_mode(self.tokenizer).mask_fn()
         out = self.engine.generate(
             [inputs["input_ids"][0].tolist()],
             inputs.get("images"),

@@ -65,6 +65,11 @@ class MockTokenizer:
 
         return _Out(self.encode(text))
 
+    all_special_ids = ()
+
+    def __len__(self):
+        return 256
+
     def decode(self, ids, **kw):
         return bytes(int(i) for i in ids if 0 <= int(i) < 256).decode("utf-8", errors="replace")
 

@@ -211,3 +211,24 @@ def test_top_logprobs(server_port):
         assert len(tops) == 3
         assert tops == sorted(tops, key=lambda x: -x["logprob"])
         assert abs(e["logprob"] - tops[0]["logprob"]) < 1e-5  # greedy == top-1
+
+
+def test_json_mode(server_port):
+    """response_format json_object: the reply is a valid JSON object (the
+    byte-level mock tokenizer makes every byte a token, so the mask drives
+    the random tiny model through the automaton end to end)."""
+    out = _post(
+        server_port,
+        {
+            "messages": [{"role": "user", "content": "give me json"}],
+            "max_tokens": 48,
+            "response_format": {"type": "json_object"},
+        },
+    )
+    text = out["choices"][0]["message"]["content"]
+    from omchat_tpu.runtime.json_mode import START, advance
+
+    cfg = advance(START, text)
+    assert cfg is not None, text  # always a valid JSON prefix
+    if out["choices"][0]["finish_reason"] == "stop" or cfg[0] == "end":
+        json.loads(text)
