@@ -118,6 +118,80 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
             metrics["completion_tokens_total"] += completion_tokens
             metrics["request_latency_ms_sum"] += latency_ms
 
+    def run_completions(
+        input_ids, images, gen, stops, n, *, want_logprobs=False, n_top=0,
+        seed=None, allowed_fn=None, image_key=None, use_engine=False,
+    ):
+        """Run n completions for one prompt and return
+        ``[(token_ids, prompt_len, logprobs | None)]`` — shared by the chat
+        and text-completions endpoints.
+
+        Plain requests (sampled included) ride the continuous batch: the
+        decode step takes per-slot generation params, and n > 1 choices
+        become n concurrent members of the shared batch.  logprobs / seeded /
+        constrained requests run the single-request engine (the batch decode
+        step returns tokens only and samples from an engine-global rng);
+        they serialize on the lock."""
+        completions = []
+        if batch_engine is not None and not use_engine:
+            with lock:
+                rids = [
+                    batch_engine.submit(
+                        list(input_ids),
+                        images,
+                        max_new_tokens=gen.max_new_tokens,
+                        eos_token_id=gen.eos_token_id,
+                        generation=gen,
+                        image_cache_key=image_key,
+                    )
+                    for _ in range(n)
+                ]
+            deadline = time.time() + 60 + 0.5 * gen.max_new_tokens
+            from omchat_tpu.runtime.generate import KeywordStopper
+
+            stopper = KeywordStopper(stops, model.tokenizer) if stops else None
+            seen = {rid: 0 for rid in rids}
+            while not all(batch_engine.finished(rid) for rid in rids):
+                if getattr(batch_engine, "dead", False) or time.time() > deadline:
+                    raise RuntimeError("batch scheduler unavailable or request timed out")
+                if stopper is not None:
+                    for rid in rids:
+                        if batch_engine.finished(rid):
+                            continue
+                        tokens, _ = batch_engine.snapshot(rid)
+                        if len(tokens) > seen[rid]:
+                            seen[rid] = len(tokens)
+                            if stopper.should_stop(tokens):
+                                batch_engine.cancel(rid)
+                time.sleep(0.005)
+            for rid in rids:
+                token_ids, prompt_len = batch_engine.pop_result(rid)
+                completions.append((token_ids, prompt_len, None))
+        elif speculative and not gen.do_sample and not use_engine and n == 1:
+            from omchat_tpu.runtime.speculative import generate_speculative
+
+            with lock:
+                token_ids, _ = generate_speculative(model.engine, list(input_ids), images, gen)
+            completions.append((token_ids, len(input_ids), None))
+        else:
+            import jax
+
+            for i in range(n):
+                key = jax.random.PRNGKey(int(seed) + i) if seed is not None else None
+                with lock:
+                    out = model.engine.generate(
+                        [list(input_ids)], images, gen,
+                        stop_keywords=stops, tokenizer=model.tokenizer,
+                        return_logprobs=want_logprobs, top_logprobs=n_top,
+                        rng_key=key, allowed_tokens_fn=allowed_fn,
+                    )
+                completions.append((
+                    out.token_ids[0], int(out.prompt_len[0]),
+                    (out.logprobs[0], out.top_logprobs[0] if n_top else None)
+                    if want_logprobs else None,
+                ))
+        return completions
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             logger.info("%s " + fmt, self.client_address[0], *args)
@@ -278,7 +352,74 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 failed=finish == "error",
             )
 
+        def _text_completions(self):
+            """OpenAI legacy ``/v1/completions``: raw text in, raw
+            continuation out — no chat template, the prompt is tokenized
+            verbatim (completion-style eval harnesses and older SDKs).
+            Supports max_tokens/temperature/top_p/stop/n/seed/echo."""
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                prompt = req.get("prompt", "")
+                if isinstance(prompt, list):
+                    if len(prompt) != 1:
+                        self._json(400, {"error": "prompt must be a string or a 1-element list"})
+                        return
+                    prompt = prompt[0]
+                gen = GenerationConfig(
+                    max_new_tokens=int(req.get("max_tokens", 16)),
+                    do_sample=float(req.get("temperature", 0.0)) > 0.0,
+                    temperature=float(req.get("temperature", 1.0)) or 1.0,
+                    top_p=float(req.get("top_p", 1.0)),
+                )
+                stops = _parse_stops(req)
+                n = max(1, min(int(req.get("n", 1) or 1), 8))
+                seed = req.get("seed")
+                t0 = time.time()
+                input_ids = model.tokenizer.encode(str(prompt))
+                completions = run_completions(
+                    input_ids, None, gen, stops, n,
+                    seed=seed, use_engine=seed is not None,
+                )
+                choices = []
+                total_new = 0
+                for idx, (token_ids, _plen, _lps) in enumerate(completions):
+                    text = model.tokenizer.decode(token_ids, skip_special_tokens=True)
+                    total_new += len(token_ids)
+                    stop_cut = False
+                    if stops:
+                        text, stop_cut = _cut_at_stop(text, stops)
+                    if req.get("echo"):
+                        text = str(prompt) + text
+                    choices.append({
+                        "index": idx,
+                        "text": text,
+                        "logprobs": None,
+                        "finish_reason": "stop"
+                        if (stop_cut or len(token_ids) < gen.max_new_tokens)
+                        else "length",
+                    })
+                self._json(200, {
+                    "object": "text_completion",
+                    "model": "omchat-tpu",
+                    "choices": choices,
+                    "usage": {
+                        "prompt_tokens": len(input_ids),
+                        "completion_tokens": total_new,
+                        "total_tokens": len(input_ids) + total_new,
+                        "latency_ms": round((time.time() - t0) * 1000, 1),
+                    },
+                })
+                count(len(input_ids), total_new, (time.time() - t0) * 1000)
+            except Exception as e:  # noqa: BLE001
+                logger.exception("completions request failed")
+                count(failed=True)
+                self._json(500, {"error": str(e)})
+
         def do_POST(self):
+            if self.path == "/v1/completions":
+                self._text_completions()
+                return
             if self.path not in ("/v1/chat/completions", "/chat"):
                 self._json(404, {"error": "not found"})
                 return
@@ -324,71 +465,11 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 # engine (the batch decode step returns tokens only, and
                 # samples from an engine-global rng); they serialize on the lock
                 use_engine = want_logprobs or seed is not None or allowed_fn is not None
-                # completions: [(token_ids, prompt_len, logprobs | None)]
-                completions = []
-                # sampled requests ride the continuous batch too: the decode
-                # step takes per-slot generation params (sample_batch); n > 1
-                # choices become n concurrent members of the shared batch
-                if batch_engine is not None and not use_engine:
-                    with lock:
-                        rids = [
-                            batch_engine.submit(
-                                inputs["input_ids"][0].tolist(),
-                                inputs.get("images"),
-                                max_new_tokens=gen.max_new_tokens,
-                                eos_token_id=gen.eos_token_id,
-                                generation=gen,
-                                image_cache_key=image_key,
-                            )
-                            for _ in range(n)
-                        ]
-                    deadline = time.time() + 60 + 0.5 * gen.max_new_tokens
-                    from omchat_tpu.runtime.generate import KeywordStopper
-
-                    stopper = KeywordStopper(stops, model.tokenizer) if stops else None
-                    seen = {rid: 0 for rid in rids}
-                    while not all(batch_engine.finished(rid) for rid in rids):
-                        if getattr(batch_engine, "dead", False) or time.time() > deadline:
-                            raise RuntimeError("batch scheduler unavailable or request timed out")
-                        if stopper is not None:
-                            for rid in rids:
-                                if batch_engine.finished(rid):
-                                    continue
-                                tokens, _ = batch_engine.snapshot(rid)
-                                if len(tokens) > seen[rid]:
-                                    seen[rid] = len(tokens)
-                                    if stopper.should_stop(tokens):
-                                        batch_engine.cancel(rid)
-                        time.sleep(0.005)
-                    for rid in rids:
-                        token_ids, prompt_len = batch_engine.pop_result(rid)
-                        completions.append((token_ids, prompt_len, None))
-                elif speculative and not gen.do_sample and not use_engine and n == 1:
-                    from omchat_tpu.runtime.speculative import generate_speculative
-
-                    with lock:
-                        token_ids, _ = generate_speculative(
-                            model.engine, inputs["input_ids"][0].tolist(),
-                            inputs.get("images"), gen,
-                        )
-                    completions.append((token_ids, len(inputs["input_ids"][0]), None))
-                else:
-                    import jax
-
-                    for i in range(n):
-                        key = jax.random.PRNGKey(int(seed) + i) if seed is not None else None
-                        with lock:
-                            out = model.engine.generate(
-                                [inputs["input_ids"][0].tolist()], inputs.get("images"), gen,
-                                stop_keywords=stops, tokenizer=model.tokenizer,
-                                return_logprobs=want_logprobs, top_logprobs=n_top,
-                                rng_key=key, allowed_tokens_fn=allowed_fn,
-                            )
-                        completions.append((
-                            out.token_ids[0], int(out.prompt_len[0]),
-                            (out.logprobs[0], out.top_logprobs[0] if n_top else None)
-                            if want_logprobs else None,
-                        ))
+                completions = run_completions(
+                    inputs["input_ids"][0].tolist(), inputs.get("images"), gen, stops, n,
+                    want_logprobs=want_logprobs, n_top=n_top, seed=seed,
+                    allowed_fn=allowed_fn, image_key=image_key, use_engine=use_engine,
+                )
                 choices = []
                 total_new = 0
                 prompt_len = completions[0][1]

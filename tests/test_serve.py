@@ -232,3 +232,28 @@ def test_json_mode(server_port):
     assert cfg is not None, text  # always a valid JSON prefix
     if out["choices"][0]["finish_reason"] == "stop" or cfg[0] == "end":
         json.loads(text)
+
+
+def test_text_completions_endpoint(server_port):
+    """OpenAI legacy /v1/completions: verbatim prompt tokenization (no chat
+    template), text choices, echo, stop strings."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/v1/completions",
+        data=json.dumps({"prompt": "abcd", "max_tokens": 4}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        out = json.loads(resp.read())
+    assert out["object"] == "text_completion"
+    assert out["usage"]["prompt_tokens"] == 4  # byte tokenizer: no template
+    assert out["choices"][0]["finish_reason"] in ("stop", "length")
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/v1/completions",
+        data=json.dumps({"prompt": "xy", "max_tokens": 2, "echo": True, "n": 2}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        out = json.loads(resp.read())
+    assert len(out["choices"]) == 2
+    assert all(c["text"].startswith("xy") for c in out["choices"])
