@@ -461,6 +461,19 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     from omchat_tpu.runtime.json_mode import get_json_mode
 
                     allowed_fn = get_json_mode(model.tokenizer).mask_fn()
+                # structured outputs: OpenAI response_format json_schema
+                # ({"json_schema": {"name":..., "schema": {...}}}) or the
+                # vLLM-style top-level "guided_json" (the schema itself)
+                schema = None
+                if isinstance(rf, dict) and rf.get("type") == "json_schema":
+                    js = rf.get("json_schema") or {}
+                    schema = js.get("schema") if isinstance(js, dict) else None
+                if schema is None:
+                    schema = req.get("guided_json")
+                if allowed_fn is None and schema:
+                    from omchat_tpu.runtime.json_schema import get_json_schema_mode
+
+                    allowed_fn = get_json_schema_mode(model.tokenizer, schema).mask_fn()
                 # logprobs/seed/guided_choice/json_mode run the single-request
                 # engine (the batch decode step returns tokens only, and
                 # samples from an engine-global rng); they serialize on the lock

@@ -42,6 +42,7 @@ class OmChatModel:
         speculative: bool = False,
         guided_choices=None,
         json_mode: bool = False,
+        json_schema: Optional[dict] = None,
     ) -> str:
         """One chat turn: build the anyres context, generate, decode.
 
@@ -53,10 +54,14 @@ class OmChatModel:
         trie-masked decoding (runtime/constrained.py) — e.g. MC eval letters.
 
         ``json_mode``: constrain the reply to a valid JSON object
-        (runtime/json_mode.py — OpenAI ``response_format: json_object``)."""
+        (runtime/json_mode.py — OpenAI ``response_format: json_object``).
+
+        ``json_schema``: constrain the reply to conform to this JSON schema
+        (runtime/json_schema.py — OpenAI structured outputs / vLLM
+        guided_json; see the module docstring for the supported subset)."""
         inputs = self.processor(text, images=image, history=history)
         gen = generation or GenerationConfig()
-        if speculative and not gen.do_sample and not guided_choices and not json_mode:
+        if speculative and not gen.do_sample and not guided_choices and not json_mode and json_schema is None:
             from omchat_tpu.runtime.speculative import generate_speculative
 
             ids, _ = generate_speculative(
@@ -72,6 +77,10 @@ class OmChatModel:
             from omchat_tpu.runtime.constrained import choice_mask_fn
 
             allowed_fn = choice_mask_fn(self.tokenizer, list(guided_choices))
+        elif json_schema is not None:
+            from omchat_tpu.runtime.json_schema import get_json_schema_mode
+
+            allowed_fn = get_json_schema_mode(self.tokenizer, json_schema).mask_fn()
         elif json_mode:
             from omchat_tpu.runtime.json_mode import get_json_mode
 

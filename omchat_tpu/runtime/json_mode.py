@@ -39,7 +39,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["JsonMode", "get_json_mode", "advance", "START"]
+__all__ = ["JsonMode", "VocabTables", "get_json_mode", "get_tables", "advance", "START"]
 
 _WS = " \t\n\r"
 _HEX = set("0123456789abcdefABCDEF")
@@ -182,11 +182,11 @@ def advance(cfg, text: str):
     return cfg
 
 
-class JsonMode:
-    """Per-tokenizer JSON-mask tables (build once, ~1-2 s for a 152k vocab;
-    cache via :func:`get_json_mode`).  ``mask_fn()`` returns a fresh
-    ``allowed_tokens_fn`` closure per request; the per-configuration mask
-    memo is shared across requests."""
+class VocabTables:
+    """Per-tokenizer token-text tables and vocab partitions, shared by every
+    guided-decoding mode (JSON mode here, JSON-schema mode in
+    json_schema.py).  Build once (~1-2 s for a 152k vocab); cache via
+    :func:`get_tables`."""
 
     def __init__(self, tokenizer):
         v = len(tokenizer)
@@ -218,14 +218,39 @@ class JsonMode:
                 string_active.append(tid)
             if all(c in _STRUCTURAL_CHARS for c in text):
                 structural.append(tid)
-        self._in_string_safe = np.asarray(in_string_safe, np.int64)
-        self._string_active = string_active
-        self._structural = structural
-        # first-char index for the rare mid-escape states
-        self._by_first: Dict[str, List[int]] = {}
+        self.in_string_safe = np.asarray(in_string_safe, np.int64)
+        self.string_active = string_active
+        self.structural = structural
+        # first-char index for the rare mid-escape / prefix-constrained states
+        self.by_first: Dict[str, List[int]] = {}
         for tid, text in enumerate(self.token_text):
             if text:
-                self._by_first.setdefault(text[0], []).append(tid)
+                self.by_first.setdefault(text[0], []).append(tid)
+
+
+_TABLES_CACHE: Dict[int, VocabTables] = {}
+
+
+def get_tables(tokenizer) -> VocabTables:
+    key = id(tokenizer)
+    t = _TABLES_CACHE.get(key)
+    if t is None:
+        t = _TABLES_CACHE[key] = VocabTables(tokenizer)
+    return t
+
+
+class JsonMode:
+    """JSON-object mask machinery over shared :class:`VocabTables`.
+    ``mask_fn()`` returns a fresh ``allowed_tokens_fn`` closure per request;
+    the per-configuration mask memo is shared across requests."""
+
+    def __init__(self, tokenizer):
+        t = get_tables(tokenizer)
+        self.token_text = t.token_text
+        self._in_string_safe = t.in_string_safe
+        self._string_active = t.string_active
+        self._structural = t.structural
+        self._by_first = t.by_first
         self._memo: Dict[tuple, Optional[np.ndarray]] = {}
 
     # -- mask computation ----------------------------------------------------

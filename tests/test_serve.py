@@ -257,3 +257,30 @@ def test_text_completions_endpoint(server_port):
         out = json.loads(resp.read())
     assert len(out["choices"]) == 2
     assert all(c["text"].startswith("xy") for c in out["choices"])
+
+
+def test_json_schema_structured_output(server_port):
+    """response_format json_schema / guided_json: the reply conforms to the
+    schema when the object completes (byte-level mock tokenizer)."""
+    schema = {
+        "type": "object",
+        "properties": {"ok": {"type": "boolean"}, "n": {"type": "integer"}},
+        "required": ["ok"],
+    }
+    for body in (
+        {"response_format": {"type": "json_schema",
+                             "json_schema": {"name": "t", "schema": schema}}},
+        {"guided_json": schema},
+    ):
+        out = _post(
+            server_port,
+            {"messages": [{"role": "user", "content": "go"}], "max_tokens": 48, **body},
+        )
+        text = out["choices"][0]["message"]["content"]
+        from omchat_tpu.runtime.json_schema import JsonSchemaMode
+        from tests.conftest import MockTokenizer
+        m = JsonSchemaMode(MockTokenizer(), schema)
+        assert m.advance(m.START, text) is not None, text
+        if out["choices"][0]["finish_reason"] == "stop":
+            obj = json.loads(text)
+            assert isinstance(obj.get("ok"), bool)
