@@ -51,6 +51,25 @@ def _cut_at_stop(text, stops):
     return (text[:pos], True) if pos >= 0 else (text, False)
 
 
+def _parse_gen(req, default_max):
+    """(GenerationConfig, logit_bias | None) from an OpenAI-style body.
+    logit_bias keys are token ids, values clamped to ±100 per the API."""
+    from omchat_tpu.config import GenerationConfig
+
+    gen = GenerationConfig(
+        max_new_tokens=int(req.get("max_tokens", default_max)),
+        do_sample=float(req.get("temperature", 0.0)) > 0.0,
+        temperature=float(req.get("temperature", 1.0)) or 1.0,
+        top_p=float(req.get("top_p", 1.0)),
+        presence_penalty=float(req.get("presence_penalty", 0.0)),
+        frequency_penalty=float(req.get("frequency_penalty", 0.0)),
+    )
+    lb = req.get("logit_bias") or None
+    if lb:
+        lb = {int(k): max(-100.0, min(100.0, float(v))) for k, v in lb.items()}
+    return gen, lb
+
+
 def _parse_messages(messages):
     """Extract (question, history, images, system, image_key) from
     OpenAI-style messages.  ``image_key`` hashes the request's compressed
@@ -121,6 +140,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
     def run_completions(
         input_ids, images, gen, stops, n, *, want_logprobs=False, n_top=0,
         seed=None, allowed_fn=None, image_key=None, use_engine=False,
+        logit_bias=None,
     ):
         """Run n completions for one prompt and return
         ``[(token_ids, prompt_len, logprobs | None)]`` — shared by the chat
@@ -184,6 +204,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         stop_keywords=stops, tokenizer=model.tokenizer,
                         return_logprobs=want_logprobs, top_logprobs=n_top,
                         rng_key=key, allowed_tokens_fn=allowed_fn,
+                        logit_bias=logit_bias,
                     )
                 completions.append((
                     out.token_ids[0], int(out.prompt_len[0]),
@@ -366,20 +387,21 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         self._json(400, {"error": "prompt must be a string or a 1-element list"})
                         return
                     prompt = prompt[0]
-                gen = GenerationConfig(
-                    max_new_tokens=int(req.get("max_tokens", 16)),
-                    do_sample=float(req.get("temperature", 0.0)) > 0.0,
-                    temperature=float(req.get("temperature", 1.0)) or 1.0,
-                    top_p=float(req.get("top_p", 1.0)),
-                )
+                gen, logit_bias = _parse_gen(req, default_max=16)
                 stops = _parse_stops(req)
                 n = max(1, min(int(req.get("n", 1) or 1), 8))
                 seed = req.get("seed")
                 t0 = time.time()
                 input_ids = model.tokenizer.encode(str(prompt))
+                use_engine = (
+                    seed is not None
+                    or logit_bias is not None
+                    or gen.presence_penalty != 0.0
+                    or gen.frequency_penalty != 0.0
+                )
                 completions = run_completions(
                     input_ids, None, gen, stops, n,
-                    seed=seed, use_engine=seed is not None,
+                    seed=seed, use_engine=use_engine, logit_bias=logit_bias,
                 )
                 choices = []
                 total_new = 0
@@ -427,12 +449,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
                 question, history, images, system, image_key = _parse_messages(req.get("messages", []))
-                gen = GenerationConfig(
-                    max_new_tokens=int(req.get("max_tokens", 1024)),
-                    do_sample=float(req.get("temperature", 0.0)) > 0.0,
-                    temperature=float(req.get("temperature", 1.0)) or 1.0,
-                    top_p=float(req.get("top_p", 1.0)),
-                )
+                gen, logit_bias = _parse_gen(req, default_max=1024)
                 stops = _parse_stops(req)
                 t0 = time.time()
                 inputs = model.processor(question, images=images, history=history, system=system)
@@ -477,11 +494,19 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 # logprobs/seed/guided_choice/json_mode run the single-request
                 # engine (the batch decode step returns tokens only, and
                 # samples from an engine-global rng); they serialize on the lock
-                use_engine = want_logprobs or seed is not None or allowed_fn is not None
+                use_engine = (
+                    want_logprobs
+                    or seed is not None
+                    or allowed_fn is not None
+                    or logit_bias is not None
+                    or gen.presence_penalty != 0.0
+                    or gen.frequency_penalty != 0.0
+                )
                 completions = run_completions(
                     inputs["input_ids"][0].tolist(), inputs.get("images"), gen, stops, n,
                     want_logprobs=want_logprobs, n_top=n_top, seed=seed,
                     allowed_fn=allowed_fn, image_key=image_key, use_engine=use_engine,
+                    logit_bias=logit_bias,
                 )
                 choices = []
                 total_new = 0

@@ -336,3 +336,8 @@ class GenerationConfig:
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = 0
+    # OpenAI-style repetition controls (engine path; 0.0 = off).  Applied as
+    # logits[t] -= presence*1[count(t)>0] + frequency*count(t) over the
+    # tokens generated so far, before temperature/top-k/top-p.
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0

@@ -455,11 +455,17 @@ class OmChatEngine:
         return_logprobs: bool = False,
         top_logprobs: int = 0,
         allowed_tokens_fn: Optional[Callable[[List[int]], Optional[List[int]]]] = None,
+        logit_bias: Optional[dict] = None,
     ) -> GenerateOutput:
         """Greedy/sampled decode with host streaming.
 
         images: [N_total_tiles, 3, H, W] across the batch's sentinels, in
-        sentinel order (the reference's cur_image_idx contract)."""
+        sentinel order (the reference's cur_image_idx contract).
+
+        logit_bias: OpenAI-style {token_id: bias} added to every step's
+        logits (clamped upstream to ±100 by the server).  Presence/frequency
+        penalties ride GenerationConfig and are applied per batch row from
+        the tokens generated so far."""
         gen = generation or GenerationConfig()
         stopper = KeywordStopper(stop_keywords, tokenizer) if stop_keywords else None
         if allowed_tokens_fn is not None and len(batch_input_ids) != 1:
@@ -483,9 +489,27 @@ class OmChatEngine:
         tops: List[List[List[tuple]]] = [[] for _ in range(b)]
         done = np.zeros(b, bool)
         tokens = None
+        bias_vec = None
+        if logit_bias:
+            v = int(logits.shape[-1])
+            bias_vec = np.zeros((v,), np.float32)
+            for tid, bv in logit_bias.items():
+                if 0 <= int(tid) < v:  # out-of-vocab ids are inert, not fatal
+                    bias_vec[int(tid)] = float(bv)
+            bias_vec = jnp.asarray(bias_vec)
+        penalized = gen.presence_penalty != 0.0 or gen.frequency_penalty != 0.0
         decode_t0 = time.perf_counter()
         for step in range(gen.max_new_tokens):
             step_logits = logits
+            if bias_vec is not None:
+                step_logits = step_logits + bias_vec
+            if penalized and any(generated):
+                pen = np.zeros((b, int(logits.shape[-1])), np.float32)
+                for i in range(b):
+                    if generated[i]:
+                        ids, counts = np.unique(np.asarray(generated[i]), return_counts=True)
+                        pen[i, ids] = gen.presence_penalty + gen.frequency_penalty * counts
+                step_logits = step_logits - jnp.asarray(pen)
             if allowed_tokens_fn is not None:
                 # constrained decoding (runtime/constrained.py): additively
                 # mask the logits to the tokens extending some candidate;

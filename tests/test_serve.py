@@ -284,3 +284,29 @@ def test_json_schema_structured_output(server_port):
         if out["choices"][0]["finish_reason"] == "stop":
             obj = json.loads(text)
             assert isinstance(obj.get("ok"), bool)
+
+
+def test_logit_bias_and_penalties(server_port):
+    """logit_bias pins the next token; a huge frequency_penalty forbids
+    immediate repetition (engine path)."""
+    out = _post(
+        server_port,
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 3,
+            "logit_bias": {"65": 100},  # byte tokenizer: 65 = 'A'
+        },
+    )
+    assert out["choices"][0]["message"]["content"] == "AAA"
+
+    out = _post(
+        server_port,
+        {
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 6,
+            "logit_bias": {"65": 100},
+            "frequency_penalty": 1000.0,
+        },
+    )
+    text = out["choices"][0]["message"]["content"]
+    assert text[0] == "A" and "AA" not in text  # penalty kills the repeat
