@@ -111,6 +111,92 @@ def jsonl_batches(path, image_root, tokenizer, cfg, batch_size, epochs=1000000):
                 batch_ids, spans, tiles = [], [], []
 
 
+def pack_rows(rows, seq_len):
+    """[[(ids, target_len), ...] per row] → padded packed batch arrays.
+
+    Positions restart at 0 per segment (RoPE), segment_ids isolate attention
+    (the varlen flash kernel / XLA mask via qwen2_forward(segment_ids=...)),
+    labels cover each sample's target span only; pad rows carry segment -1
+    and IGNORE labels.  The loss shift is boundary-safe for free: position
+    (segment_end - 1)'s shifted label is the NEXT sample's first context
+    token, which is always IGNORE (targets never start a sample)."""
+    b = len(rows)
+    tok = np.zeros((b, seq_len), np.int32)
+    pos = np.zeros((b, seq_len), np.int32)
+    seg = np.full((b, seq_len), -1, np.int32)
+    lab = np.full((b, seq_len), IGNORE_INDEX, np.int32)
+    for i, row in enumerate(rows):
+        off = 0
+        for s_idx, (ids, tlen) in enumerate(row):
+            n = len(ids)
+            tok[i, off : off + n] = ids
+            pos[i, off : off + n] = np.arange(n)
+            seg[i, off : off + n] = s_idx
+            lab[i, off + n - tlen : off + n] = ids[n - tlen :]
+            off += n
+    return {
+        "token_ids": jnp.asarray(tok),
+        "is_image": jnp.zeros((b, seq_len), bool),
+        "image_index": jnp.zeros((b, seq_len), np.int32),
+        "positions": jnp.asarray(pos),
+        "labels": jnp.asarray(lab),
+        "segment_ids": jnp.asarray(seg),
+    }
+
+
+def jsonl_packed_batches(path, tokenizer, cfg, batch_size, seq_len, epochs=1000000, logger=None):
+    """Text-only SFT with sequence packing: samples are concatenated into
+    fixed [batch, seq_len] rows (greedy first-fit in file order) so short
+    conversations don't burn the step on padding — the packed step does
+    real-token work proportional to fill rate, not to the longest sample.
+
+    Packing interleaves documents, so it is text-only by design (image
+    features are spliced per request); datasets with images should train
+    unpacked (jsonl_batches).  Samples longer than seq_len are skipped
+    (counted, reported once)."""
+    from omchat_tpu.processing.chat import make_context
+
+    eos = 151645
+    records = [json.loads(l) for l in open(path) if l.strip()]
+    samples, skipped = [], 0
+    for rec in records:
+        if rec.get("image"):
+            raise ValueError(
+                "--pack supports text-only datasets; train image data unpacked (drop --pack)"
+            )
+        convs = rec["conversations"]
+        turns = [(convs[i]["value"], convs[i + 1]["value"]) for i in range(0, len(convs) - 1, 2)]
+        history, (q, answer) = turns[:-1], turns[-1]
+        _, context = make_context(
+            tokenizer, q.replace("<image>", "").strip(),
+            [(hq.replace("<image>", "").strip(), ha) for hq, ha in history],
+            "You are a helpful assistant.",
+        )
+        target = tokenizer.encode(answer) + [eos]
+        ids = context + target
+        if len(ids) > seq_len:
+            skipped += 1
+            continue
+        samples.append((ids, len(target)))
+    if not samples:
+        raise ValueError(f"no sample fits --pack {seq_len}")
+    if skipped and logger is not None:
+        logger.warning("packing: skipped %d/%d samples longer than %d tokens",
+                       skipped, len(records), seq_len)
+    batch_rows, row, row_len = [], [], 0
+    for _ in range(epochs):
+        for ids, tlen in samples:
+            if row_len + len(ids) > seq_len:
+                batch_rows.append(row)
+                row, row_len = [], 0
+                if len(batch_rows) == batch_size:
+                    yield pack_rows(batch_rows, seq_len)
+                    batch_rows = []
+            row.append((ids, tlen))
+            row_len += len(ids)
+        # the epoch's open row carries into the next pass (no samples lost)
+
+
 def _train_lora(args, cfg, params, total, logger):
     """LoRA / QLoRA branch: rank-sized adapter training over the frozen base,
     periodic orbax checkpoints with auto-resume, final adapter export
@@ -199,6 +285,11 @@ def main():
                         help="global-norm gradient clipping (HF Trainer max_grad_norm default); 0 disables")
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="micro-batches per optimizer update (optax.MultiSteps)")
+    parser.add_argument("--pack", type=int, default=0, metavar="SEQ_LEN",
+                        help="text-only sequence packing: concatenate samples into fixed "
+                        "[batch, SEQ_LEN] rows with segment-isolated attention so short "
+                        "conversations don't train on padding (XLA masked attention on "
+                        "the grad path; the varlen Pallas kernel is forward-only)")
     parser.add_argument("--lora-rank", type=int, default=0,
                         help="train rank-r LoRA adapters over a frozen base instead of full fine-tuning (0 = off)")
     parser.add_argument("--lora-alpha", type=float, default=None,
@@ -264,6 +355,8 @@ def main():
 
     if not args.data and not args.synthetic:
         parser.error("pass --data (JSONL dataset) or --synthetic N (smoke mode)")
+    if args.pack and not args.data:
+        parser.error("--pack packs a JSONL dataset; pass --data")
 
     ckpt = TrainCheckpointer(os.path.join(args.output_dir, "ckpt"))
     state, resumed = ckpt.restore(state)
@@ -283,7 +376,12 @@ def main():
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(args.model_path, use_fast=True)
-        raw_iter = jsonl_batches(args.data, args.image_root, tokenizer, cfg, args.batch_size)
+        if args.pack:
+            raw_iter = jsonl_packed_batches(
+                args.data, tokenizer, cfg, args.batch_size, args.pack, logger=logger
+            )
+        else:
+            raw_iter = jsonl_batches(args.data, args.image_root, tokenizer, cfg, args.batch_size)
         # background host preprocessing (tokenize/tile/pack) overlaps device steps
         q: "queue.Queue" = queue.Queue(maxsize=2)
 

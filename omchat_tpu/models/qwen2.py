@@ -156,10 +156,16 @@ def _decoder_layer_glue(cfg, x, layer, cos, sin, attend, mlp_fn, cache_state):
     return x, cache_state
 
 
-def cache_attend(cfg, attn_impl, write_pos, kv_len, q, k, v, cache_state):
+def cache_attend(cfg, attn_impl, write_pos, kv_len, q, k, v, cache_state, *, segment_ids=None):
     """Contiguous-slot cache handler: write K/V at ``write_pos`` into the
-    head-major [B, KVH, T, Dh] cache (or no cache) and attend."""
+    head-major [B, KVH, T, Dh] cache (or no cache) and attend.
+
+    ``segment_ids`` [B, S] enables multi-document packing on the CACHELESS
+    (training) path — tokens attend only within their segment (the varlen
+    flash kernel / XLA mask, ops/attention.py); incompatible with a cache."""
     k_cache, v_cache = cache_state
+    if segment_ids is not None and k_cache is not None:
+        raise ValueError("segment_ids packing is a cacheless (training) feature")
     b, s = q.shape[0], q.shape[1]
     if k_cache is not None:
         # vmapped dynamic_update_slice over batch at each sequence's offset
@@ -183,7 +189,7 @@ def cache_attend(cfg, attn_impl, write_pos, kv_len, q, k, v, cache_state):
                 kv_format="bntd",
             )
     else:
-        out = attention(q, k, v, causal=True, impl=attn_impl)
+        out = attention(q, k, v, causal=True, impl=attn_impl, segment_ids=segment_ids)
     return out, (k_cache, v_cache)
 
 
@@ -219,10 +225,12 @@ def quant_glue_ok(attn_impl) -> bool:
     return attn_impl is None or attn_impl in ("pallas", "pallas_manual")
 
 
-def _layer_forward(cfg, attn_impl, carry, xs):
+def _layer_forward(cfg, attn_impl, segment_ids, carry, xs):
     x, cos, sin, write_pos, kv_len = carry
     layer, k_cache, v_cache = xs
-    attend = functools.partial(cache_attend, cfg, attn_impl, write_pos, kv_len)
+    attend = functools.partial(
+        cache_attend, cfg, attn_impl, write_pos, kv_len, segment_ids=segment_ids
+    )
     x, (k_cache, v_cache) = decoder_layer(
         cfg, x, layer, cos, sin, attend, _dense_mlp, (k_cache, v_cache),
         quant_glue=quant_glue_ok(attn_impl),
@@ -241,6 +249,7 @@ def qwen2_forward(
     *,
     attn_impl: Optional[str] = None,
     remat: bool = False,
+    segment_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder trunk (no lm_head).
 
@@ -253,6 +262,9 @@ def qwen2_forward(
       write_pos: int32 write offset into the cache (scalar or per-batch [B];
         0 for prefill).
       kv_len: valid cache length *after* this call's tokens are written.
+      segment_ids: [B, S] int32 — multi-document training packing: tokens
+        attend only within their segment, negative marks padding (cacheless
+        path only; ops/attention.py routes to the varlen flash kernel).
 
     Returns (hidden_states [B, S, D], updated cache or None).
     """
@@ -270,7 +282,7 @@ def qwen2_forward(
     else:
         write_pos = jnp.asarray(write_pos, jnp.int32)
 
-    body = functools.partial(_layer_forward, cfg, attn_impl)
+    body = functools.partial(_layer_forward, cfg, attn_impl, segment_ids)
     if remat:
         body = jax.checkpoint(body)
 

@@ -109,7 +109,8 @@ def loss_fn(
     if act_sharding is not None:
         embeds = jax.lax.with_sharding_constraint(embeds, act_sharding)
     hidden, _ = qwen2_forward(
-        params["language_model"], cfg.text, embeds, batch["positions"], attn_impl=attn_impl, remat=remat
+        params["language_model"], cfg.text, embeds, batch["positions"], attn_impl=attn_impl,
+        remat=remat, segment_ids=batch.get("segment_ids"),
     )
     logits = lm_head(params["language_model"], cfg.text, hidden)
     # next-token prediction: shift left
@@ -162,6 +163,7 @@ def make_sharded_train_step(
         "positions": P("data"),
         "labels": P("data"),
         "pixel_values": P("data"),
+        "segment_ids": P("data"),  # multi-document packing (optional)
     }
 
     def to_sharding(tree):

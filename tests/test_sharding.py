@@ -223,7 +223,7 @@ def test_train_step_runs_sharded(rng):
         "labels": jnp.asarray(labels),
         "pixel_values": jnp.asarray(pixels),
     }
-    batch = jax.tree.map(lambda a, s: jax.device_put(a, s), batch, batch_shardings)
+    batch = {k: jax.device_put(v, batch_shardings[k]) for k, v in batch.items()}
 
     state2, loss1 = step_fn(state, cfg, batch)
     state3, loss2 = step_fn(state2, cfg, batch)
