@@ -32,6 +32,8 @@ def main():
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     parser.add_argument("--speculative", action="store_true",
                         help="prompt-lookup speculative decoding (greedy; identical tokens, fewer device steps on echo-heavy outputs)")
+    parser.add_argument("--num-beams", type=int, default=1,
+                        help="beam search width (reference single_inference parity; >1 disables streaming)")
     parser.add_argument("--lora", type=str, default=None,
                         help="LoRA adapter directory to merge into the base weights at load")
     args = parser.parse_args()
@@ -58,6 +60,10 @@ def main():
         frames = load_video_frames(args.video_path, num_samples=args.video_frames)
         model.chat_video(args.question, frames, num_samples=args.video_frames,
                          generation=gen, stream_callback=stream)
+    elif args.num_beams > 1:
+        image = Image.open(args.image_path).convert("RGB")
+        print(model.chat(args.question, image=image, generation=gen,
+                         num_beams=args.num_beams), end="")
     else:
         image = Image.open(args.image_path).convert("RGB")
         model.chat(args.question, image=image, generation=gen, stream_callback=stream,

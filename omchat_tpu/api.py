@@ -43,6 +43,7 @@ class OmChatModel:
         guided_choices=None,
         json_mode: bool = False,
         json_schema: Optional[dict] = None,
+        num_beams: int = 1,
     ) -> str:
         """One chat turn: build the anyres context, generate, decode.
 
@@ -61,6 +62,23 @@ class OmChatModel:
         guided_json; see the module docstring for the supported subset)."""
         inputs = self.processor(text, images=image, history=history)
         gen = generation or GenerationConfig()
+        if num_beams > 1:
+            # reference parity: single_inference.py exposes num_beams through
+            # HF generate; here it routes to runtime/beam_search.py (greedy
+            # scoring; incompatible with sampling/constrained decoding)
+            if gen.do_sample or guided_choices or json_mode or json_schema is not None:
+                raise ValueError("num_beams > 1 is greedy-only (no sampling/constrained decoding)")
+            from omchat_tpu.runtime.beam_search import beam_search
+
+            ids = beam_search(
+                self.engine,
+                inputs["input_ids"][0].tolist(),
+                inputs.get("images"),
+                num_beams=num_beams,
+                max_new_tokens=gen.max_new_tokens,
+                eos_token_id=gen.eos_token_id,
+            )
+            return self.tokenizer.decode(ids, skip_special_tokens=True)
         if speculative and not gen.do_sample and not guided_choices and not json_mode and json_schema is None:
             from omchat_tpu.runtime.speculative import generate_speculative
 
