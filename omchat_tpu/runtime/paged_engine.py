@@ -771,16 +771,21 @@ class PagedBatchEngine:
         )
 
     def _prefill_chunk_group(self, reqs):
-        """Advance B text-only chunked prefills (equal next-chunk width) one
-        chunk each in ONE batched dispatch.
+        """Advance B chunked prefills (equal next-chunk width) one chunk each
+        in ONE batched dispatch — text AND multimodal rows mix freely.
 
         This is what makes prefix-cache hits profitable: a hit resumes
         mid-prompt (chunk_pos > 0), which the contiguous batched-shorts path
         cannot do, and per-request chunk dispatches each pay the full int8
         weight stream — measured 2× slower end-to-end than no cache at all on
         the shared-system-prompt workload.  Batch pads to a power of two with
-        replica rows committed to the parking page.  Returns
-        [(req, logits_row)] for rows whose prompt completed this chunk."""
+        replica rows committed to the parking page.
+
+        Multimodal rows: each request's projected features concatenate into
+        one [R, D] matrix and its plan's (globally-indexed) ``image_index``
+        shifts by the rows before it; R pads to a 2048-row bucket so the
+        program count stays (B, width, R-bucket), not per tile-count combo.
+        Returns [(req, logits_row)] for rows whose prompt completed."""
         width = self._chunk_width(reqs[0])
         bb = 1
         while bb < len(reqs):
@@ -795,13 +800,20 @@ class PagedBatchEngine:
                 part = np.pad(part, ((0, 0), (0, width - csize)), constant_values=fill)
             return part
 
+        offsets, parts, off = {}, [], 0
+        for r in reqs:
+            if r.image_features is not None:
+                offsets[r.request_id] = off
+                parts.append(r.image_features)
+                off += int(r.image_features.shape[0])
+
         tok, isi, idx, pos, starts, lens, tables = [], [], [], [], [], [], []
         for i, r in enumerate(rows):
             plan, c0 = r.plan, r.chunk_pos
             total = int(plan.lengths[0])
             tok.append(cut(plan, c0, plan.token_ids))
             isi.append(cut(plan, c0, plan.is_image))
-            idx.append(cut(plan, c0, plan.image_index))
+            idx.append(cut(plan, c0, plan.image_index) + offsets.get(r.request_id, 0))
             pos.append(cut(plan, c0, plan.positions))
             starts.append(c0)
             lens.append(min(total - c0, width))
@@ -811,7 +823,14 @@ class PagedBatchEngine:
                 tables.append(np.full(self.max_pages, self._parking, np.int32))
 
         d = self.params["language_model"]["embed_tokens"].shape[1]
-        feats = jnp.zeros((1, d), self.params["language_model"]["embed_tokens"].dtype)
+        fdtype = self.params["language_model"]["embed_tokens"].dtype
+        if parts:
+            feats = jnp.concatenate([jnp.asarray(p, fdtype) for p in parts], axis=0)
+            rb = -(-int(feats.shape[0]) // 2048) * 2048  # R-bucket: bound program count
+            if rb > feats.shape[0]:
+                feats = jnp.concatenate([feats, jnp.zeros((rb - feats.shape[0], d), fdtype)])
+        else:
+            feats = jnp.zeros((1, d), fdtype)
         logits, self.k_pool, self.v_pool = _paged_prefill_chunk_jit(
             self.params,
             self.cfg,
@@ -978,10 +997,10 @@ class PagedBatchEngine:
                 batches.append((group, self._prefill_shorts(group)))
             pending = [r for r in pending if r not in shorts]
         finished_prefills = []
-        # Text-only CHUNKED prefills (prefix-cache resumes, long prompts)
+        # CHUNKED prefills (prefix-cache resumes, long prompts, multimodal)
         # with the same next-chunk width advance together in one dispatch —
         # per-request chunk dispatches each pay the full weight stream.
-        chunked = [r for r in pending if r.image_features is None]
+        chunked = list(pending)
         if len(chunked) >= 2:
             groups = {}
             for r in chunked:
@@ -991,9 +1010,22 @@ class PagedBatchEngine:
                 g = groups[w]
                 if len(g) < 2:
                     continue
-                cap = max(1, self.prefill_batch_tokens // w)
+                budget = self.prefill_batch_tokens
+                if any(r.image_features is not None for r in g):
+                    # multimodal rows add the concatenated feature matrix and
+                    # fatter fusion temporaries to the dispatch's peak; on a
+                    # 13B chip at ~95% HBM even [2, 2048] OOMs, so cap these
+                    # groups at the per-request chunk's own footprint — full-
+                    # width first chunks stay per-request, the narrower tail
+                    # chunks (and prefix-resume suffixes) still batch
+                    budget = min(budget, self.prefill_chunk)
+                cap = max(1, budget // w)
+                if cap < 2:
+                    continue  # batching one row buys nothing over _prefill_tick
                 for i in range(0, len(g), cap):
                     sub = g[i : i + cap]
+                    if len(sub) < 2:
+                        continue  # remainder row rides the per-request path
                     finished_prefills.extend(self._prefill_chunk_group(sub))
                     taken.extend(sub)
             pending = [r for r in pending if r not in taken]

@@ -384,3 +384,40 @@ def test_cancel_queued_request(setup):
     be.run_to_completion(max_ticks=200)
     assert be.finished(r1) and be.finished(r2)
     assert be.result(r2) == []
+
+
+def test_multimodal_grouped_chunk_prefill(setup, rng):
+    """Two long MULTIMODAL prompts plus a long text prompt with equal chunk
+    widths advance through ONE batched dispatch (concatenated features,
+    per-row image_index offsets), outputs identical to the one-shot engine."""
+    cfg, params = setup
+    max_new = 5
+    img_a = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    img_b = rng.standard_normal((2, 3, 56, 56)).astype(np.float32)
+    reqs = [
+        ([5, 6, IMAGE_TOKEN_INDEX] + [int(t) for t in rng.integers(5, 60, 30)], img_a),
+        ([7, IMAGE_TOKEN_INDEX, IMAGE_TOKEN_INDEX] + [int(t) for t in rng.integers(5, 60, 28)], img_b),
+        ([int(t) for t in rng.integers(5, 60, 35)], None),
+    ]
+    expected = _expected(cfg, params, reqs, max_new)
+
+    be = PagedBatchEngine(
+        cfg, params, max_slots=3, num_pages=48, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=128, decode_roll=2, prefill_chunk=16,
+    )
+    calls = []
+    orig = be._prefill_chunk_group
+
+    def spy(rs):
+        calls.append(sorted(r.request_id for r in rs))
+        return orig(rs)
+
+    be._prefill_chunk_group = spy
+    rids = [be.submit(list(ids), im, max_new_tokens=max_new, eos_token_id=-1)
+            for ids, im in reqs]
+    be.run_to_completion(max_ticks=300)
+    # at least one dispatch carried a multimodal row alongside another row
+    assert any(len(c) >= 2 for c in calls), calls
+    for rid, exp in zip(rids, expected):
+        assert be.result(rid) == exp
+    assert be.allocator.available == 48
