@@ -558,6 +558,12 @@ class PagedBatchEngine:
                 "raise max_len/num_pages or shorten the request"
             )
         req.n_pages_needed = need
+        if images is not None and image_cache_key is None and isinstance(images, np.ndarray):
+            # one content identity for BOTH caches: the encoded-image LRU and
+            # image-aware prefix-page hashing below
+            from omchat_tpu.runtime.feature_cache import pixel_digest
+
+            image_cache_key = pixel_digest(images)
         if self.prefix_cache is not None:
             from omchat_tpu.runtime.prefix_cache import page_hashes
 
@@ -565,7 +571,10 @@ class PagedBatchEngine:
             isimg = np.asarray(req.plan.is_image[0])
             first_img = int(np.argmax(isimg)) if isimg.any() else None
             req.page_hashes = page_hashes(
-                tids, int(req.plan.lengths[0]), self.page_size, first_img
+                tids, int(req.plan.lengths[0]), self.page_size, first_img,
+                image_key=image_cache_key if images is not None else None,
+                is_image=isimg,
+                image_index=np.asarray(req.plan.image_index[0]),
             )
         if images is not None:
             # feature LRU rides the prefiller engine (feature_cache.py):

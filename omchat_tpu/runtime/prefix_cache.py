@@ -14,8 +14,14 @@ Only pages that stay immutable are ever shared or published:
 
 - the page containing position ``prompt_len`` is excluded — the first decode
   step writes there;
-- everything at or after the first image token is excluded — image K/V
-  depends on pixel content, which the token ids do not address;
+- image K/V depends on pixel content, which token ids alone do not address:
+  WITHOUT an ``image_key`` everything at or after the first image token is
+  excluded; WITH one (the request's compressed-payload / pixel digest, the
+  same identity the encoded-image LRU uses), pages covering image rows mix
+  the key plus the splice layout (is_image, image_index) into the digest
+  chain, so multi-turn VQA re-sending the same image reuses the whole
+  previous-turn KV — image rows included — and turn N+1 prefills only its
+  new suffix;
 - generated-token pages are never published.
 
 Ownership: a page published to the cache belongs to the cache, not to the
@@ -37,27 +43,46 @@ def page_hashes(
     prompt_len: int,
     page_size: int,
     first_image_pos: Optional[int] = None,
+    *,
+    image_key: Optional[str] = None,
+    is_image=None,
+    image_index=None,
 ) -> List[bytes]:
     """Digest chain over the shareable full pages of a prompt.
 
     ``token_ids`` are the *expanded* prompt ids (image placeholders already
     spliced); hashing stops before the page that the first decode write
-    (position ``prompt_len``) or the first image token lands in.  A request
-    consuming a match must still cap its hit at ``(prompt_len - 1) //
-    page_size`` pages so at least one prompt token remains to prefill (the
-    final-position logits come from the prefill) — the engine does this at
-    admission; the *publishable* set here may be one page larger.
+    (position ``prompt_len``) or — without an ``image_key`` — the first
+    image token lands in.  With ``image_key`` (a content identity for ALL of
+    the request's images, in order), pages containing image rows fold the
+    key and the splice layout (``is_image``/``image_index`` blocks) into the
+    chain instead of stopping: identical token prefix + identical image
+    bytes address identical K/V; a different image diverges the chain at its
+    first image page while the plain-text pages before it still match.
+
+    A request consuming a match must still cap its hit at ``(prompt_len -
+    1) // page_size`` pages so at least one prompt token remains to prefill
+    (the final-position logits come from the prefill) — the engine does this
+    at admission; the *publishable* set here may be one page larger.
     """
     limit = prompt_len
-    if first_image_pos is not None:
+    if first_image_pos is not None and image_key is None:
         limit = min(limit, first_image_pos)
     n = max(0, limit) // page_size
     out: List[bytes] = []
     h = b"omchat-prefix-v1"
     for i in range(n):
-        block = token_ids[i * page_size : (i + 1) * page_size]
+        lo, hi = i * page_size, (i + 1) * page_size
         m = hashlib.blake2b(h, digest_size=16)
-        m.update(np_tobytes(block))
+        m.update(np_tobytes(token_ids[lo:hi]))
+        if image_key is not None and is_image is not None:
+            import numpy as np
+
+            blk = np.asarray(is_image[lo:hi])
+            if blk.any():
+                m.update(image_key.encode())
+                m.update(np_tobytes(blk.astype(np.int64)))
+                m.update(np_tobytes(image_index[lo:hi]))
         h = m.digest()
         out.append(h)
     return out

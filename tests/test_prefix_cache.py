@@ -235,3 +235,79 @@ def test_prefix_hit_suffixes_batch_into_one_dispatch(setup):
     assert calls and max(calls) >= 2, calls  # suffixes rode a batched dispatch
     for rid, exp in zip(rids, expected):
         assert be.result(rid) == exp
+
+
+# -- image-aware prefix caching ----------------------------------------------
+
+
+def test_page_hashes_image_key():
+    ids = list(range(100, 133))
+    isi = [False] * 12 + [True] * 10 + [False] * 11
+    idx = [0] * 12 + list(range(10)) + [0] * 11
+    # with a key, hashing crosses the image span (4 immutable pages)
+    with_key = page_hashes(ids, 33, 8, 12, image_key="imgA", is_image=isi, image_index=idx)
+    assert len(with_key) == 4
+    # same ids, different image -> diverges at the first image page (page 1),
+    # plain-text page 0 still matches
+    other = page_hashes(ids, 33, 8, 12, image_key="imgB", is_image=isi, image_index=idx)
+    assert with_key[0] == other[0] and with_key[1] != other[1]
+    # no key -> old behavior (stop before the image page)
+    assert len(page_hashes(ids, 33, 8, 12)) == 1
+
+
+def test_multiturn_vqa_reuses_image_pages(setup, rng):
+    """Turn 2 resends turn 1's image+prompt plus a new question: its prefill
+    resumes past the image rows (prefix hit covers image pages), outputs
+    unchanged vs the uncached engine."""
+    from omchat_tpu.constants import IMAGE_TOKEN_INDEX
+
+    cfg, params = setup
+    img = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    turn1 = [5, 6, IMAGE_TOKEN_INDEX] + [int(t) for t in rng.integers(5, 60, 12)]
+    turn2 = turn1 + [int(t) for t in rng.integers(5, 60, 9)]
+    max_new = 4
+
+    uncached = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=16, image_cache_size=0)
+    exp1 = uncached.generate([turn1], img, GenerationConfig(max_new_tokens=max_new, eos_token_id=-1)).token_ids[0]
+    exp2 = uncached.generate([turn2], img, GenerationConfig(max_new_tokens=max_new, eos_token_id=-1)).token_ids[0]
+
+    be = _engine(cfg, params, num_pages=32, max_len=128)
+    r1 = be.submit(list(turn1), img, max_new_tokens=max_new, eos_token_id=-1)
+    be.run_to_completion(max_ticks=200)
+    assert be.result(r1) == exp1
+    # turn-1 prompt spans image rows; its pages must be published
+    pages_cached = be.prefix_cache.stats()["pages_cached"]
+    merged1 = int(be.requests[r1].plan.lengths[0])
+    assert pages_cached >= merged1 // 8 - 1
+
+    hits_before = be.prefix_cache.stats()["hits"]
+    r2 = be.submit(list(turn2), img.copy(), max_new_tokens=max_new, eos_token_id=-1)
+    be.run_to_completion(max_ticks=200)
+    assert be.result(r2) == exp2
+    hit_pages = be.prefix_cache.stats()["hits"] - hits_before
+    # the hit must cover the image span, not stop at position 2
+    assert hit_pages * 8 > 3 + cfg.image_seq_len, hit_pages
+
+
+def test_different_image_no_false_hit(setup, rng):
+    """Same token ids, different pixels: no page reuse beyond the pre-image
+    prefix; generations match the uncached engine for BOTH images."""
+    from omchat_tpu.constants import IMAGE_TOKEN_INDEX
+
+    cfg, params = setup
+    ids = [5, 6, IMAGE_TOKEN_INDEX] + [int(t) for t in rng.integers(5, 60, 12)]
+    img_a = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    img_b = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    max_new = 4
+    uncached = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=16, image_cache_size=0)
+    exp_a = uncached.generate([ids], img_a, GenerationConfig(max_new_tokens=max_new, eos_token_id=-1)).token_ids[0]
+    exp_b = uncached.generate([ids], img_b, GenerationConfig(max_new_tokens=max_new, eos_token_id=-1)).token_ids[0]
+    assert exp_a != exp_b or True  # tiny models may coincide; outputs checked below
+
+    be = _engine(cfg, params, num_pages=32, max_len=128)
+    ra = be.submit(list(ids), img_a, max_new_tokens=max_new, eos_token_id=-1)
+    be.run_to_completion(max_ticks=200)
+    rb = be.submit(list(ids), img_b, max_new_tokens=max_new, eos_token_id=-1)
+    be.run_to_completion(max_ticks=200)
+    assert be.result(ra) == exp_a
+    assert be.result(rb) == exp_b
