@@ -269,19 +269,33 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
 
-        def _sse_chunk(self, delta, finish_reason=None):
-            payload = {
-                "object": "chat.completion.chunk",
-                "model": "omchat-tpu",
-                "choices": [{"index": 0, "delta": delta, "finish_reason": finish_reason}],
-            }
+        def _sse_chunk(self, delta, finish_reason=None, mode="chat", usage=None):
+            """One SSE event; ``mode="chat"`` emits chat.completion.chunk
+            deltas, ``mode="text"`` emits legacy text_completion chunks
+            (``delta`` is then the text piece, or None for the usage/finish
+            event)."""
+            if mode == "text":
+                choices = [] if delta is None and finish_reason is None else [
+                    {"index": 0, "text": delta or "", "finish_reason": finish_reason}
+                ]
+                payload = {"object": "text_completion", "model": "omchat-tpu", "choices": choices}
+            else:
+                choices = [] if usage is not None else [
+                    {"index": 0, "delta": delta, "finish_reason": finish_reason}
+                ]
+                payload = {"object": "chat.completion.chunk", "model": "omchat-tpu", "choices": choices}
+            if usage is not None:
+                payload["usage"] = usage
             self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
             self.wfile.flush()
 
-        def _stream_completion(self, inputs, gen, stops=(), image_key=None):
-            """OpenAI-style SSE: role chunk, content deltas, finish, [DONE].
-            Incremental text uses a bounded decode window (full-prefix
-            re-decode per token is O(n²)).
+        def _stream_completion(self, inputs, gen, stops=(), image_key=None,
+                               mode="chat", include_usage=False):
+            """OpenAI-style SSE: role chunk, content deltas, finish, [DONE]
+            (``mode="text"``: legacy /v1/completions chunk shape, no role
+            event).  ``include_usage`` (stream_options) appends a final
+            usage-only chunk before [DONE].  Incremental text uses a bounded
+            decode window (full-prefix re-decode per token is O(n²)).
 
             With continuous batching, the request joins the shared batch and
             this handler POLLS its growing token list — the global lock is
@@ -290,10 +304,17 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
             necessarily holds the lock for the whole generation."""
             t_start = time.time()
             self._sse_start()
-            self._sse_chunk({"role": "assistant"})
+            if mode == "chat":
+                self._sse_chunk({"role": "assistant"})
             tok = model.tokenizer
             emitted = []
             stop_hit = []
+
+            def send_piece(piece):
+                if mode == "text":
+                    self._sse_chunk(piece, mode="text")
+                else:
+                    self._sse_chunk({"content": piece})
 
             def emit(token_id: int):
                 emitted.append(token_id)
@@ -308,11 +329,11 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         # stop string (the stop itself is never streamed)
                         keep = len(piece) - (len(text) - len(cut))
                         if keep > 0:
-                            self._sse_chunk({"content": piece[:keep]})
+                            send_piece(piece[:keep])
                         stop_hit.append(True)
                         return
                 if piece:
-                    self._sse_chunk({"content": piece})
+                    send_piece(piece)
 
             if batch_engine is not None:
                 with lock:
@@ -363,7 +384,14 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 n_new = len(out.token_ids[0])
             if finish is None:
                 finish = "stop" if (stop_hit or n_new < gen.max_new_tokens) else "length"
-            self._sse_chunk({}, finish_reason=finish)
+            self._sse_chunk({} if mode == "chat" else "", finish_reason=finish, mode=mode)
+            if include_usage:
+                n_prompt = len(inputs["input_ids"][0])
+                self._sse_chunk(None, mode=mode, usage={
+                    "prompt_tokens": n_prompt,
+                    "completion_tokens": len(emitted),
+                    "total_tokens": n_prompt + len(emitted),
+                })
             self.wfile.write(b"data: [DONE]\n\n")
             self.wfile.flush()
             count(
@@ -393,6 +421,15 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 seed = req.get("seed")
                 t0 = time.time()
                 input_ids = model.tokenizer.encode(str(prompt))
+                if req.get("stream"):
+                    import numpy as _np
+
+                    so = req.get("stream_options") or {}
+                    self._stream_completion(
+                        {"input_ids": _np.asarray([list(input_ids)], _np.int64)}, gen, stops,
+                        mode="text", include_usage=bool(so.get("include_usage")),
+                    )
+                    return
                 use_engine = (
                     seed is not None
                     or logit_bias is not None
@@ -456,7 +493,11 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 if req.get("stream"):
                     # SSE path runs the single-request engine (per-token host
                     # callbacks); concurrent requests still ride the batch.
-                    self._stream_completion(inputs, gen, stops, image_key=image_key)
+                    so = req.get("stream_options") or {}
+                    self._stream_completion(
+                        inputs, gen, stops, image_key=image_key,
+                        include_usage=bool(so.get("include_usage")),
+                    )
                     return
                 # logprobs requests run the single-request engine (the batch
                 # decode step returns tokens only); they serialize on the lock

@@ -310,3 +310,42 @@ def test_logit_bias_and_penalties(server_port):
     )
     text = out["choices"][0]["message"]["content"]
     assert text[0] == "A" and "AA" not in text  # penalty kills the repeat
+
+
+def test_streaming_text_completions_with_usage(server_port):
+    """/v1/completions streaming: text_completion chunks, usage chunk when
+    stream_options.include_usage, then [DONE]."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/v1/completions",
+        data=json.dumps({
+            "prompt": "ab", "max_tokens": 4, "stream": True,
+            "stream_options": {"include_usage": True},
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        lines = [l for l in resp.read().decode().split("\n") if l.startswith("data: ")]
+    assert lines[-1] == "data: [DONE]"
+    chunks = [json.loads(l[len("data: "):]) for l in lines[:-1]]
+    assert all(c["object"] == "text_completion" for c in chunks)
+    assert chunks[-1]["usage"]["prompt_tokens"] == 2
+    assert chunks[-1]["usage"]["completion_tokens"] <= 4
+    assert chunks[-1]["choices"] == []
+    assert chunks[-2]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_streaming_chat_usage_chunk(server_port):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": "hi"}], "max_tokens": 3,
+            "stream": True, "stream_options": {"include_usage": True},
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        lines = [l for l in resp.read().decode().split("\n") if l.startswith("data: ")]
+    chunks = [json.loads(l[len("data: "):]) for l in lines[:-1]]
+    assert "usage" in chunks[-1] and chunks[-1]["choices"] == []
+    assert chunks[-1]["usage"]["completion_tokens"] <= 3
