@@ -22,12 +22,13 @@ def main():
     parser.add_argument("--truths-file", default=None, help="JSON {question_id: answer(s)}")
     parser.add_argument("--max-new-tokens", type=int, default=128)
     parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--w8a8", action="store_true", help="w8a8 serving mode (implies --int8)")
     parser.add_argument("--guided-mc", action="store_true",
                         help="constrain answers to the choice letters A-E via trie-masked decoding (MC protocols only)")
     args = parser.parse_args()
 
     guided = list("ABCDE") if args.guided_mc else None
-    model = load_pretrained_model(args.model_path, quantize_int8=args.int8)
+    model = load_pretrained_model(args.model_path, quantize_int8=args.int8, w8a8=args.w8a8)
     samples = read_question_file(args.question_file, args.image_folder)
     run_eval(model, samples, args.answers_file, max_new_tokens=args.max_new_tokens,
              guided_choices=guided)

@@ -615,6 +615,7 @@ def main():
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--w8a8", action="store_true", help="w8a8 serving mode: int8 activations+weights on the MXU for ViT encode and prefill (implies --int8; calibrates static fc1 scales at load)")
     parser.add_argument("--continuous-batching", action="store_true", help="BatchEngine scheduler (concurrent requests share decode steps)")
     parser.add_argument("--max-slots", type=int, default=4)
     parser.add_argument("--max-len", type=int, default=8192)
@@ -643,7 +644,7 @@ def main():
         args.continuous_batching = True  # --paged implies the batch scheduler
 
     logger = build_logger("omchat.serve", "serve.log")
-    model = load_pretrained_model(args.model_path, quantize_int8=args.int8, tp=args.tp,
+    model = load_pretrained_model(args.model_path, quantize_int8=args.int8, w8a8=args.w8a8, tp=args.tp,
                                   lora_path=args.lora)
 
     batch_engine = None

@@ -27,6 +27,7 @@ def main():
     parser.add_argument("--question", type=str, required=True)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--int8", action="store_true", help="int8 weight-only quantization")
+    parser.add_argument("--w8a8", action="store_true", help="w8a8 serving mode: int8 activations+weights on the MXU for ViT encode and prefill (implies --int8; calibrates static fc1 scales at load)")
     parser.add_argument("--kv-cache-dtype", choices=["bf16", "fp8"], default="bf16",
                         help="KV-cache storage dtype; fp8 (e4m3) halves cache HBM, kernels dequantize on load")
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
@@ -44,7 +45,7 @@ def main():
         parser.error("exactly one of --image-path / --video-path is required")
 
     model = load_pretrained_model(
-        args.model_path, quantize_int8=args.int8, tp=args.tp,
+        args.model_path, quantize_int8=args.int8, w8a8=args.w8a8, tp=args.tp,
         cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
         lora_path=args.lora,
     )

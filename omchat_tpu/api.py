@@ -147,6 +147,7 @@ def load_pretrained_model(
     dtype=jnp.bfloat16,
     *,
     quantize_int8: bool = False,
+    w8a8: bool = False,
     attn_impl: Optional[str] = None,
     tp: int = 1,
     cache_dtype=None,
@@ -161,6 +162,13 @@ def load_pretrained_model(
 
     ``cache_dtype``: KV-cache storage override (e.g. ``jnp.float8_e4m3fn``
     for half-HBM long-context caches; kernels dequantize on load).
+
+    ``w8a8``: the single-chip serving mode every BENCH.md headline runs —
+    int8×int8 MXU matmuls on the compute-bound paths (ViT encode + LLM
+    prefill; decode stays weight-only int8).  Implies ``quantize_int8`` and
+    calibrates the ViT's static fc1 activation scales at load with one
+    synthetic forward (~seconds; the quantizing fc1 epilogue then keeps the
+    wide bf16 intermediate out of HBM — BENCH.md's measured ViT win).
     """
     from transformers import AutoTokenizer
 
@@ -173,10 +181,24 @@ def load_pretrained_model(
         # merge in bf16 BEFORE quantization so int8 scales cover the
         # fine-tuned weights, not the base
         params = merge_lora(params, load_lora_adapter(lora_path, dtype))
-    if quantize_int8:
+    if w8a8:
+        config = config.with_w8a8()
+    if quantize_int8 or w8a8:
         from omchat_tpu.ops.linear import quantize_tree
 
         params = quantize_tree(params)
+    if w8a8:
+        import numpy as _np
+
+        from omchat_tpu.models.intern_vit import calibrate_fc1_scales
+
+        pixels = jnp.asarray(
+            _np.random.default_rng(0).standard_normal(
+                (2, 3, config.vision.image_size, config.vision.image_size)
+            ),
+            jnp.bfloat16,
+        )
+        params["vision_tower"] = calibrate_fc1_scales(params["vision_tower"], config.vision, pixels)
     mesh = None
     if tp > 1:
         import jax

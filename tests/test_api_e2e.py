@@ -121,3 +121,23 @@ def test_load_pretrained_model_lora(tmp_path, rng):
     assert np.abs(km - kb).max() > 1e-4
     out = merged.chat("hi", generation=GenerationConfig(max_new_tokens=2))
     assert isinstance(out, str)
+
+
+def test_load_w8a8_mode(tmp_path):
+    """load_pretrained_model(w8a8=True): config flips to w8a8, linears are
+    int8-quantized, fc1 static scales are calibrated, generation runs."""
+    import jax.numpy as jnp
+
+    from omchat_tpu.api import load_pretrained_model
+    from omchat_tpu.config import GenerationConfig
+
+    path = str(tmp_path / "ck")
+    _write_tiny_tokenizer(path)
+    _write_tiny_checkpoint(path)
+    model = load_pretrained_model(path, w8a8=True)
+    assert model.config.vision.w8a8 and model.config.text.w8a8
+    lm = model.engine.params["language_model"]
+    assert "kernel_q" in lm["layers"]["mlp"]["gate_proj"]
+    assert "fc1_out_scale" in model.engine.params["vision_tower"]["layers"]["mlp"]
+    out = model.chat("hi", generation=GenerationConfig(max_new_tokens=3, eos_token_id=-1))
+    assert isinstance(out, str)
