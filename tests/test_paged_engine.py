@@ -387,23 +387,30 @@ def test_cancel_queued_request(setup):
 
 
 def test_multimodal_grouped_chunk_prefill(setup, rng):
-    """Two long MULTIMODAL prompts plus a long text prompt with equal chunk
-    widths advance through ONE batched dispatch (concatenated features,
-    per-row image_index offsets), outputs identical to the one-shot engine."""
+    """Two long MULTIMODAL prompts plus a long text prompt advance their
+    (sub-full-width) TAIL chunks through ONE batched dispatch (concatenated
+    features, per-row image_index offsets), outputs identical to the one-shot
+    engine.  Full-width multimodal chunks stay per-request — groups with
+    images cap at the per-request chunk footprint (13B HBM headroom)."""
     cfg, params = setup
     max_new = 5
+    L = cfg.image_seq_len  # rows one sentinel expands to
     img_a = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
     img_b = rng.standard_normal((2, 3, 56, 56)).astype(np.float32)
+    # merged lengths land in (32, 48]: first chunk is full-width (32,
+    # per-request), the ≤16-wide tails share one grouped dispatch
+    n_a = max(1, 40 - L)  # 1 sentinel -> merged 41 - L + L = 41
+    n_b = max(1, 42 - 2 * L)
     reqs = [
-        ([5, 6, IMAGE_TOKEN_INDEX] + [int(t) for t in rng.integers(5, 60, 30)], img_a),
-        ([7, IMAGE_TOKEN_INDEX, IMAGE_TOKEN_INDEX] + [int(t) for t in rng.integers(5, 60, 28)], img_b),
-        ([int(t) for t in rng.integers(5, 60, 35)], None),
+        ([5, 6, IMAGE_TOKEN_INDEX] + [int(t) for t in rng.integers(5, 60, n_a - 3)], img_a),
+        ([7, IMAGE_TOKEN_INDEX, IMAGE_TOKEN_INDEX] + [int(t) for t in rng.integers(5, 60, max(1, n_b - 3))], img_b),
+        ([int(t) for t in rng.integers(5, 60, 40)], None),
     ]
     expected = _expected(cfg, params, reqs, max_new)
 
     be = PagedBatchEngine(
         cfg, params, max_slots=3, num_pages=48, page_size=8, attn_impl="xla",
-        prompt_bucket=16, max_len=128, decode_roll=2, prefill_chunk=16,
+        prompt_bucket=16, max_len=128, decode_roll=2, prefill_chunk=32,
     )
     calls = []
     orig = be._prefill_chunk_group
