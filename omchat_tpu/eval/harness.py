@@ -78,6 +78,64 @@ def run_eval(
                 print(f"[eval] {i} done", flush=True)
 
 
+def perplexity(model, text: str, *, window: int = 2048) -> dict:
+    """Teacher-forced perplexity of ``text`` under the loaded model.
+
+    Non-overlapping windows of ``window`` tokens (the simple protocol; each
+    window conditions only on itself, so the number is slightly pessimistic
+    vs a sliding window — stated in the result).  Reuses the training loss
+    path (train_step.loss_fn), so w8a8/int8-quantized params evaluate
+    through the same kernels they serve with.
+
+    Returns {"perplexity", "nll", "tokens", "windows", "protocol"}.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omchat_tpu.constants import IGNORE_INDEX
+    from omchat_tpu.models.omchat import plan_multimodal_merge
+    from omchat_tpu.training.train_step import loss_fn
+
+    ids = model.tokenizer.encode(text)
+    if len(ids) < 2:
+        raise ValueError("need at least 2 tokens for perplexity")
+    engine = model.engine
+    total_nll, total_tokens, windows = 0.0, 0, 0
+    for w0 in range(0, len(ids) - 1, window):
+        chunk = ids[w0 : w0 + window + 1]
+        if len(chunk) < 2:
+            break
+        plan = plan_multimodal_merge([chunk], model.config.image_seq_len, bucket=128)
+        labels = np.full_like(plan.token_ids, IGNORE_INDEX)
+        n = len(chunk)
+        # loss_fn shifts labels left internally; expose every next-token
+        # target except the window's first token (unconditioned)
+        labels[0, 1:n] = plan.token_ids[0, 1:n]
+        batch = {
+            "token_ids": jnp.asarray(plan.token_ids),
+            "is_image": jnp.asarray(plan.is_image),
+            "image_index": jnp.asarray(plan.image_index),
+            "positions": jnp.asarray(plan.positions),
+            "labels": jnp.asarray(labels),
+        }
+        loss, n_valid = loss_fn(
+            engine.params, model.config, batch, attn_impl=engine.attn_impl, remat=False
+        )
+        total_nll += float(loss) * int(n_valid)
+        total_tokens += int(n_valid)
+        windows += 1
+    nll = total_nll / max(1, total_tokens)
+    import math
+
+    return {
+        "perplexity": math.exp(nll),
+        "nll": nll,
+        "tokens": total_tokens,
+        "windows": windows,
+        "protocol": f"non-overlapping {window}-token windows, teacher-forced",
+    }
+
+
 # ---------------------------------------------------------------------------
 # Scorers (answer-matching protocols of the eval_q.sh workloads)
 # ---------------------------------------------------------------------------
