@@ -609,6 +609,33 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
     return Handler
 
 
+def warmup_engines(model, batch_engine, logger, timeout_s=600.0):
+    """Pre-compile the programs the first requests would otherwise pay for
+    (20-200 s per program over a tunneled TPU): the decode step/roll, the
+    batched-shorts prefill at the two smallest buckets, and — with a batch
+    engine — concurrent requests so the B>1 batch shapes exist.  Text-only:
+    image programs compile per tile-count on first use (their shapes depend
+    on the client's images).  eos_token_id=-1 never matches a real token, so
+    every warmup request runs its full max_new_tokens."""
+    t0 = time.time()
+    if batch_engine is not None:
+        prompts = [[9] * 17, [9] * 9, [9] * 9]
+        rids = [batch_engine.submit(list(p), None, max_new_tokens=4, eos_token_id=-1)
+                for p in prompts]
+        deadline = time.time() + timeout_s
+        while not all(batch_engine.finished(r) for r in rids):
+            if time.time() > deadline or getattr(batch_engine, "dead", False):
+                logger.warning("warmup did not finish; continuing")
+                break
+            time.sleep(0.01)
+        for r in rids:
+            if batch_engine.finished(r):
+                batch_engine.pop_result(r)
+    else:
+        model.engine.generate([[9] * 9], None, GenerationConfig(max_new_tokens=4, eos_token_id=-1))
+    logger.info(f"warmup done in {time.time() - t0:.1f}s")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model-path", required=True)
@@ -639,6 +666,8 @@ def main():
                         help="prompt-lookup speculative decoding on the single-request engine path (greedy requests only; identical tokens, fewer device steps)")
     parser.add_argument("--lora", type=str, default=None,
                         help="LoRA adapter directory to merge into the base weights at load")
+    parser.add_argument("--no-warmup", dest="warmup", action="store_false",
+                        help="skip startup pre-compilation (first requests then pay the 20-200s per-program TPU compiles)")
     args = parser.parse_args()
     if args.paged and not args.continuous_batching:
         args.continuous_batching = True  # --paged implies the batch scheduler
@@ -700,6 +729,9 @@ def main():
 
         threading.Thread(target=scheduler, daemon=True, name="batch-scheduler").start()
         logger.info(f"continuous batching: {args.max_slots} slots, max_len {args.max_len}")
+
+    if args.warmup:
+        warmup_engines(model, batch_engine, logger)
 
     server = ThreadingHTTPServer(
         (args.host, args.port),

@@ -335,6 +335,43 @@ def test_streaming_text_completions_with_usage(server_port):
     assert chunks[-2]["choices"][0]["finish_reason"] in ("stop", "length")
 
 
+def test_warmup_engines():
+    """Startup warmup: runs to completion on both the single-request engine
+    and a batch engine (scheduler thread driving step()), drains its own
+    requests, and leaves the engines serviceable."""
+    import threading as _threading
+
+    from serve import warmup_engines
+    from omchat_tpu.runtime.batch_engine import BatchEngine
+    from omchat_tpu.utils.logging import build_logger
+    from tests.test_sharding import _tiny_params
+    from omchat_tpu.config import OmChatConfig
+
+    logger = build_logger("test.warmup", "test_warmup.log", log_dir="/tmp")
+    model = _tiny_model()
+    warmup_engines(model, None, logger)  # engine path: just must not raise
+
+    cfg = OmChatConfig.tiny()
+    be = BatchEngine(cfg, _tiny_params(cfg), max_slots=2, max_len=64, chunk_size=16, attn_impl="xla")
+    stop = _threading.Event()
+
+    def drive():
+        while not stop.is_set():
+            if be.has_work():
+                be.step()
+            else:
+                stop.wait(0.002)
+
+    t = _threading.Thread(target=drive, daemon=True)
+    t.start()
+    try:
+        warmup_engines(model, be, logger, timeout_s=120.0)
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert not be.requests  # warmup drained everything it submitted
+
+
 def test_streaming_chat_usage_chunk(server_port):
     req = urllib.request.Request(
         f"http://127.0.0.1:{server_port}/v1/chat/completions",
