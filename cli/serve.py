@@ -36,6 +36,28 @@ from omchat_tpu.config import GenerationConfig
 from omchat_tpu.utils.logging import build_logger
 
 
+class BadRequest(ValueError):
+    """Client error: malformed body or invalid field values — mapped to an
+    HTTP 400 with an OpenAI-style ``invalid_request_error`` envelope (the
+    generic handler turns everything else into a 500)."""
+
+
+def _error_body(message, err_type):
+    return {"error": {"message": str(message), "type": err_type}}
+
+
+def _read_json_body(handler):
+    length = int(handler.headers.get("Content-Length", 0))
+    raw = handler.rfile.read(length)
+    try:
+        req = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise BadRequest(f"invalid JSON body: {e}") from e
+    if not isinstance(req, dict):
+        raise BadRequest("request body must be a JSON object")
+    return req
+
+
 def _parse_stops(req):
     """OpenAI ``stop``: a string or list of up to 4 strings."""
     stop = req.get("stop") or []
@@ -56,17 +78,22 @@ def _parse_gen(req, default_max):
     logit_bias keys are token ids, values clamped to ±100 per the API."""
     from omchat_tpu.config import GenerationConfig
 
-    gen = GenerationConfig(
-        max_new_tokens=int(req.get("max_tokens", default_max)),
-        do_sample=float(req.get("temperature", 0.0)) > 0.0,
-        temperature=float(req.get("temperature", 1.0)) or 1.0,
-        top_p=float(req.get("top_p", 1.0)),
-        presence_penalty=float(req.get("presence_penalty", 0.0)),
-        frequency_penalty=float(req.get("frequency_penalty", 0.0)),
-    )
-    lb = req.get("logit_bias") or None
-    if lb:
-        lb = {int(k): max(-100.0, min(100.0, float(v))) for k, v in lb.items()}
+    try:
+        gen = GenerationConfig(
+            max_new_tokens=int(req.get("max_tokens", default_max)),
+            do_sample=float(req.get("temperature", 0.0)) > 0.0,
+            temperature=float(req.get("temperature", 1.0)) or 1.0,
+            top_p=float(req.get("top_p", 1.0)),
+            presence_penalty=float(req.get("presence_penalty", 0.0)),
+            frequency_penalty=float(req.get("frequency_penalty", 0.0)),
+        )
+        lb = req.get("logit_bias") or None
+        if lb:
+            lb = {int(k): max(-100.0, min(100.0, float(v))) for k, v in lb.items()}
+    except (TypeError, ValueError) as e:
+        raise BadRequest(f"invalid sampling parameter: {e}") from e
+    if gen.max_new_tokens < 1:
+        raise BadRequest("max_tokens must be >= 1")
     return gen, lb
 
 
@@ -83,7 +110,11 @@ def _parse_messages(messages):
     question = ""
     system = "You are a helpful assistant."
     pending_user = None
+    if not isinstance(messages, list):
+        raise BadRequest("messages must be a list")
     for msg in messages:
+        if not isinstance(msg, dict):
+            raise BadRequest("each message must be an object with role/content")
         role = msg.get("role")
         content = msg.get("content", "")
         text_parts = []
@@ -94,10 +125,13 @@ def _parse_messages(messages):
                 elif part.get("type") == "image_url":
                     url = part.get("image_url", {}).get("url", "")
                     if url.startswith("data:"):
-                        b64 = url.split(",", 1)[1]
-                        raw = base64.b64decode(b64)
+                        try:
+                            raw = base64.b64decode(url.split(",", 1)[1])
+                            img = Image.open(io.BytesIO(raw)).convert("RGB")
+                        except Exception as e:  # noqa: BLE001
+                            raise BadRequest(f"could not decode image_url data: {e}") from e
                         img_hash.update(raw)
-                        images.append(Image.open(io.BytesIO(raw)).convert("RGB"))
+                        images.append(img)
             text = "\n".join(text_parts)
         else:
             text = str(content)
@@ -407,14 +441,14 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
             verbatim (completion-style eval harnesses and older SDKs).
             Supports max_tokens/temperature/top_p/stop/n/seed/echo."""
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length))
+                req = _read_json_body(self)
                 prompt = req.get("prompt", "")
                 if isinstance(prompt, list):
                     if len(prompt) != 1:
-                        self._json(400, {"error": "prompt must be a string or a 1-element list"})
-                        return
+                        raise BadRequest("prompt must be a string or a 1-element list")
                     prompt = prompt[0]
+                if not isinstance(prompt, str):
+                    raise BadRequest("prompt must be a string")
                 gen, logit_bias = _parse_gen(req, default_max=16)
                 stops = _parse_stops(req)
                 n = max(1, min(int(req.get("n", 1) or 1), 8))
@@ -470,10 +504,13 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     },
                 })
                 count(len(input_ids), total_new, (time.time() - t0) * 1000)
+            except BadRequest as e:
+                count(failed=True)
+                self._json(400, _error_body(e, "invalid_request_error"))
             except Exception as e:  # noqa: BLE001
                 logger.exception("completions request failed")
                 count(failed=True)
-                self._json(500, {"error": str(e)})
+                self._json(500, _error_body(e, "internal_error"))
 
         def do_POST(self):
             if self.path == "/v1/completions":
@@ -483,8 +520,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 self._json(404, {"error": "not found"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length))
+                req = _read_json_body(self)
                 question, history, images, system, image_key = _parse_messages(req.get("messages", []))
                 gen, logit_bias = _parse_gen(req, default_max=1024)
                 stops = _parse_stops(req)
@@ -601,10 +637,13 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     },
                 )
                 count(prompt_len, total_new, (time.time() - t0) * 1000)
+            except BadRequest as e:
+                count(failed=True)
+                self._json(400, _error_body(e, "invalid_request_error"))
             except Exception as e:  # noqa: BLE001
                 logger.exception("request failed")
                 count(failed=True)
-                self._json(500, {"error": str(e)})
+                self._json(500, _error_body(e, "internal_error"))
 
     return Handler
 

@@ -335,6 +335,44 @@ def test_streaming_text_completions_with_usage(server_port):
     assert chunks[-2]["choices"][0]["finish_reason"] in ("stop", "length")
 
 
+def test_bad_requests_get_400(server_port):
+    """Malformed bodies and invalid field values return an OpenAI-style 400
+    invalid_request_error, not a 500."""
+    import urllib.error
+
+    def post_raw(path, data):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server_port}{path}",
+            data=data,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    cases = [
+        ("/v1/chat/completions", b"{not json"),
+        ("/v1/chat/completions", b"[1, 2]"),
+        ("/v1/chat/completions", json.dumps({"messages": "hi"}).encode()),
+        ("/v1/chat/completions", json.dumps(
+            {"messages": [{"role": "user", "content": "x"}], "max_tokens": "lots"}).encode()),
+        ("/v1/chat/completions", json.dumps(
+            {"messages": [{"role": "user", "content": "x"}], "max_tokens": 0}).encode()),
+        ("/v1/chat/completions", json.dumps(
+            {"messages": [{"role": "user", "content": [
+                {"type": "image_url", "image_url": {"url": "data:image/png;base64,!!!"}}]}]}).encode()),
+        ("/v1/completions", b"{not json"),
+        ("/v1/completions", json.dumps({"prompt": ["a", "b"]}).encode()),
+        ("/v1/completions", json.dumps({"prompt": 7}).encode()),
+    ]
+    for path, body in cases:
+        code, out = post_raw(path, body)
+        assert code == 400, (path, body, code, out)
+        assert out["error"]["type"] == "invalid_request_error", out
+
+
 def test_warmup_engines():
     """Startup warmup: runs to completion on both the single-request engine
     and a batch engine (scheduler thread driving step()), drains its own
