@@ -51,31 +51,53 @@ def init_kv_cache(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
-def _mlp(y: jax.Array, p: dict, a8: bool = False) -> jax.Array:
-    """SwiGLU: down(silu(gate(y)) * up(y))."""
-    return dense(
-        jax.nn.silu(dense(y, p["gate_proj"], a8=a8)) * dense(y, p["up_proj"], a8=a8),
-        p["down_proj"],
-        a8=a8,
-    )
+def lora_delta(y: jax.Array, ab: dict, ids: jax.Array) -> jax.Array:
+    """Per-row low-rank delta for multi-LoRA serving: each batch row applies
+    ITS adapter from a stacked bank (training/lora.py ``build_lora_bank``;
+    bank row 0 is all-zero = the base model, so id 0 needs no special case).
+
+    y: [B, S, in]; ab: {"a": [N, in, r], "b": [N, r, out]} (scale pre-folded
+    into b); ids: [B] int32 bank indices.  Gather-per-row beats an
+    all-adapters einsum when B > N and costs 2*B*S*r*(in+out) FLOPs — ~r/out
+    of the base matmul, noise at serving ranks."""
+    a = jnp.take(ab["a"], ids, axis=0).astype(y.dtype)  # [B, in, r]
+    b = jnp.take(ab["b"], ids, axis=0).astype(y.dtype)  # [B, r, out]
+    return jnp.einsum("bsr,bro->bso", jnp.einsum("bsi,bir->bsr", y, a), b)
+
+
+def _maybe_lora(out: jax.Array, y: jax.Array, lora: Optional[dict], name: str, ids) -> jax.Array:
+    if lora is not None and name in lora:
+        return out + lora_delta(y, lora[name], ids)
+    return out
+
+
+def _mlp(y: jax.Array, p: dict, a8: bool = False, lora=None, adapter_ids=None) -> jax.Array:
+    """SwiGLU: down(silu(gate(y)) * up(y)); per-row LoRA deltas when serving
+    a multi-adapter bank."""
+    g = _maybe_lora(dense(y, p["gate_proj"], a8=a8), y, lora, "gate_proj", adapter_ids)
+    u = _maybe_lora(dense(y, p["up_proj"], a8=a8), y, lora, "up_proj", adapter_ids)
+    h = jax.nn.silu(g) * u
+    return _maybe_lora(dense(h, p["down_proj"], a8=a8), h, lora, "down_proj", adapter_ids)
 
 
 def attention_inputs(
-    cfg: TextConfig, y: jax.Array, p: dict, cos: jax.Array, sin: jax.Array, a8: bool
+    cfg: TextConfig, y: jax.Array, p: dict, cos: jax.Array, sin: jax.Array, a8: bool,
+    lora=None, adapter_ids=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """q/k/v projections + RoPE.  y: [B, S, D] (already normed).
 
     Returns q [B, S, H, hd] and k, v [B, S, KVH, hd]."""
     b, s, _ = y.shape
     h, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.attn_head_dim
-    q = dense(y, p["q_proj"], a8=a8).reshape(b, s, h, hd)
-    k = dense(y, p["k_proj"], a8=a8).reshape(b, s, kvh, hd)
-    v = dense(y, p["v_proj"], a8=a8).reshape(b, s, kvh, hd)
+    q = _maybe_lora(dense(y, p["q_proj"], a8=a8), y, lora, "q_proj", adapter_ids).reshape(b, s, h, hd)
+    k = _maybe_lora(dense(y, p["k_proj"], a8=a8), y, lora, "k_proj", adapter_ids).reshape(b, s, kvh, hd)
+    v = _maybe_lora(dense(y, p["v_proj"], a8=a8), y, lora, "v_proj", adapter_ids).reshape(b, s, kvh, hd)
     q, k = apply_rope(q, k, cos, sin)
     return q, k, v
 
 
-def decoder_layer(cfg, x, layer, cos, sin, attend, mlp_fn, cache_state, *, quant_glue=False):
+def decoder_layer(cfg, x, layer, cos, sin, attend, mlp_fn, cache_state, *,
+                  quant_glue=False, lora=None, adapter_ids=None):
     """One decoder layer with pluggable KV handling — the single layer body
     shared by the dense and MoE trunks and by every serving engine (the
     contiguous-slot cache, the paged pool, and the cache-free training path all
@@ -101,18 +123,24 @@ def decoder_layer(cfg, x, layer, cos, sin, attend, mlp_fn, cache_state, *, quant
     glue = (
         quant_glue
         and a8
+        and lora is None
         and getattr(mlp_fn, "prequant", None) is not None
         and "kernel_q" in layer["self_attn"]["q_proj"]
         and "kernel_q" in layer["self_attn"]["o_proj"]
     )
     if glue:
         return _decoder_layer_glue(cfg, x, layer, cos, sin, attend, mlp_fn, cache_state)
+    attn_lora = lora.get("self_attn") if lora is not None else None
+    mlp_lora = lora.get("mlp") if lora is not None else None
     y = rms_norm(x, layer["input_layernorm"]["scale"], cfg.rms_norm_eps)
-    q, k, v = attention_inputs(cfg, y, layer["self_attn"], cos, sin, a8)
+    q, k, v = attention_inputs(cfg, y, layer["self_attn"], cos, sin, a8,
+                               lora=attn_lora, adapter_ids=adapter_ids)
     ctx, cache_state = attend(q, k, v, cache_state)
-    x = x + dense(ctx.reshape(b, s, -1), layer["self_attn"]["o_proj"], a8=a8)
+    o = ctx.reshape(b, s, -1)
+    x = x + _maybe_lora(dense(o, layer["self_attn"]["o_proj"], a8=a8),
+                        o, attn_lora, "o_proj", adapter_ids)
     y = rms_norm(x, layer["post_attention_layernorm"]["scale"], cfg.rms_norm_eps)
-    x = x + mlp_fn(y, layer["mlp"], a8)
+    x = x + mlp_fn(y, layer["mlp"], a8, lora=mlp_lora, adapter_ids=adapter_ids)
     return x, cache_state
 
 
@@ -193,8 +221,8 @@ def cache_attend(cfg, attn_impl, write_pos, kv_len, q, k, v, cache_state, *, seg
     return out, (k_cache, v_cache)
 
 
-def _dense_mlp(y, p, a8):
-    return _mlp(y, p, a8=a8)
+def _dense_mlp(y, p, a8, lora=None, adapter_ids=None):
+    return _mlp(y, p, a8=a8, lora=lora, adapter_ids=adapter_ids)
 
 
 def _dense_mlp_prequant(yq, yrs, p, dtype, interpret=False):
@@ -225,15 +253,16 @@ def quant_glue_ok(attn_impl) -> bool:
     return attn_impl is None or attn_impl in ("pallas", "pallas_manual")
 
 
-def _layer_forward(cfg, attn_impl, segment_ids, carry, xs):
+def _layer_forward(cfg, attn_impl, segment_ids, adapter_ids, carry, xs):
     x, cos, sin, write_pos, kv_len = carry
-    layer, k_cache, v_cache = xs
+    layer, lora_layer, k_cache, v_cache = xs
     attend = functools.partial(
         cache_attend, cfg, attn_impl, write_pos, kv_len, segment_ids=segment_ids
     )
     x, (k_cache, v_cache) = decoder_layer(
         cfg, x, layer, cos, sin, attend, _dense_mlp, (k_cache, v_cache),
         quant_glue=quant_glue_ok(attn_impl),
+        lora=lora_layer, adapter_ids=adapter_ids,
     )
     return (x, cos, sin, write_pos, kv_len), (k_cache, v_cache)
 
@@ -250,6 +279,8 @@ def qwen2_forward(
     attn_impl: Optional[str] = None,
     remat: bool = False,
     segment_ids: Optional[jax.Array] = None,
+    lora_bank: Optional[dict] = None,
+    adapter_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run the decoder trunk (no lm_head).
 
@@ -265,6 +296,10 @@ def qwen2_forward(
       segment_ids: [B, S] int32 — multi-document training packing: tokens
         attend only within their segment, negative marks padding (cacheless
         path only; ops/attention.py routes to the varlen flash kernel).
+      lora_bank: stacked multi-adapter bank (training/lora.py
+        ``build_lora_bank``: leaves [L, N, in, r] / [L, N, r, out], bank row
+        0 = base); with ``adapter_ids`` [B], each batch row applies its own
+        adapter — per-request LoRA in a mixed serving batch.
 
     Returns (hidden_states [B, S, D], updated cache or None).
     """
@@ -282,20 +317,28 @@ def qwen2_forward(
     else:
         write_pos = jnp.asarray(write_pos, jnp.int32)
 
-    body = functools.partial(_layer_forward, cfg, attn_impl, segment_ids)
+    if lora_bank is not None and adapter_ids is not None:
+        lora_xs = lora_bank["layers"]
+        adapter_ids = jnp.asarray(adapter_ids, jnp.int32)
+    else:
+        lora_xs, adapter_ids = None, None
+    body = functools.partial(_layer_forward, cfg, attn_impl, segment_ids, adapter_ids)
     if remat:
         body = jax.checkpoint(body)
 
     if cache is not None:
-        xs = (params["layers"], cache.k, cache.v)
+        xs = (params["layers"], lora_xs, cache.k, cache.v)
         (x, *_), (new_k, new_v) = jax.lax.scan(body, (inputs_embeds, cos, sin, write_pos, kv_len), xs)
         new_cache = KVCache(k=new_k, v=new_v)
     else:
-        def body_nocache(carry, layer):
-            c, _ = body(carry, (layer, None, None))
+        def body_nocache(carry, layer_and_lora):
+            layer, lora_layer = layer_and_lora
+            c, _ = body(carry, (layer, lora_layer, None, None))
             return c, None
 
-        (x, *_), _ = jax.lax.scan(body_nocache, (inputs_embeds, cos, sin, write_pos, kv_len), params["layers"])
+        (x, *_), _ = jax.lax.scan(
+            body_nocache, (inputs_embeds, cos, sin, write_pos, kv_len), (params["layers"], lora_xs)
+        )
         new_cache = None
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)

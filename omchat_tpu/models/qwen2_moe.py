@@ -102,16 +102,18 @@ def _moe_block(x: jax.Array, p: dict, cfg: TextConfig, moe_impl: str) -> jax.Arr
 def moe_mlp(cfg: TextConfig, moe_impl: str):
     """mlp_fn for :func:`omchat_tpu.models.qwen2.decoder_layer` (a8 is ignored:
     expert matmuls stay bf16 — routing scatters defeat static per-tensor
-    activation scales)."""
-    return lambda y, p, a8: _moe_block(y, p, cfg, moe_impl)
+    activation scales; mlp-side LoRA likewise doesn't apply to expert
+    layouts, so only attention-target adapters serve on MoE trunks)."""
+    return lambda y, p, a8, lora=None, adapter_ids=None: _moe_block(y, p, cfg, moe_impl)
 
 
-def _layer_forward(cfg, attn_impl, moe_impl, carry, xs):
+def _layer_forward(cfg, attn_impl, moe_impl, adapter_ids, carry, xs):
     x, cos, sin, write_pos, kv_len = carry
-    layer, k_cache, v_cache = xs
+    layer, lora_layer, k_cache, v_cache = xs
     attend = functools.partial(cache_attend, cfg, attn_impl, write_pos, kv_len)
     x, (k_cache, v_cache) = decoder_layer(
-        cfg, x, layer, cos, sin, attend, moe_mlp(cfg, moe_impl), (k_cache, v_cache)
+        cfg, x, layer, cos, sin, attend, moe_mlp(cfg, moe_impl), (k_cache, v_cache),
+        lora=lora_layer, adapter_ids=adapter_ids,
     )
     return (x, cos, sin, write_pos, kv_len), (k_cache, v_cache)
 
@@ -128,6 +130,8 @@ def qwen2_moe_forward(
     attn_impl: Optional[str] = None,
     moe_impl: str = "dense",
     remat: bool = False,
+    lora_bank: Optional[dict] = None,
+    adapter_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Same contract as :func:`omchat_tpu.models.qwen2.qwen2_forward`.
 
@@ -144,20 +148,28 @@ def qwen2_moe_forward(
     )
     write_pos = jnp.int32(0) if write_pos is None else jnp.asarray(write_pos, jnp.int32)
 
-    body = functools.partial(_layer_forward, cfg, attn_impl, moe_impl)
+    if lora_bank is not None and adapter_ids is not None:
+        lora_xs = lora_bank["layers"]
+        adapter_ids = jnp.asarray(adapter_ids, jnp.int32)
+    else:
+        lora_xs, adapter_ids = None, None
+    body = functools.partial(_layer_forward, cfg, attn_impl, moe_impl, adapter_ids)
     if remat:
         body = jax.checkpoint(body)
 
     if cache is not None:
-        xs = (params["layers"], cache.k, cache.v)
+        xs = (params["layers"], lora_xs, cache.k, cache.v)
         (x, *_), (new_k, new_v) = jax.lax.scan(body, (inputs_embeds, cos, sin, write_pos, kv_len), xs)
         new_cache = KVCache(k=new_k, v=new_v)
     else:
-        def body_nocache(carry, layer):
-            c, _ = body(carry, (layer, None, None))
+        def body_nocache(carry, layer_and_lora):
+            layer, lora_layer = layer_and_lora
+            c, _ = body(carry, (layer, lora_layer, None, None))
             return c, None
 
-        (x, *_), _ = jax.lax.scan(body_nocache, (inputs_embeds, cos, sin, write_pos, kv_len), params["layers"])
+        (x, *_), _ = jax.lax.scan(
+            body_nocache, (inputs_embeds, cos, sin, write_pos, kv_len), (params["layers"], lora_xs)
+        )
         new_cache = None
 
     x = rms_norm(x, params["norm"]["scale"], cfg.rms_norm_eps)

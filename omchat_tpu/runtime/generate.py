@@ -60,6 +60,8 @@ def _prefill_jit(
     cache_len: int,
     attn_impl=None,
     cache_dtype=None,
+    lora_bank=None,
+    adapter_ids=None,
 ):
     """Prefill: fuse embeddings, run the trunk, return last-valid-token logits
     and the filled cache."""
@@ -76,6 +78,8 @@ def _prefill_jit(
         write_pos=write_pos,
         kv_len=lengths,
         attn_impl=attn_impl,
+        lora_bank=lora_bank,
+        adapter_ids=adapter_ids,
     )
     # hidden at the last valid position of each sequence (right padding).
     idx = jnp.maximum(lengths - 1, 0)
@@ -97,6 +101,8 @@ def _prefill_chunk_jit(
     chunk_lengths,
     cache: KVCache,
     attn_impl=None,
+    lora_bank=None,
+    adapter_ids=None,
 ):
     """One chunk of an incremental prefill: write this chunk's K/V at
     ``chunk_start`` [B] and attend against everything cached so far.
@@ -114,6 +120,8 @@ def _prefill_chunk_jit(
         write_pos=chunk_start,
         kv_len=chunk_start + chunk_lengths,
         attn_impl=attn_impl,
+        lora_bank=lora_bank,
+        adapter_ids=adapter_ids,
     )
     idx = jnp.maximum(chunk_lengths - 1, 0)
     last = jnp.take_along_axis(hidden, idx[:, None, None].astype(jnp.int32), axis=1)
@@ -122,7 +130,8 @@ def _prefill_chunk_jit(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"), donate_argnames=("cache",))
-def _decode_step_jit(params, cfg: OmChatConfig, tokens, kv_len, cache: KVCache, attn_impl=None):
+def _decode_step_jit(params, cfg: OmChatConfig, tokens, kv_len, cache: KVCache, attn_impl=None,
+                     lora_bank=None, adapter_ids=None):
     """One decode step.  tokens: [B], kv_len: [B] current length (pre-write)."""
     embeds = embed_tokens(params["language_model"], tokens[:, None])
     positions = kv_len[:, None]
@@ -135,6 +144,8 @@ def _decode_step_jit(params, cfg: OmChatConfig, tokens, kv_len, cache: KVCache, 
         write_pos=kv_len,
         kv_len=kv_len + 1,
         attn_impl=attn_impl,
+        lora_bank=lora_bank,
+        adapter_ids=adapter_ids,
     )
     logits = lm_head(params["language_model"], cfg.text, hidden)[:, 0]
     return logits, cache
@@ -156,6 +167,8 @@ def _decode_loop_jit(
     attn_impl=None,
     gen: Optional[GenerationConfig] = None,
     rng_key=None,
+    lora_bank=None,
+    adapter_ids=None,
 ):
     """Fully on-device decode via lax.while_loop (no per-token host sync) —
     greedy by default, or sampled per ``gen`` (temperature / top-k / top-p)
@@ -174,7 +187,8 @@ def _decode_loop_jit(
 
     def body(state):
         step, tokens, kv_len, cache, done, out, key = state
-        logits, cache = _decode_step_inner(params, cfg, tokens, kv_len, cache, attn_impl)
+        logits, cache = _decode_step_inner(params, cfg, tokens, kv_len, cache, attn_impl,
+                                           lora_bank, adapter_ids)
         if gen is not None and gen.do_sample:
             key, sub = jax.random.split(key)
             picked = sample(logits, sub, gen)
@@ -191,7 +205,8 @@ def _decode_loop_jit(
     return out, step
 
 
-def _decode_step_inner(params, cfg, tokens, kv_len, cache, attn_impl):
+def _decode_step_inner(params, cfg, tokens, kv_len, cache, attn_impl,
+                       lora_bank=None, adapter_ids=None):
     embeds = embed_tokens(params["language_model"], tokens[:, None])
     hidden, cache = decoder_forward(
         params["language_model"],
@@ -202,6 +217,8 @@ def _decode_step_inner(params, cfg, tokens, kv_len, cache, attn_impl):
         write_pos=kv_len,
         kv_len=kv_len + 1,
         attn_impl=attn_impl,
+        lora_bank=lora_bank,
+        adapter_ids=adapter_ids,
     )
     logits = lm_head(params["language_model"], cfg.text, hidden)[:, 0]
     return logits, cache
@@ -288,8 +305,13 @@ class OmChatEngine:
         cache_dtype=None,
         mesh=None,
         image_cache_size: int = 8,
+        lora_bank: Optional[dict] = None,
     ):
-        """cache_dtype: override the KV-cache storage dtype — e.g.
+        """lora_bank: stacked multi-adapter bank (training/lora.py
+        ``build_lora_bank``) for per-request LoRA — requests pick an adapter
+        via ``generate(adapter_id=...)``; id 0 is the base model.
+
+        cache_dtype: override the KV-cache storage dtype — e.g.
         ``jnp.float8_e4m3fn`` halves cache HBM (long-context serving); kernels
         dequantize on load.
 
@@ -324,6 +346,7 @@ class OmChatEngine:
         self.prompt_bucket = prompt_bucket
         self.cache_dtype = cache_dtype
         self.mesh = mesh
+        self.lora_bank = lora_bank
         if image_cache_size:
             from omchat_tpu.runtime.feature_cache import ImageFeatureCache
 
@@ -358,7 +381,20 @@ class OmChatEngine:
             max_length=self.cfg.tokenizer_model_max_length,
         )
 
-    def prefill(self, plan: MergePlan, image_features: Optional[jax.Array], max_new_tokens: int):
+    def _adapter_ids(self, b: int, adapter_id) -> Optional[jax.Array]:
+        """[B] bank indices for this dispatch, or None when no bank is loaded.
+        ``adapter_id`` is an int (whole batch) or a per-row sequence."""
+        if self.lora_bank is None:
+            return None
+        ids = np.full((b,), adapter_id, np.int32) if np.isscalar(adapter_id) else np.asarray(adapter_id, np.int32)
+        n = self.lora_bank["layers"]  # any leaf carries the bank size
+        n = next(iter(next(iter(n.values())).values()))["a"].shape[1]
+        if ids.shape != (b,) or (ids < 0).any() or (ids >= n).any():
+            raise ValueError(f"adapter ids {ids} out of range for bank of {n - 1} adapters")
+        return jnp.asarray(ids)
+
+    def prefill(self, plan: MergePlan, image_features: Optional[jax.Array], max_new_tokens: int,
+                adapter_ids: Optional[jax.Array] = None):
         cache_len = plan.max_len + round_up_to_bucket(max_new_tokens, self.prompt_bucket)
         if image_features is None:
             d = self.params["language_model"]["embed_tokens"].shape[1]
@@ -375,6 +411,8 @@ class OmChatEngine:
             cache_len,
             self.attn_impl,
             self.cache_dtype,
+            lora_bank=self.lora_bank if adapter_ids is not None else None,
+            adapter_ids=adapter_ids,
         )
         return logits, cache
 
@@ -456,6 +494,7 @@ class OmChatEngine:
         top_logprobs: int = 0,
         allowed_tokens_fn: Optional[Callable[[List[int]], Optional[List[int]]]] = None,
         logit_bias: Optional[dict] = None,
+        adapter_id=0,
     ) -> GenerateOutput:
         """Greedy/sampled decode with host streaming.
 
@@ -477,8 +516,9 @@ class OmChatEngine:
         with trace_span("encode_images", self.spans):
             feats = self.encode_images(images) if images is not None else None
         plan = self.plan(batch_input_ids)
+        adapter_ids = self._adapter_ids(plan.token_ids.shape[0], adapter_id)
         with trace_span("prefill", self.spans):
-            logits, cache = self.prefill(plan, feats, gen.max_new_tokens)
+            logits, cache = self.prefill(plan, feats, gen.max_new_tokens, adapter_ids=adapter_ids)
 
         b = plan.token_ids.shape[0]
         kv_len = jnp.asarray(plan.lengths)
@@ -549,7 +589,11 @@ class OmChatEngine:
                             done[i] = True
             if done.all() or step == gen.max_new_tokens - 1:
                 break
-            logits, cache = _decode_step_jit(self.params, self.cfg, tokens, kv_len, cache, self.attn_impl)
+            logits, cache = _decode_step_jit(
+                self.params, self.cfg, tokens, kv_len, cache, self.attn_impl,
+                lora_bank=self.lora_bank if adapter_ids is not None else None,
+                adapter_ids=adapter_ids,
+            )
             kv_len = kv_len + 1
 
         self.spans["decode"] = time.perf_counter() - decode_t0

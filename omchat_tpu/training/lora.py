@@ -113,6 +113,51 @@ def merge_lora(params: dict, lora: dict, *, quantize: bool = False) -> dict:
     return merged
 
 
+def build_lora_bank(adapters: Sequence[dict], dtype=jnp.bfloat16) -> dict:
+    """Stack adapter trees (training/lora.py layout) into a serving bank for
+    per-request multi-LoRA (:func:`omchat_tpu.models.qwen2.lora_delta`).
+
+    Returns {"layers": {group: {name: {"a": [L, N+1, in, rmax],
+    "b": [L, N+1, rmax, out]}}}} — leading axis L so the bank scans with the
+    trunk, bank axis second.  Row 0 is the all-zero adapter (= the base
+    model); adapter i serves as bank id i+1.  Each adapter's ``scale`` is
+    folded into its b, ranks are zero-padded to the widest (exact: the padded
+    rows contribute a@0 + 0@b = 0), and adapters may target different
+    projection sets — a missing target contributes zeros for that adapter.
+    """
+    if not adapters:
+        raise ValueError("build_lora_bank needs at least one adapter")
+    n = len(adapters)
+    rmax = max(
+        ab["a"].shape[-1]
+        for ad in adapters
+        for group in ad["layers"].values()
+        for ab in group.values()
+    )
+    # union of (group, name) targets with their [L, in, out] shapes
+    shapes: dict = {}
+    for ad in adapters:
+        for group, names in ad["layers"].items():
+            for name, ab in names.items():
+                l, d_in, _ = ab["a"].shape
+                d_out = ab["b"].shape[-1]
+                shapes.setdefault(group, {})[name] = (l, d_in, d_out)
+    bank: dict = {}
+    for group, names in shapes.items():
+        for name, (l, d_in, d_out) in names.items():
+            a = jnp.zeros((l, n + 1, d_in, rmax), dtype)
+            b = jnp.zeros((l, n + 1, rmax, d_out), dtype)
+            for i, ad in enumerate(adapters):
+                ab = ad["layers"].get(group, {}).get(name)
+                if ab is None:
+                    continue
+                r = ab["a"].shape[-1]
+                a = a.at[:, i + 1, :, :r].set(ab["a"].astype(dtype))
+                b = b.at[:, i + 1, :r, :].set((ab["b"] * ad["scale"]).astype(dtype))
+            bank.setdefault(group, {})[name] = {"a": a, "b": b}
+    return {"layers": bank}
+
+
 def lora_loss_fn(
     lora: dict,
     params: dict,
