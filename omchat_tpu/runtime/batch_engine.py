@@ -49,6 +49,8 @@ def _slot_prefill_chunk_jit(
     chunk_len,  # scalar int32
     cache: KVCache,
     attn_impl=None,
+    lora_bank=None,
+    adapter_ids=None,  # [1] bank index of this request
 ):
     """Prefill one chunk of one request into its slot of the shared cache."""
     embeds = fuse_embeddings(params, token_ids, is_image, image_index, image_features)
@@ -63,6 +65,8 @@ def _slot_prefill_chunk_jit(
         write_pos=jnp.full((1,), chunk_start, jnp.int32),
         kv_len=jnp.full((1,), chunk_start + chunk_len, jnp.int32),
         attn_impl=attn_impl,
+        lora_bank=lora_bank,
+        adapter_ids=adapter_ids,
     )
     k = jax.lax.dynamic_update_slice_in_dim(cache.k, slot_cache.k, slot, axis=1)
     v = jax.lax.dynamic_update_slice_in_dim(cache.v, slot_cache.v, slot, axis=1)
@@ -83,6 +87,8 @@ def _batch_decode_step_jit(
     active,
     cache: KVCache,
     attn_impl=None,
+    lora_bank=None,
+    adapter_ids=None,  # [max_slots] bank index per slot (inactive rows inert)
     *,
     any_sampled: bool = False,
     rng_key=None,
@@ -111,6 +117,8 @@ def _batch_decode_step_jit(
         write_pos=wp,
         kv_len=jnp.where(active, kv_len + 1, 1),
         attn_impl=attn_impl,
+        lora_bank=lora_bank,
+        adapter_ids=adapter_ids,
     )
     logits = lm_head(params["language_model"], cfg.text, hidden)[:, 0]
     if any_sampled:
@@ -136,6 +144,7 @@ class _Request:
     done: bool = False
     last_token: Optional[int] = None
     cancelled: bool = False  # cooperative: swept by the scheduler at tick start
+    adapter_id: int = 0  # multi-LoRA bank index (0 = base model)
 
     @property
     def samples(self) -> bool:
@@ -166,8 +175,14 @@ class BatchEngine:
         mesh=None,
         cache_dtype=None,
         image_cache_size: int = 8,
+        lora_bank: Optional[dict] = None,
     ):
-        """mesh: optional device mesh — shards the shared KV cache per
+        """lora_bank: stacked multi-adapter bank (training/lora.py
+        ``build_lora_bank``) — requests pick an adapter per
+        ``submit(adapter_id=...)`` and a mixed batch decodes each slot under
+        its own adapter; id 0 is the base model.
+
+        mesh: optional device mesh — shards the shared KV cache per
         kv_cache_specs (kv heads over `model` when divisible, replicated
         otherwise) so TP serving keeps the cache distributed across chips.
 
@@ -220,6 +235,12 @@ class BatchEngine:
         self._tokens = np.zeros(max_slots, np.int32)
         self._lengths = np.zeros(max_slots, np.int32)
         self._key = jax.random.PRNGKey(rng_seed)
+        self.lora_bank = lora_bank
+        self.n_adapters = 0
+        if lora_bank is not None:
+            leaf = next(iter(next(iter(lora_bank["layers"].values())).values()))
+            self.n_adapters = int(leaf["a"].shape[1]) - 1
+        self._adapter_ids = np.zeros(max_slots, np.int32)
         if image_cache_size:
             from omchat_tpu.runtime.feature_cache import ImageFeatureCache
 
@@ -241,16 +262,21 @@ class BatchEngine:
         eos_token_id: int = 151645,
         generation: Optional[GenerationConfig] = None,
         image_cache_key: Optional[str] = None,
+        adapter_id: int = 0,
     ) -> int:
         """``generation`` carries per-request sampling knobs (temperature /
         top-k / top-p); None or do_sample=False decodes greedily.
 
         ``image_cache_key``: identity for the encoded-image LRU (e.g. a hash
         of the compressed image bytes); host numpy images are content-hashed
-        when no key is given (feature_cache.py)."""
+        when no key is given (feature_cache.py).
+
+        ``adapter_id``: multi-LoRA bank index (0 = base); needs a bank."""
         from omchat_tpu.runtime.feature_cache import cached_encode
         from omchat_tpu.runtime.generate import _encode_images_jit
 
+        if not 0 <= adapter_id <= self.n_adapters:
+            raise ValueError(f"adapter_id {adapter_id} out of range (bank has {self.n_adapters} adapters)")
         feats = None
         if images is not None:
             feats = cached_encode(
@@ -259,7 +285,8 @@ class BatchEngine:
                 image_cache_key,
                 lambda pv: _encode_images_jit(self.params, self.cfg, jnp.asarray(pv), self.attn_impl),
             )
-        req = _Request(next(self._ids), list(input_ids), feats, max_new_tokens, eos_token_id, generation)
+        req = _Request(next(self._ids), list(input_ids), feats, max_new_tokens, eos_token_id, generation,
+                       adapter_id=adapter_id)
         plan = plan_multimodal_merge([req.input_ids], self.cfg.image_seq_len, bucket=self.chunk_size)
         # prefill writes cover the chunk-padded plan length; decode extends to
         # true_len + max_new — both extents must fit the slot cache
@@ -329,6 +356,7 @@ class BatchEngine:
                 req = self.queue.pop(0)
                 req.slot = i
                 req.prefill_pos = 0
+                self._adapter_ids[i] = req.adapter_id
                 self.slots[i] = req
 
     def _release(self, req: _Request):
@@ -371,6 +399,8 @@ class BatchEngine:
                 jnp.int32(chunk_len),
                 self.cache,
                 self.attn_impl,
+                lora_bank=self.lora_bank,
+                adapter_ids=jnp.full((1,), req.adapter_id, jnp.int32) if self.lora_bank is not None else None,
             )
             req.prefill_pos += chunk_len
             if req.prefill_pos >= total:
@@ -432,6 +462,8 @@ class BatchEngine:
             jnp.asarray(active),
             self.cache,
             self.attn_impl,
+            lora_bank=self.lora_bank,
+            adapter_ids=jnp.asarray(self._adapter_ids) if self.lora_bank is not None else None,
             any_sampled=any_sampled,
             **sample_args,
         )

@@ -97,6 +97,40 @@ def test_mixed_batch_rows_independent(setup):
         )
 
 
+def test_mixed_adapter_continuous_batch(setup):
+    """Three concurrent requests under different adapters (base, 1, 2) in one
+    BatchEngine: each request's greedy tokens equal its own merged-weights
+    single-request run — per-slot adapters don't cross-contaminate the shared
+    decode step."""
+    from omchat_tpu.runtime.batch_engine import BatchEngine
+    from omchat_tpu.runtime.generate import OmChatEngine
+    from omchat_tpu.config import GenerationConfig
+
+    cfg, params, adapters = setup
+    prompts = [[7, 11, 13], [5, 23, 29, 31], [3, 37]]
+    gen = GenerationConfig(max_new_tokens=5, eos_token_id=-1)
+
+    truth = []
+    for ids, lora in zip(prompts, [None, adapters[0], adapters[1]]):
+        p = params if lora is None else merge_lora(params, lora)
+        eng = OmChatEngine(cfg, p, attn_impl="xla", prompt_bucket=8)
+        truth.append(eng.generate([ids], None, gen).token_ids[0])
+
+    bank = build_lora_bank(adapters, dtype=jnp.float32)
+    be = BatchEngine(cfg, params, max_slots=4, max_len=64, chunk_size=16,
+                     attn_impl="xla", lora_bank=bank)
+    rids = [
+        be.submit(ids, None, max_new_tokens=5, eos_token_id=-1, adapter_id=a)
+        for ids, a in zip(prompts, [0, 1, 2])
+    ]
+    be.run_to_completion()
+    for rid, want in zip(rids, truth):
+        assert be.result(rid) == want
+
+    with pytest.raises(ValueError):
+        be.submit([1, 2], None, adapter_id=3)
+
+
 def test_bank_through_decode_cache(setup):
     """Prefill+decode with a cache under a bank: greedy continuation equals
     the merged-weights engine run (adapter applied consistently across
