@@ -35,6 +35,7 @@ additive bias per step; the device graph is unchanged.
 
 from __future__ import annotations
 
+import weakref
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -228,15 +229,29 @@ class VocabTables:
                 self.by_first.setdefault(text[0], []).append(tid)
 
 
-_TABLES_CACHE: Dict[int, VocabTables] = {}
+# Keyed on the live tokenizer object (weakref), NOT id(): a bare id() key
+# goes stale when the tokenizer is garbage-collected and a new tokenizer
+# reuses the address — the cache would then hand out tables built for a
+# different vocab (observed as corrupted schema masks in the test suite).
+_TABLES_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_TABLES_CACHE_STRONG: Dict[int, Tuple[object, VocabTables]] = {}
 
 
 def get_tables(tokenizer) -> VocabTables:
-    key = id(tokenizer)
-    t = _TABLES_CACHE.get(key)
-    if t is None:
-        t = _TABLES_CACHE[key] = VocabTables(tokenizer)
-    return t
+    try:
+        t = _TABLES_CACHE.get(tokenizer)
+        if t is None:
+            t = _TABLES_CACHE[tokenizer] = VocabTables(tokenizer)
+        return t
+    except TypeError:
+        # Non-weakref-able tokenizer: hold a strong reference alongside the
+        # tables so its id can never be reused while the entry lives.
+        hit = _TABLES_CACHE_STRONG.get(id(tokenizer))
+        if hit is not None and hit[0] is tokenizer:
+            return hit[1]
+        t = VocabTables(tokenizer)
+        _TABLES_CACHE_STRONG[id(tokenizer)] = (tokenizer, t)
+        return t
 
 
 class JsonMode:
@@ -327,14 +342,23 @@ class JsonMode:
         return fn
 
 
-_CACHE: Dict[int, JsonMode] = {}
+_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_CACHE_STRONG: Dict[int, Tuple[object, JsonMode]] = {}
 
 
 def get_json_mode(tokenizer) -> JsonMode:
     """Process-wide JsonMode per tokenizer instance (table build is ~1-2 s
-    on a 152k vocab; serve.py calls this per request)."""
-    key = id(tokenizer)
-    jm = _CACHE.get(key)
-    if jm is None:
-        jm = _CACHE[key] = JsonMode(tokenizer)
-    return jm
+    on a 152k vocab; serve.py calls this per request).  Weakref-keyed on the
+    tokenizer object itself — see the ``get_tables`` cache note."""
+    try:
+        jm = _CACHE.get(tokenizer)
+        if jm is None:
+            jm = _CACHE[tokenizer] = JsonMode(tokenizer)
+        return jm
+    except TypeError:
+        hit = _CACHE_STRONG.get(id(tokenizer))
+        if hit is not None and hit[0] is tokenizer:
+            return hit[1]
+        jm = JsonMode(tokenizer)
+        _CACHE_STRONG[id(tokenizer)] = (tokenizer, jm)
+        return jm

@@ -37,6 +37,7 @@ dict hit in the steady state.
 from __future__ import annotations
 
 import json
+import weakref
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -485,15 +486,31 @@ class JsonSchemaMode:
         return fn
 
 
-_MODE_CACHE: Dict[tuple, JsonSchemaMode] = {}
+# Per-tokenizer (weakref) -> {canonical schema JSON: mode}.  id()-keying
+# alone is unsafe: a collected tokenizer's address can be reused by a new
+# one, which would receive modes built over a different vocab (see the
+# get_tables note in json_mode.py).
+_MODE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_MODE_CACHE_STRONG: Dict[int, Tuple[object, dict]] = {}
 
 
 def get_json_schema_mode(tokenizer, schema: dict) -> JsonSchemaMode:
     """Cache JsonSchemaMode per (tokenizer, canonical schema JSON); bounded."""
-    key = (id(tokenizer), json.dumps(schema, sort_keys=True))
-    m = _MODE_CACHE.get(key)
+    try:
+        per_tok = _MODE_CACHE.get(tokenizer)
+        if per_tok is None:
+            per_tok = _MODE_CACHE[tokenizer] = {}
+    except TypeError:
+        hit = _MODE_CACHE_STRONG.get(id(tokenizer))
+        if hit is not None and hit[0] is tokenizer:
+            per_tok = hit[1]
+        else:
+            per_tok = {}
+            _MODE_CACHE_STRONG[id(tokenizer)] = (tokenizer, per_tok)
+    key = json.dumps(schema, sort_keys=True)
+    m = per_tok.get(key)
     if m is None:
-        if len(_MODE_CACHE) > 64:
-            _MODE_CACHE.clear()
-        m = _MODE_CACHE[key] = JsonSchemaMode(tokenizer, schema)
+        if len(per_tok) > 64:
+            per_tok.clear()
+        m = per_tok[key] = JsonSchemaMode(tokenizer, schema)
     return m

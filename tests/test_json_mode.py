@@ -159,3 +159,23 @@ def test_engine_generates_valid_json(rng):
 def test_get_json_mode_caches():
     t = FakeTok(PIECES)
     assert get_json_mode(t) is get_json_mode(t)
+
+
+def test_tables_cache_not_fooled_by_id_reuse():
+    """get_tables keyed by bare id(tokenizer) went stale when a collected
+    tokenizer's address was reused by a new instance — the new tokenizer
+    received tables built for a DIFFERENT vocab (corrupted schema masks).
+    Churn tokenizers so CPython reuses addresses and pin that every lookup
+    returns tables matching the asking tokenizer's own vocab."""
+    from omchat_tpu.runtime.json_mode import get_tables
+
+    for i in range(50):
+        pieces = PIECES[: 10 + (i % 7)]
+        tok = FakeTok(pieces)
+        tables = get_tables(tok)
+        # specials map to None; every other entry must match THIS tokenizer
+        assert len(tables.token_text) == len(tok.pieces), f"stale tables at iter {i}"
+        assert list(tables.token_text)[1:] == tok.pieces[1:], f"stale tables at iter {i}"
+        # second lookup on the live object must hit the same tables
+        assert get_tables(tok) is tables
+        del tok  # free the address for reuse by the next iteration

@@ -80,7 +80,7 @@ def test_pipeline_qwen2_trunk(rng):
 
     def stage(stage_layers, h):
         def body(carry, layer):
-            out, _ = _layer_forward(cfg, "xla", None, carry, (layer, None, None))
+            out, _ = _layer_forward(cfg, "xla", None, None, carry, (layer, None, None, None))
             return out, None
         (h2, *_), _ = jax.lax.scan(body, (h, cos, sin, jnp.int32(0), None), stage_layers)
         return h2
