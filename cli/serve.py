@@ -3,9 +3,9 @@
 The reference stripped its gradio controller/worker serve stack, leaving only
 heartbeat constants (reference constants.py:1-2; SURVEY.md §5 "Failure
 detection").  This is the working replacement: a dependency-free HTTP server
-exposing ``/v1/chat/completions`` (text + base64 image content parts) and
-``/health``, running the engine single-threaded behind a lock (TPU programs
-are serialized anyway).
+exposing ``/v1/chat/completions`` (text + base64 image content parts, OpenAI
+tool calling via runtime/tool_calls.py) and ``/health``, running the engine
+single-threaded behind a lock (TPU programs are serialized anyway).
 
     python cli/serve.py --model-path … --port 8000 [--int8]
 
@@ -142,9 +142,19 @@ def _parse_messages(messages):
                 history.append((pending_user, ""))
             pending_user = text
         elif role == "assistant":
+            if msg.get("tool_calls"):
+                from omchat_tpu.runtime.tool_calls import render_assistant_tool_calls
+
+                text = render_assistant_tool_calls(text or None, msg["tool_calls"])
             if pending_user is not None:
                 history.append((pending_user, text))
                 pending_user = None
+        elif role == "tool":
+            # tool results replay inside the next user turn (Qwen convention)
+            from omchat_tpu.runtime.tool_calls import render_tool_result
+
+            rendered = render_tool_result(text)
+            pending_user = rendered if pending_user is None else pending_user + "\n" + rendered
     question = pending_user or ""
     image_key = f"req-imgs-{img_hash.hexdigest()}" if images else None
     return question, history, images or None, system, image_key
@@ -524,9 +534,27 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                 question, history, images, system, image_key = _parse_messages(req.get("messages", []))
                 gen, logit_bias = _parse_gen(req, default_max=1024)
                 stops = _parse_stops(req)
+                # OpenAI tool calling (runtime/tool_calls.py): definitions
+                # render into the system prompt; "required"/named choices
+                # constrain decoding to a valid call via the schema mask
+                tool_fns, tool_mode, forced_name = None, "none", None
+                if req.get("tools") is not None:
+                    from omchat_tpu.runtime.tool_calls import (
+                        parse_tool_choice,
+                        render_tools_system,
+                        validate_tools,
+                    )
+
+                    try:
+                        tool_fns = validate_tools(req["tools"])
+                        tool_mode, forced_name = parse_tool_choice(req.get("tool_choice"), tool_fns)
+                    except ValueError as e:
+                        raise BadRequest(str(e)) from e
+                    if tool_mode != "none":
+                        system = render_tools_system(system, tool_fns)
                 t0 = time.time()
                 inputs = model.processor(question, images=images, history=history, system=system)
-                if req.get("stream"):
+                if req.get("stream") and tool_mode == "none":
                     # SSE path runs the single-request engine (per-token host
                     # callbacks); concurrent requests still ride the batch.
                     so = req.get("stream_options") or {}
@@ -568,6 +596,26 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     from omchat_tpu.runtime.json_schema import get_json_schema_mode
 
                     allowed_fn = get_json_schema_mode(model.tokenizer, schema).mask_fn()
+                if tool_mode == "forced":
+                    # constrain the completion to a {"name", "arguments"} call
+                    if allowed_fn is not None:
+                        raise BadRequest(
+                            "tool_choice 'required' cannot be combined with "
+                            "response_format / guided constraints"
+                        )
+                    from omchat_tpu.runtime.json_schema import get_json_schema_mode
+                    from omchat_tpu.runtime.tool_calls import forced_call_schema
+
+                    tc_schema = forced_call_schema(tool_fns, forced_name)
+                    try:
+                        allowed_fn = get_json_schema_mode(model.tokenizer, tc_schema).mask_fn()
+                    except ValueError:
+                        # parameter schema outside the mask subset even after
+                        # sanitizing — fall back to name-only constraint
+                        tc_schema = forced_call_schema(
+                            [{"name": f["name"]} for f in tool_fns], forced_name
+                        )
+                        allowed_fn = get_json_schema_mode(model.tokenizer, tc_schema).mask_fn()
                 # logprobs/seed/guided_choice/json_mode run the single-request
                 # engine (the batch decode step returns tokens only, and
                 # samples from an engine-global rng); they serialize on the lock
@@ -595,6 +643,30 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     stop_cut = False
                     if stops:
                         text, stop_cut = _cut_at_stop(text, stops)
+                    message = {"role": "assistant", "content": text}
+                    finish = "stop" if (stop_cut or n_new < gen.max_new_tokens) else "length"
+                    if tool_mode == "forced":
+                        from omchat_tpu.runtime.tool_calls import wire_tool_calls
+
+                        try:
+                            obj = json.loads(text)
+                            calls = [{
+                                "name": obj["name"],
+                                "arguments": json.dumps(obj.get("arguments", {}), ensure_ascii=False),
+                            }]
+                            message = {"role": "assistant", "content": None,
+                                       "tool_calls": wire_tool_calls(calls)}
+                            finish = "tool_calls"
+                        except (json.JSONDecodeError, KeyError, TypeError):
+                            pass  # hit max_tokens mid-object: return the raw text
+                    elif tool_mode == "auto":
+                        from omchat_tpu.runtime.tool_calls import parse_tool_calls, wire_tool_calls
+
+                        content, calls = parse_tool_calls(text)
+                        if calls:
+                            message = {"role": "assistant", "content": content,
+                                       "tool_calls": wire_tool_calls(calls)}
+                            finish = "tool_calls"
                     logprobs_obj = None
                     if lps is not None:
                         chosen, top = lps
@@ -617,11 +689,37 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     choices.append(
                         {
                             "index": idx,
-                            "message": {"role": "assistant", "content": text},
+                            "message": message,
                             "logprobs": logprobs_obj,
-                            "finish_reason": "stop" if (stop_cut or n_new < gen.max_new_tokens) else "length",
+                            "finish_reason": finish,
                         }
                     )
+                if req.get("stream"):
+                    # tools + stream: the call must be parsed/validated whole,
+                    # so buffer and emit one delta carrying the full message
+                    self._sse_start()
+                    ch = choices[0]
+                    self._sse_chunk({"role": "assistant"})
+                    delta = {k: v for k, v in ch["message"].items()
+                             if k != "role" and v is not None}
+                    if "tool_calls" in delta:
+                        delta["tool_calls"] = [
+                            {"index": i, **tc} for i, tc in enumerate(delta["tool_calls"])
+                        ]
+                    if delta:
+                        self._sse_chunk(delta)
+                    self._sse_chunk({}, finish_reason=ch["finish_reason"])
+                    so = req.get("stream_options") or {}
+                    if so.get("include_usage"):
+                        self._sse_chunk(None, usage={
+                            "prompt_tokens": prompt_len,
+                            "completion_tokens": total_new,
+                            "total_tokens": prompt_len + total_new,
+                        })
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
+                    count(prompt_len, total_new, (time.time() - t0) * 1000)
+                    return
                 self._json(
                     200,
                     {

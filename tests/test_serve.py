@@ -424,3 +424,117 @@ def test_streaming_chat_usage_chunk(server_port):
     chunks = [json.loads(l[len("data: "):]) for l in lines[:-1]]
     assert "usage" in chunks[-1] and chunks[-1]["choices"] == []
     assert chunks[-1]["usage"]["completion_tokens"] <= 3
+
+
+def test_tool_calling_forced(server_port):
+    """tool_choice 'required'/named: decoding is schema-constrained so the
+    reply is a guaranteed well-formed call naming a declared tool."""
+    tools = [
+        {"type": "function", "function": {
+            "name": "get_weather",
+            "parameters": {"type": "object",
+                           "properties": {"city": {"type": "string"}},
+                           "required": ["city"]}}},
+        {"type": "function", "function": {
+            "name": "search",
+            "parameters": {"type": "object",
+                           "properties": {"q": {"type": "string"}},
+                           "required": ["q"]}}},
+    ]
+    out = _post(server_port, {
+        "messages": [{"role": "user", "content": "weather in paris?"}],
+        "tools": tools,
+        "tool_choice": {"type": "function", "function": {"name": "get_weather"}},
+        "max_tokens": 64,
+    })
+    ch = out["choices"][0]
+    if ch["finish_reason"] == "tool_calls":  # object completed within budget
+        assert ch["message"]["content"] is None
+        (tc,) = ch["message"]["tool_calls"]
+        assert tc["type"] == "function" and tc["id"].startswith("call_")
+        assert tc["function"]["name"] == "get_weather"
+        args = json.loads(tc["function"]["arguments"])
+        assert isinstance(args, dict)
+    else:  # truncated mid-object: raw text returned, still a valid prefix
+        assert ch["finish_reason"] == "length"
+        assert ch["message"]["content"].startswith("{")
+
+    # 'required' over both tools: name must be one of the declared set
+    out2 = _post(server_port, {
+        "messages": [{"role": "user", "content": "go"}],
+        "tools": tools, "tool_choice": "required", "max_tokens": 64,
+    })
+    ch2 = out2["choices"][0]
+    if ch2["finish_reason"] == "tool_calls":
+        assert ch2["message"]["tool_calls"][0]["function"]["name"] in ("get_weather", "search")
+
+
+def test_tool_calling_auto_and_history(server_port):
+    """'auto' leaves decoding unconstrained (plain text => no tool_calls);
+    assistant tool_calls + role:'tool' history turns render without error."""
+    tools = [{"type": "function", "function": {"name": "f", "parameters": {"type": "object"}}}]
+    out = _post(server_port, {
+        "messages": [
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": None, "tool_calls": [
+                {"id": "call_0", "type": "function",
+                 "function": {"name": "f", "arguments": "{}"}}]},
+            {"role": "tool", "tool_call_id": "call_0", "content": "42"},
+        ],
+        "tools": tools,
+        "max_tokens": 4,
+    })
+    ch = out["choices"][0]
+    assert ch["message"]["role"] == "assistant"
+    assert "tool_calls" not in ch["message"]  # random model emits no tags
+    assert out["usage"]["prompt_tokens"] > 0
+
+
+def test_tool_calling_stream_buffered(server_port):
+    """stream + tools emits one buffered delta (role, full message, finish)."""
+    tools = [{"type": "function", "function": {
+        "name": "t", "parameters": {"type": "object",
+                                    "properties": {"x": {"type": "integer"}}}}}]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server_port}/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": "go"}],
+            "tools": tools, "tool_choice": "required",
+            "max_tokens": 48, "stream": True,
+            "stream_options": {"include_usage": True},
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        events = [json.loads(line[6:]) for line in resp.read().decode().splitlines()
+                  if line.startswith("data: ") and line != "data: [DONE]"]
+    finishes = [c.get("finish_reason") for e in events for c in e.get("choices", [])]
+    assert any(f in ("tool_calls", "length") for f in finishes)
+    assert any("usage" in e for e in events)
+    for e in events:
+        for c in e.get("choices", []):
+            for tc in (c["delta"].get("tool_calls") or []):
+                assert tc["index"] == 0 and tc["function"]["name"] == "t"
+
+
+def test_tool_calling_bad_requests(server_port):
+    """Malformed tools / tool_choice map to OpenAI-style 400s."""
+    import urllib.error
+
+    for body in (
+        {"tools": []},
+        {"tools": [{"type": "function"}]},
+        {"tools": [{"type": "function", "function": {"name": "a"}}],
+         "tool_choice": {"type": "function", "function": {"name": "b"}}},
+        {"tools": [{"type": "function", "function": {"name": "a"}}],
+         "tool_choice": "required",
+         "response_format": {"type": "json_object"}},
+    ):
+        try:
+            _post(server_port, {"messages": [{"role": "user", "content": "x"}],
+                                "max_tokens": 4, **body})
+            assert False, f"expected 400 for {body}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert json.loads(e.read())["error"]["type"] == "invalid_request_error"
