@@ -298,6 +298,15 @@ def main():
                         help="comma-separated linears to adapt (add gate_proj,up_proj,down_proj for MLP)")
     parser.add_argument("--qlora", action="store_true",
                         help="hold the frozen base in int8 (QLoRA); adapters stay bf16")
+    parser.add_argument("--tune-mm-mlp-adapter", action="store_true",
+                        help="stage-1 pretrain: train ONLY the multimodal projector "
+                        "(tower + LLM frozen) and save a projector-only "
+                        "mm_projector.safetensors at the end (the reference's "
+                        "pretrain_mm_mlp_adapter artifact)")
+    parser.add_argument("--pretrain-mm-mlp-adapter", default=None, metavar="PATH",
+                        help="load projector weights from a stage-1 checkpoint "
+                        "(mm_projector.safetensors or the reference's mm_projector.bin) "
+                        "before training — the stage-2 warm start")
     parser.add_argument("--output-dir", default="./train_out")
     args = parser.parse_args()
 
@@ -320,6 +329,12 @@ def main():
             "projector": projector_model.init_params(k2, cfg.projector, cfg.vision.hidden_size, cfg.text.hidden_size),
             "language_model": qwen2_model.init_params(k3, cfg.text),
         }
+
+    if args.pretrain_mm_mlp_adapter:
+        from omchat_tpu.checkpoint.loader import load_mm_projector
+
+        params["projector"] = load_mm_projector(args.pretrain_mm_mlp_adapter, jnp.bfloat16)
+        logger.info(f"projector warm-started from {args.pretrain_mm_mlp_adapter}")
 
     total = args.synthetic or args.steps
     if args.warmup >= total:
@@ -344,6 +359,16 @@ def main():
     optimizer = optax.adamw(schedule, b1=0.9, b2=0.95)
     if args.grad_clip > 0:
         optimizer = optax.chain(optax.clip_by_global_norm(args.grad_clip), optimizer)
+    if args.tune_mm_mlp_adapter:
+        # stage-1 pretrain (reference tune_mm_mlp_adapter semantics): only
+        # the projector updates; frozen leaves get set_to_zero
+        labels = {
+            k: jax.tree.map(lambda _, grp=k: "train" if grp == "projector" else "freeze", v)
+            for k, v in params.items()
+        }
+        optimizer = optax.multi_transform(
+            {"train": optimizer, "freeze": optax.set_to_zero()}, labels
+        )
     if args.grad_accum > 1:
         optimizer = optax.MultiSteps(optimizer, every_k_schedule=args.grad_accum)
     step_fn, batch_shardings, _ = make_sharded_train_step(
@@ -437,6 +462,11 @@ def main():
         metrics.update(p_step, loss=float(p_loss), lr=float(schedule(p_step)))
     if ckpt.latest_step() != total - 1 and total > start_step:
         ckpt.save(total - 1, state)
+    if args.tune_mm_mlp_adapter:
+        from omchat_tpu.checkpoint.save import save_mm_projector
+
+        path = save_mm_projector(args.output_dir, jax.device_get(state.params["projector"]))
+        logger.info(f"projector-only checkpoint saved to {path}")
     logger.info("done")
 
 

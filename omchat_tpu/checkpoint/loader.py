@@ -228,6 +228,63 @@ def convert_omchat_state_dict(
     }
 
 
+def load_mm_projector(path: str, dtype=jnp.bfloat16) -> dict:
+    """Load a projector-only checkpoint (the ``pretrain_mm_mlp_adapter`` of
+    LLaVA/OmChat stage-1; reference omchat_arch.py:238-247) → projector pytree.
+
+    Accepts a directory (looks for ``mm_projector.safetensors`` then the
+    reference's ``mm_projector.bin``) or a file.  Three key layouts load:
+
+    - ``multi_modal_projector.linear_N.{weight,bias}`` (our save_mm_projector
+      / the HF bundle),
+    - ``model.mm_projector.I.{weight,bias}`` (the reference's HF-Trainer
+      artifact — nn.Sequential indices, I//2+1 = linear_N),
+    - dotted native ``projector.<path>`` keys (non-linear projector types).
+    """
+    if os.path.isdir(path):
+        for name in ("mm_projector.safetensors", "mm_projector.bin"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(f"no mm_projector.safetensors/.bin in {path}")
+    if path.endswith(".bin"):
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=True)
+        # the reference's get_w: keep keys containing 'mm_projector'
+        state = {
+            k.split("mm_projector.")[1]: _np(v)
+            for k, v in raw.items()
+            if "mm_projector" in k
+        }
+    else:
+        from safetensors.numpy import load_file
+
+        state = load_file(path)
+        if any(k.startswith("projector.") for k in state):  # native dotted
+            out: dict = {}
+            for k, v in state.items():
+                node, parts = out, k.split(".")[1:]
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = jnp.asarray(v, dtype)
+            return out
+        if any(k.startswith("multi_modal_projector.") for k in state):
+            return convert_projector(_subdict(state, "multi_modal_projector."), dtype)
+        state = {k.split("mm_projector.")[-1]: v for k, v in state.items()}
+    # sequential-index keys: 0.weight → linear_1.weight, 2.bias → linear_2.bias
+    remapped = {}
+    for k, v in state.items():
+        m = re.match(r"^(\d+)\.(weight|bias)$", k)
+        if m:
+            remapped[f"linear_{int(m.group(1)) // 2 + 1}.{m.group(2)}"] = v
+    if not remapped:
+        raise ValueError(f"unrecognized projector checkpoint key layout in {path}")
+    return convert_projector(remapped, dtype)
+
+
 def load_lora_adapter(directory: str, dtype=jnp.bfloat16) -> dict:
     """Read an adapter written by :func:`checkpoint.save.save_lora_adapter`
     back into the training/lora.py tree layout."""

@@ -195,6 +195,40 @@ def export_hf_bundle(config, params: dict, directory: str, source_dir: Optional[
                 shutil.copy(os.path.join(source_dir, name), os.path.join(directory, name))
 
 
+def save_mm_projector(directory: str, projector: dict) -> str:
+    """Write a projector-only checkpoint — the ``pretrain_mm_mlp_adapter``
+    artifact of LLaVA/OmChat stage-1 training (reference omchat_arch.py:238-247
+    loads exactly this: projector weights keyed under ``mm_projector``).
+
+    Linear/mlpNx projectors ({linear_N: {kernel, bias}}) are written in the
+    HF-bundle layout (``multi_modal_projector.linear_N.{weight,bias}``,
+    torch-convention transposed) so the file also loads into the reference
+    stack; other projector types (cabstract) use dotted native keys under
+    ``projector.``.  Returns the file path."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, "mm_projector.safetensors")
+    linear_shape = projector and all(
+        re.match(r"^linear_\d+$", k) and set(v) <= {"kernel", "bias"}
+        for k, v in projector.items()
+    )
+    flat: Dict[str, np.ndarray] = {}
+    if linear_shape:
+        for name, pp in projector.items():
+            flat[f"multi_modal_projector.{name}.weight"] = _t(pp["kernel"]).T
+            if "bias" in pp:
+                flat[f"multi_modal_projector.{name}.bias"] = _t(pp["bias"])
+    else:
+        for path_elems, leaf in jax.tree_util.tree_flatten_with_path(projector)[0]:
+            key = ".".join(str(getattr(p, "key", p)) for p in path_elems)
+            flat[f"projector.{key}"] = _t(leaf)
+    # safetensors writes the raw buffer; transposed views must be
+    # materialized C-contiguous or the file holds pre-transpose bytes
+    save_file({k: np.ascontiguousarray(v) for k, v in flat.items()}, path)
+    return path
+
+
 def save_lora_adapter(directory: str, lora: dict, *, base_model: Optional[str] = None) -> None:
     """Write a LoRA adapter tree (training/lora.py layout: ``layers.{group}
     .{name}.{a,b}`` stacked [L, ...] leaves + scalar ``scale``) as
