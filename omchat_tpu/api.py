@@ -113,6 +113,69 @@ class OmChatModel:
         )
         return self.tokenizer.decode(out.token_ids[0], skip_special_tokens=True)
 
+    def chat_tools(
+        self,
+        text: str,
+        tools: list,
+        image=None,
+        history=None,
+        tool_choice="auto",
+        generation: Optional[GenerationConfig] = None,
+        system: str = "You are a helpful assistant.",
+    ) -> dict:
+        """One chat turn with OpenAI-style tool calling (runtime/tool_calls.py).
+
+        Returns ``{"content": str | None, "tool_calls": [{"id", "type",
+        "function": {"name", "arguments"}}, ...]}``.  ``tool_choice``
+        "required" or ``{"type": "function", "function": {"name": ...}}``
+        constrains decoding via the schema-guided mask, so the call is
+        guaranteed well-formed JSON naming a declared tool; "auto" parses
+        ``<tool_call>`` blocks out of an unconstrained completion."""
+        import json as _json
+
+        from omchat_tpu.runtime.json_schema import get_json_schema_mode
+        from omchat_tpu.runtime.tool_calls import (
+            forced_call_schema,
+            parse_tool_calls,
+            parse_tool_choice,
+            render_tools_system,
+            validate_tools,
+            wire_tool_calls,
+        )
+
+        fns = validate_tools(tools)
+        mode, forced_name = parse_tool_choice(tool_choice, fns)
+        if mode != "none":
+            system = render_tools_system(system, fns)
+        inputs = self.processor(text, images=image, history=history, system=system)
+        gen = generation or GenerationConfig()
+        allowed_fn = None
+        if mode == "forced":
+            schema = forced_call_schema(fns, forced_name)
+            try:
+                allowed_fn = get_json_schema_mode(self.tokenizer, schema).mask_fn()
+            except ValueError:
+                schema = forced_call_schema([{"name": f["name"]} for f in fns], forced_name)
+                allowed_fn = get_json_schema_mode(self.tokenizer, schema).mask_fn()
+        out = self.engine.generate(
+            [inputs["input_ids"][0].tolist()],
+            inputs.get("images"),
+            gen,
+            tokenizer=self.tokenizer,
+            allowed_tokens_fn=allowed_fn,
+        )
+        reply = self.tokenizer.decode(out.token_ids[0], skip_special_tokens=True)
+        if mode == "forced":
+            try:
+                obj = _json.loads(reply)
+                calls = [{"name": obj["name"],
+                          "arguments": _json.dumps(obj.get("arguments", {}), ensure_ascii=False)}]
+                return {"content": None, "tool_calls": wire_tool_calls(calls)}
+            except (_json.JSONDecodeError, KeyError, TypeError):
+                return {"content": reply, "tool_calls": []}
+        content, calls = parse_tool_calls(reply)
+        return {"content": content, "tool_calls": wire_tool_calls(calls)}
+
     def chat_video(
         self,
         text: str,

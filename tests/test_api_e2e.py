@@ -141,3 +141,35 @@ def test_load_w8a8_mode(tmp_path):
     assert "fc1_out_scale" in model.engine.params["vision_tower"]["layers"]["mlp"]
     out = model.chat("hi", generation=GenerationConfig(max_new_tokens=3, eos_token_id=-1))
     assert isinstance(out, str)
+
+
+def test_chat_tools_forced(tmp_path, rng):
+    """Library-level tool calling: a forced choice returns a well-formed
+    tool_calls entry naming the declared tool (schema-constrained decode)."""
+    from omchat_tpu.api import load_pretrained_model
+    from omchat_tpu.config import GenerationConfig
+
+    d = str(tmp_path)
+    _write_tiny_tokenizer(d)
+    _write_tiny_checkpoint(d)
+    model = load_pretrained_model(d, dtype=jnp.float32, attn_impl="xla")
+    tools = [{"type": "function", "function": {
+        "name": "pick", "parameters": {
+            "type": "object", "properties": {"u": {"enum": ["a", "b"]}},
+            "required": ["u"]}}}]
+    out = model.chat_tools(
+        "choose", tools, tool_choice="required",
+        generation=GenerationConfig(max_new_tokens=48),
+    )
+    if out["tool_calls"]:  # object closed within budget
+        (tc,) = out["tool_calls"]
+        assert tc["function"]["name"] == "pick"
+        args = json.loads(tc["function"]["arguments"])
+        assert args.get("u") in ("a", "b")
+        assert out["content"] is None
+    else:  # truncated mid-object — raw prefix comes back as content
+        assert out["content"].startswith("{")
+    # auto mode: random model emits no <tool_call> tags
+    out2 = model.chat_tools("hi", tools, tool_choice="auto",
+                            generation=GenerationConfig(max_new_tokens=3))
+    assert out2["tool_calls"] == []
