@@ -288,8 +288,8 @@ def main():
     parser.add_argument("--pack", type=int, default=0, metavar="SEQ_LEN",
                         help="text-only sequence packing: concatenate samples into fixed "
                         "[batch, SEQ_LEN] rows with segment-isolated attention so short "
-                        "conversations don't train on padding (XLA masked attention on "
-                        "the grad path; the varlen Pallas kernel is forward-only)")
+                        "conversations don't train on padding (fwd+bwd run the varlen "
+                        "Pallas flash kernels on TPU; cross-document tiles are skipped)")
     parser.add_argument("--lora-rank", type=int, default=0,
                         help="train rank-r LoRA adapters over a frozen base instead of full fine-tuning (0 = off)")
     parser.add_argument("--lora-alpha", type=float, default=None,

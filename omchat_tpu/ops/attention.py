@@ -84,6 +84,15 @@ def attention(
         impl = "xla"  # packed/segment batches or non-divisible heads
     if segment_ids is not None:
         assert kv_format == "btnd" and q.shape[1] == k.shape[1]
+        if impl == "pallas_vjp":
+            # Differentiable packed path (--pack SFT): the custom-VJP kernels
+            # take per-block segment tiles + block windows, so cross-document
+            # tiles are skipped in fwd AND bwd (previously the grad path fell
+            # back to XLA masked attention).
+            from omchat_tpu.ops.flash_attention_bwd import flash_attention_trainable
+
+            assert q_offset is None and kv_len is None
+            return flash_attention_trainable(q, k, v, causal, 512, 512, False, segment_ids)
         if impl == "pallas":
             from omchat_tpu.ops.flash_attention import flash_attention
 
