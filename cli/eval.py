@@ -22,6 +22,13 @@ def main():
     parser.add_argument("--benchmark", default=None, choices=sorted(SCORERS))
     parser.add_argument("--question-file", default=None)
     parser.add_argument("--image-folder", default="")
+    parser.add_argument("--video-folder", default="",
+                        help="root for mmbench_video video paths (frame dirs / GIFs / containers)")
+    parser.add_argument("--num-frames", type=int, default=32,
+                        help="frames sampled per video (mmbench_video; reference runs 32)")
+    parser.add_argument("--scores-file", default=None,
+                        help="JSON {question_id: 0-3 score} from an external GPT judge "
+                        "(mmbench_video; defaults to the offline heuristic judge)")
     parser.add_argument("--answers-file", default=None)
     parser.add_argument("--truths-file", default=None, help="JSON {question_id: answer(s)}")
     parser.add_argument("--max-new-tokens", type=int, default=128)
@@ -44,6 +51,41 @@ def main():
         out = perplexity(model, text, window=args.ppl_window)
         print(json.dumps({"metric": "perplexity", "value": round(out["perplexity"], 4), **out}))
         return
+    if args.benchmark == "mantis":
+        # multi-image interleave workload (reference README.md:105-107)
+        from omchat_tpu.eval.harness import read_answers_file, read_mantis_file, run_eval_mantis, score_mantis
+
+        samples = read_mantis_file(args.question_file, args.image_folder)
+        run_eval_mantis(model, samples, args.answers_file,
+                        max_new_tokens=args.max_new_tokens, guided_mc=args.guided_mc)
+        truths = {s.question_id: {"answer": s.answer, **(s.extra or {})} for s in samples}
+        if args.truths_file:
+            with open(args.truths_file) as f:
+                truths = json.load(f)
+        result = score_mantis(read_answers_file(args.answers_file), truths)
+        print(json.dumps({"benchmark": "mantis", **result}))
+        return
+
+    if args.benchmark == "mmbench_video":
+        # 32-frame video workload (reference README.md:187-200)
+        from omchat_tpu.eval.harness import (
+            read_answers_file,
+            read_video_question_file,
+            run_eval_video,
+            score_mmbench_video,
+        )
+
+        samples = read_video_question_file(args.question_file, args.video_folder)
+        run_eval_video(model, samples, args.answers_file,
+                       num_frames=args.num_frames, max_new_tokens=args.max_new_tokens)
+        scores = None
+        if args.scores_file:
+            with open(args.scores_file) as f:
+                scores = json.load(f)
+        result = score_mmbench_video(read_answers_file(args.answers_file), samples, scores)
+        print(json.dumps({"benchmark": "mmbench_video", **result}))
+        return
+
     samples = read_question_file(args.question_file, args.image_folder)
     run_eval(model, samples, args.answers_file, max_new_tokens=args.max_new_tokens,
              guided_choices=guided)

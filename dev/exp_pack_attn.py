@@ -37,6 +37,8 @@ def packed_batches(rng, seq, batch, n_batches):
     samples = synth_samples(rng, 6000)
     out, rows, row, row_len = [], [], [], 0
     for ids, tlen in samples:
+        if len(ids) > seq:  # oversized sample can't fit any row of width seq
+            continue
         if row_len + len(ids) > seq:
             rows.append(row)
             row, row_len = [], 0
@@ -47,7 +49,9 @@ def packed_batches(rng, seq, batch, n_batches):
                     return out
         row.append((ids, tlen))
         row_len += len(ids)
-    return out
+    raise AssertionError(
+        f"sample stream exhausted: built {len(out)}/{n_batches} batches (seq={seq}, B={batch})"
+    )
 
 
 def main():

@@ -607,7 +607,10 @@ def flash_attention_trainable(
 
     ``segment_ids`` [B, S] int32 enables multi-document packing (``--pack``
     SFT): tokens attend only within their own segment, negative ids mark tail
-    padding (those rows produce zero output and zero grads).  Cross-document
+    padding.  Padding rows get zero grads, but their *outputs* are only zero
+    when the whole block is padding — a padding row sharing a block with valid
+    rows sees the finite mask value uniformly and emits the mean of v (the
+    loss must mask padding rows, same contract as the XLA path).  Cross-document
     tiles are skipped in all three kernels, so fwd+bwd FLOPs scale with the
     packed documents' own lengths, not the pack width.  Call positionally
     (custom_vjp forbids keyword args for differentiable operands)."""

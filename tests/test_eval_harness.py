@@ -49,6 +49,201 @@ def test_read_question_file(tmp_path):
     assert samples[1].image_path is None and samples[1].text == "why?"
 
 
+def _tiny_model(attn_impl="xla"):
+    from omchat_tpu.api import OmChatModel
+    from omchat_tpu.config import OmChatConfig
+    from omchat_tpu.processing.image_processor import OmChatImageProcessor
+    from omchat_tpu.processing.processor import OmChatProcessor
+    from omchat_tpu.runtime.generate import OmChatEngine
+    from tests.conftest import MockTokenizer
+    from tests.test_sharding import _tiny_params
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    tok = MockTokenizer()
+    engine = OmChatEngine(cfg, params, attn_impl=attn_impl, prompt_bucket=16)
+    ip = OmChatImageProcessor(crop_size=56, shortest_edge=56,
+                              image_grid_pinpoints=cfg.image_grid_pinpoints)
+    return OmChatModel(tok, engine, ip, OmChatProcessor(tok, ip), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Mantis-Eval (multi-image)
+# ---------------------------------------------------------------------------
+
+
+def test_read_mantis_file(tmp_path):
+    """Marker prepending + option letter formatting + instruction suffixes."""
+    from omchat_tpu.eval.harness import MC_INSTRUCTION, SA_INSTRUCTION, read_mantis_file
+
+    p = tmp_path / "mantis.jsonl"
+    p.write_text(
+        json.dumps({"id": "m1", "question": "Which is bigger?",
+                    "images": ["a.jpg", "b.jpg"],
+                    "question_type": "multi-choice",
+                    "options": ["the first", "the second"], "answer": "A"}) + "\n"
+        + json.dumps({"id": "m2", "question": "<image> then <image>: what changed?",
+                      "images": ["c.jpg", "d.jpg"],
+                      "question_type": "short-answer", "answer": "the color"}) + "\n"
+    )
+    samples = read_mantis_file(str(p), image_root="/imgs")
+    s0, s1 = samples
+    # two markers prepended (question had none), lettered options, MC suffix
+    assert s0.text.count("<image>") == 2
+    assert "A. the first" in s0.text and "B. the second" in s0.text
+    assert s0.text.endswith(MC_INSTRUCTION)
+    assert s0.image_paths == ["/imgs/a.jpg", "/imgs/b.jpg"]
+    # existing markers kept in place, short-answer suffix
+    assert s1.text.count("<image>") == 2
+    assert s1.text.startswith("<image> then <image>")
+    assert s1.text.endswith(SA_INSTRUCTION)
+    assert s1.extra["question_type"] == "short-answer"
+
+
+def test_score_mantis():
+    from omchat_tpu.eval.harness import score_mantis
+
+    answers = {"1": "The answer is B.", "2": "A", "3": "Blue.", "4": "a dog"}
+    truths = {
+        "1": {"answer": "B", "question_type": "multi-choice"},
+        "2": {"answer": "C", "question_type": "multi-choice"},
+        "3": {"answer": "blue", "question_type": "short-answer"},
+        "4": {"answer": "cat", "question_type": "short-answer"},
+    }
+    out = score_mantis(answers, truths)
+    assert out["multi-choice"] == 0.5
+    assert out["short-answer"] == 0.5
+    assert out["overall"] == 0.5
+
+
+def test_mantis_end_to_end(tmp_path):
+    """run_eval_mantis drives the tiny model over a 2-question multi-image
+    fixture dump and the scorer consumes the answers file."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from omchat_tpu.eval.harness import (
+        read_answers_file,
+        read_mantis_file,
+        run_eval_mantis,
+        score_mantis,
+    )
+
+    rng = np.random.default_rng(0)
+    for name in ("a.png", "b.png", "c.png"):
+        PILImage.fromarray(rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)).save(
+            tmp_path / name
+        )
+    q = tmp_path / "q.jsonl"
+    q.write_text(
+        json.dumps({"id": "m1", "question": "Which image is brighter?",
+                    "images": ["a.png", "b.png"], "question_type": "multi-choice",
+                    "options": ["left", "right"], "answer": "A"}) + "\n"
+        + json.dumps({"id": "m2", "question": "<image> What is shown?",
+                      "images": ["c.png"], "question_type": "short-answer",
+                      "answer": "noise"}) + "\n"
+    )
+    model = _tiny_model()
+    samples = read_mantis_file(str(q), image_root=str(tmp_path))
+    answers_file = str(tmp_path / "ans.jsonl")
+    run_eval_mantis(model, samples, answers_file, max_new_tokens=4, progress=False)
+    answers = read_answers_file(answers_file)
+    assert set(answers) == {"m1", "m2"}
+    truths = {s.question_id: {"answer": s.answer, **(s.extra or {})} for s in samples}
+    out = score_mantis(answers, truths)
+    assert 0.0 <= out["overall"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# MMBench-Video
+# ---------------------------------------------------------------------------
+
+
+def test_judge_answer_heuristic():
+    from omchat_tpu.eval.harness import judge_answer_heuristic
+
+    assert judge_answer_heuristic("A red car.", "red car") == 3  # containment
+    assert judge_answer_heuristic("the car was red and moving", "red car") == 2
+    assert judge_answer_heuristic("something red", "red car") == 1
+    assert judge_answer_heuristic("a blue bike", "red car") == 0
+
+
+def test_score_mmbench_video_three_level_mean():
+    """Level-2 means, L1 = mean of member L2 means, overall = mean of all L2
+    means — pinned with explicit external scores (no judge involved)."""
+    from omchat_tpu.eval.harness import EvalSample, score_mmbench_video
+
+    samples = [
+        EvalSample("1", "q", extra={"l2": "CP"}),
+        EvalSample("2", "q", extra={"l2": "CP"}),
+        EvalSample("3", "q", extra={"l2": "TR"}),
+    ]
+    answers = {"1": "x", "2": "y", "3": "z"}
+    scores = {"1": 3, "2": 1, "3": 2}
+    out = score_mmbench_video(answers, samples, scores)
+    assert out["CP"] == 2.0  # (3+1)/2
+    assert out["TR"] == 2.0
+    assert out["Perception"] == 2.0  # only CP populated
+    assert out["Reasoning"] == 2.0  # only TR populated
+    assert out["overall"] == 2.0  # mean of L2 means
+    assert out["question_mean"] == 2.0  # (3+1+2)/3
+
+
+def test_score_mmbench_video_unbalanced():
+    """Overall is the mean of L2 means, not of raw question scores."""
+    from omchat_tpu.eval.harness import EvalSample, score_mmbench_video
+
+    samples = [
+        EvalSample("1", "q", extra={"l2": "CP"}),
+        EvalSample("2", "q", extra={"l2": "CP"}),
+        EvalSample("3", "q", extra={"l2": "CP"}),
+        EvalSample("4", "q", extra={"l2": "LR"}),
+    ]
+    answers = {q: "x" for q in "1234"}
+    scores = {"1": 3, "2": 3, "3": 3, "4": 1}
+    out = score_mmbench_video(answers, samples, scores)
+    assert out["CP"] == 3.0 and out["LR"] == 1.0
+    assert out["overall"] == 2.0  # (3+1)/2, while question mean is 2.5
+    assert out["question_mean"] == 2.5
+
+
+def test_mmbench_video_end_to_end(tmp_path):
+    """run_eval_video drives the tiny model over a frame-directory video
+    fixture (the MMBench-Video 32-frame protocol at 4 frames)."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from omchat_tpu.eval.harness import (
+        read_answers_file,
+        read_video_question_file,
+        run_eval_video,
+        score_mmbench_video,
+    )
+
+    vdir = tmp_path / "vid1"
+    vdir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(6):
+        PILImage.fromarray(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)).save(
+            vdir / f"frame_{i:03d}.png"
+        )
+    q = tmp_path / "vq.jsonl"
+    q.write_text(
+        json.dumps({"question_id": "v1", "video": "vid1",
+                    "question": "What happens in the video?",
+                    "answer": "noise", "l2": "TR"}) + "\n"
+    )
+    model = _tiny_model()
+    samples = read_video_question_file(str(q), video_root=str(tmp_path))
+    answers_file = str(tmp_path / "vans.jsonl")
+    run_eval_video(model, samples, answers_file, num_frames=4, max_new_tokens=4,
+                   progress=False)
+    answers = read_answers_file(answers_file)
+    assert set(answers) == {"v1"}
+    out = score_mmbench_video(answers, samples)
+    assert "overall" in out and "TR" in out
+
+
 def test_perplexity_matches_manual(rng):
     """harness.perplexity == exp(mean -log p(next token)) computed manually
     from the trunk's logits (tiny model, xla attention)."""
