@@ -149,13 +149,38 @@ def export_hf_bundle(config, params: dict, directory: str, source_dir: Optional[
     """Write a complete loadable HF-bundle directory — the full
     ``save_pretrained``-equivalent surface of the reference converter
     (convert_omchat_to_hf.py:104-106): sharded safetensors (+ index when
-    multi-file), config.json, preprocessor_config.json / processor_config.json,
-    and the tokenizer files carried over from ``source_dir``."""
+    multi-file), config.json with ``auto_map`` entries, the self-contained
+    ``trust_remote_code`` model/processor code files (so the directory loads
+    through ``AutoModel.from_pretrained(..., trust_remote_code=True)`` exactly
+    like the reference's output, hf_example.py:9-16),
+    preprocessor_config.json / processor_config.json, and the tokenizer files
+    carried over from ``source_dir``."""
     import json
     import shutil
 
     os.makedirs(directory, exist_ok=True)
     save_hf_safetensors(params, directory)
+
+    # trust_remote_code bundle: standalone torch/transformers code files
+    # (omchat_tpu/export/hf_code/) copied next to the weights.
+    code_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "export", "hf_code"
+    )
+    code_files = [
+        "configuration_omchat.py",
+        "modeling_omchat.py",
+        "processing_omchat.py",
+        "image_processing_omchat.py",
+    ]
+    for name in code_files:
+        shutil.copy(os.path.join(code_dir, name), os.path.join(directory, name))
+    auto_map = {
+        "AutoConfig": "configuration_omchat.OmChatConfig",
+        "AutoModel": "modeling_omchat.OmChatForConditionalGeneration",
+        "AutoModelForCausalLM": "modeling_omchat.OmChatForConditionalGeneration",
+        "AutoProcessor": "processing_omchat.OmChatProcessor",
+        "AutoImageProcessor": "image_processing_omchat.OmChatImageProcessor",
+    }
 
     # config.json: start from the source checkpoint's config (preserves keys we
     # don't model) and overlay the canonical HF-bundle fields.
@@ -166,6 +191,7 @@ def export_hf_bundle(config, params: dict, directory: str, source_dir: Optional[
             with open(src_cfg) as f:
                 base = json.load(f)
     base.update(config.to_hf_dict())
+    base["auto_map"] = auto_map
     with open(os.path.join(directory, "config.json"), "w") as f:
         json.dump(base, f, indent=2)
 
@@ -173,6 +199,10 @@ def export_hf_bundle(config, params: dict, directory: str, source_dir: Optional[
     pre = {
         "image_processor_type": "OmChatImageProcessor",
         "processor_class": "OmChatProcessor",
+        "auto_map": {
+            "AutoImageProcessor": "image_processing_omchat.OmChatImageProcessor",
+            "AutoProcessor": "processing_omchat.OmChatProcessor",
+        },
         "crop_size": {"height": config.vision.image_size, "width": config.vision.image_size},
         "size": {"shortest_edge": config.vision.image_size},
         "image_grid_pinpoints": [list(p) for p in config.image_grid_pinpoints],
@@ -187,7 +217,14 @@ def export_hf_bundle(config, params: dict, directory: str, source_dir: Optional[
     with open(os.path.join(directory, "preprocessor_config.json"), "w") as f:
         json.dump(pre, f, indent=2)
     with open(os.path.join(directory, "processor_config.json"), "w") as f:
-        json.dump({"processor_class": "OmChatProcessor"}, f, indent=2)
+        json.dump(
+            {
+                "processor_class": "OmChatProcessor",
+                "auto_map": {"AutoProcessor": "processing_omchat.OmChatProcessor"},
+            },
+            f,
+            indent=2,
+        )
 
     if source_dir:
         for name in os.listdir(source_dir):
