@@ -33,6 +33,99 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# ---------------------------------------------------------------------------
+# Test tiers.  The Pallas-interpret / golden-parity heavyweights dominate the
+# suite (>45 s each on CPU); they carry @slow so CI and the round driver get a
+# fast green signal from `pytest -m "not slow"` (<5 min at -n 8) while
+# `pytest tests/` still runs everything.  Measured with --durations=0; keyed
+# (file, test-function) so parametrized families tier together.
+# ---------------------------------------------------------------------------
+
+SLOW_TESTS = {
+    ("test_lora.py", "test_gradients_only_on_adapters_and_loss_descends"),
+    ("test_lora.py", "test_qlora_int8_base"),
+    ("test_lora.py", "test_zero_init_is_identity"),
+    ("test_mm_projector.py", "test_stage1_updates_projector_only"),
+    ("test_api_e2e.py", "test_load_pretrained_model_int8"),
+    ("test_api_e2e.py", "test_load_pretrained_model_chat"),
+    ("test_api_e2e.py", "test_load_w8a8_mode"),
+    ("test_intern_vit_parity.py", "test_intern_vit_matches_reference"),
+    ("test_sharding.py", "test_train_step_runs_sharded"),
+    ("test_sharding.py", "test_sequence_parallel_train_step_matches"),
+    ("test_sharding.py", "test_moe_expert_parallel_matches_single_device"),
+    ("test_sharding.py", "test_tp_quantized_params_shard"),
+    ("test_sharding.py", "test_tp_batch_engine_matches_single_device"),
+    ("test_sharding.py", "test_tp_generation_matches_single_device"),
+    ("test_sharding.py", "test_tp_chunked_prefill_matches_single_device"),
+    ("test_paged_engine.py", "test_multimodal_grouped_chunk_prefill"),
+    ("test_paged_engine.py", "test_paged_engine_matches_single_request"),
+    ("test_paged_engine.py", "test_chunked_paged_prefill_matches_contiguous"),
+    ("test_paged_engine.py", "test_short_prefill_length_bucketing"),
+    ("test_paged_engine.py", "test_decode_roll_matches_single_step"),
+    ("test_paged_engine.py", "test_paged_sampling_deterministic"),
+    ("test_clip_siglip_parity.py", "test_siglip_vision_matches_hf"),
+    ("test_clip_siglip_parity.py", "test_clip_vision_matches_hf"),
+    ("test_omchat_e2e.py", "test_fusion_logits_match_reference"),
+    ("test_flash_bwd.py", "test_mqa_group_slicing"),
+    ("test_flash_bwd.py", "test_flash_grads_packed_segments"),
+    ("test_flash_bwd.py", "test_flash_grads_packed_isolation"),
+    ("test_flash_bwd.py", "test_flash_grads_match_xla"),
+    ("test_eval_harness.py", "test_perplexity_matches_manual"),
+    ("test_batch_engine.py", "test_interleaved_matches_isolated"),
+    ("test_batch_engine.py", "test_more_requests_than_slots"),
+    ("test_llm_glue.py", "test_qwen2_glue_trunk_matches_unfused_w8a8"),
+    ("test_llm_glue.py", "test_qwen2_glue_nonsquare_oproj_fallback"),
+    ("test_qwen2_parity.py", "test_qwen2_rope_scaling_matches_hf"),
+    ("test_qwen2_parity.py", "test_qwen2_prefill_decode_cache_parity"),
+    ("test_checkpoint_roundtrip.py", "test_export_hf_bundle_loads_end_to_end"),
+    ("test_checkpoint_roundtrip.py", "test_safetensors_roundtrip"),
+    ("test_checkpoint_roundtrip.py", "test_repo_native_key_layout_loads"),
+    ("test_constrained.py", "test_guided_generation_lands_on_a_choice"),
+    ("test_anyres.py", "test_process_anyres_image_matches_reference"),
+    ("test_lora_bank.py", "test_bank_matches_merged_weights"),
+    ("test_cabstractor_parity.py", "test_cabstractor_init_matches_converted_structure"),
+    ("test_pallas_kernels.py", "test_intern_vit_fused_path_matches_xla"),
+    ("test_pallas_kernels.py", "test_intern_vit_glue_path_matches_xla_w8a8"),
+    ("test_pallas_kernels.py", "test_anchored_softmax_matches_online"),
+    ("test_prefix_cache.py", "test_soak_with_prefix_cache"),
+    ("test_prefix_cache.py", "test_multiturn_vqa_reuses_image_pages"),
+    ("test_prefix_cache.py", "test_cache_pages_evict_under_pressure"),
+    ("test_qwen2_moe_parity.py", "test_moe_batch_engine"),
+    ("test_qwen2_moe_parity.py", "test_moe_decode_cache_parity"),
+    ("test_feature_cache.py", "test_engine_reuses_repeated_image"),
+    ("test_packing.py", "test_packed_train_step_runs_sharded"),
+    ("test_packing.py", "test_packed_loss_matches_unpacked"),
+    ("test_pipeline_ulysses.py", "test_pipeline_qwen2_trunk"),
+    ("test_vision_tokenizer.py", "test_finetune_step_on_extended_vocab"),
+    ("test_paged_attention.py", "test_fp8_pool_both_kernels"),
+    ("test_intern_vit_parity.py", "test_intern_vit_rectangular_input"),
+    ("test_api_e2e.py", "test_chat_tools_forced"),
+    ("test_api_e2e.py", "test_load_pretrained_model_lora"),
+    ("test_pallas_kernels.py", "test_intern_vit_static_fc1_scales_match_dynamic"),
+    ("test_pallas_kernels.py", "test_grouped_gqa_group7"),
+    ("test_paged_engine.py", "test_randomized_workload_soak"),
+    ("test_lora_bank.py", "test_bank_row0_is_base"),
+    ("test_eval_harness.py", "test_mantis_end_to_end"),
+    ("test_eval_harness.py", "test_mmbench_video_end_to_end"),
+    ("test_lora.py", "test_merge_matches_adapter_forward"),
+    ("test_qwen2_moe_parity.py", "test_moe_gmm_matches_dense"),
+    ("test_llm_glue.py", "test_calibrate_swiglu_scales_and_static_path"),
+    ("test_checkpoint_roundtrip.py", "test_orbax_train_checkpoint_resume"),
+    ("test_anyres.py", "test_hf_image_processor_matches_reference"),
+    ("test_json_schema.py", "test_cache_and_engine_integration"),
+    ("test_trust_remote_code.py", "test_parity_runbook_reports_full_match"),
+    ("test_trust_remote_code.py", "test_automodel_greedy_matches_jax_engine"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        func = item.nodeid.split("::")[-1].split("[")[0]
+        if (fname, func) in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def reference_path():
     """Path to the read-only reference checkout; adds it to sys.path on use."""

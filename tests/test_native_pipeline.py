@@ -30,19 +30,27 @@ def test_anyres_native_matches_python(rng, size):
     np.testing.assert_allclose(ours, ref, atol=2e-6)
 
 
+@pytest.mark.perf
 def test_native_faster_than_python(rng):
-    """Sanity perf check on a 9-tile 1344×1344 image (not a strict benchmark)."""
+    """Sanity perf check on a 9-tile 1344×1344 image (not a strict benchmark).
+
+    min-of-3 per side: under ``-n 8`` suite parallelism a single wall-clock
+    sample is noisy enough to flip the comparison (observed flake)."""
     import time
 
     img = Image.fromarray(rng.integers(0, 256, size=(1344, 1344, 3), dtype=np.uint8))
     native.anyres_process_native(img)  # warm
-    t0 = time.perf_counter()
-    for _ in range(3):
-        native.anyres_process_native(img)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(3):
-        process_anyres_image(img, use_native=False)
-    t_python = time.perf_counter() - t0
+    process_anyres_image(img, use_native=False)  # warm
+
+    def best(fn):
+        t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            t = min(t, time.perf_counter() - t0)
+        return t
+
+    t_native = best(lambda: native.anyres_process_native(img))
+    t_python = best(lambda: process_anyres_image(img, use_native=False))
     # The fused path must not be slower; typically it is several× faster.
     assert t_native < t_python

@@ -106,6 +106,66 @@ def test_automodel_greedy_matches_jax_engine(exported_bundle):
     assert torch_tokens == list(jax_out.token_ids[0])
 
 
+def test_parity_runbook_reports_full_match(exported_bundle):
+    """cli/parity's harness: export → reload → 100% argmax match against the
+    torch twin, with per-module deltas (the VERDICT round-3 'done' criterion)."""
+    from PIL import Image
+
+    from omchat_tpu.api import load_pretrained_model
+    from omchat_tpu.eval.parity import load_torch_twin, run_parity
+
+    model = load_pretrained_model(exported_bundle, dtype=jnp.float32, attn_impl="xla")
+    torch_model, source = load_torch_twin(exported_bundle, jax_params=model.engine.params)
+    assert source == "remote_code"
+
+    rng = np.random.default_rng(3)
+    image = Image.fromarray(rng.integers(0, 255, (70, 100, 3), dtype=np.uint8))
+    inputs = model.processor("describe", images=image)
+    report = run_parity(
+        model,
+        torch_model,
+        inputs["input_ids"][0].tolist(),
+        np.asarray(inputs["images"], np.float32),
+        max_new_tokens=6,
+        per_module=True,
+    )
+    assert report["argmax_match_rate"] == 1.0
+    assert report["first_divergence_step"] is None
+    assert report["engine_matches_torch"]
+    assert report["max_logit_diff"] < 1e-4
+    assert report["per_module"]["tower_features"]["max_abs"] < 1e-4
+    assert report["per_module"]["projector"]["max_abs"] < 1e-4
+
+
+def test_parity_in_repo_twin(exported_bundle, tmp_path):
+    """A checkpoint without code files parity-checks through the in-repo twin."""
+    import json
+    import os
+    import shutil
+
+    from omchat_tpu.api import load_pretrained_model
+    from omchat_tpu.eval.parity import load_torch_twin, run_parity
+
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    for name in os.listdir(exported_bundle):
+        if name.endswith(".py"):
+            continue
+        shutil.copy(os.path.join(exported_bundle, name), plain / name)
+    cfg = json.load(open(plain / "config.json"))
+    cfg.pop("auto_map", None)
+    json.dump(cfg, open(plain / "config.json", "w"))
+
+    model = load_pretrained_model(str(plain), dtype=jnp.float32, attn_impl="xla")
+    torch_model, source = load_torch_twin(str(plain), jax_params=model.engine.params)
+    assert source == "in-repo-twin"
+    inputs = model.processor("hello there")
+    report = run_parity(
+        model, torch_model, inputs["input_ids"][0].tolist(), None, max_new_tokens=5
+    )
+    assert report["argmax_match_rate"] == 1.0 and report["engine_matches_torch"]
+
+
 def test_automodel_text_only_matches(exported_bundle):
     import torch
     from transformers import AutoModel, AutoProcessor
