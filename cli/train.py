@@ -279,6 +279,10 @@ def main():
     parser.add_argument("--warmup", type=int, default=10)
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument("--cp", type=int, default=1,
+                        help="context parallelism: shard the sequence axis over a 'context' "
+                        "mesh axis with ring attention (long-context training; requires "
+                        "merged seq len %% cp == 0; incompatible with --tp/--sequence-parallel)")
     parser.add_argument("--fsdp", action="store_true")
     parser.add_argument("--sequence-parallel", action="store_true", help="Megatron SP: shard activation sequence axis over the model axis")
     parser.add_argument("--grad-clip", type=float, default=1.0,
@@ -350,11 +354,22 @@ def main():
     if args.qlora:
         parser.error("--qlora requires --lora-rank")
 
-    mesh = create_mesh(tp=args.tp)
+    if args.cp > 1:
+        if args.tp != 1 or args.sequence_parallel:
+            parser.error("--cp is incompatible with --tp/--sequence-parallel")
+        from omchat_tpu.parallel.mesh import create_cp_mesh
+        from omchat_tpu.parallel.sharding import specs_without_axis
+
+        mesh = create_cp_mesh(cp=args.cp)
+        specs = specs_without_axis(
+            omchat_param_specs(cfg, params, fsdp=args.fsdp), "model"
+        )
+    else:
+        mesh = create_mesh(tp=args.tp)
+        specs = omchat_param_specs(cfg, params, fsdp=args.fsdp)
     dp = mesh.shape["data"]
     if args.batch_size % dp != 0:
         parser.error(f"--batch-size {args.batch_size} must be divisible by the data-parallel degree {dp} (= devices/tp)")
-    specs = omchat_param_specs(cfg, params, fsdp=args.fsdp)
     schedule = warmup_cosine_schedule(args.lr, total_steps=total, warmup_steps=args.warmup)
     optimizer = optax.adamw(schedule, b1=0.9, b2=0.95)
     if args.grad_clip > 0:
@@ -372,7 +387,8 @@ def main():
     if args.grad_accum > 1:
         optimizer = optax.MultiSteps(optimizer, every_k_schedule=args.grad_accum)
     step_fn, batch_shardings, _ = make_sharded_train_step(
-        cfg, mesh, specs, optimizer, sequence_parallel=args.sequence_parallel
+        cfg, mesh, specs, optimizer, sequence_parallel=args.sequence_parallel,
+        context_parallel=args.cp > 1,
     )
 
     params = shard_params(params, mesh, specs)

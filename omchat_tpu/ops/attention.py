@@ -68,6 +68,27 @@ def attention(
     Returns [B, S, H, D] in q.dtype.
     """
     impl = impl or default_impl()
+    if isinstance(impl, tuple) and impl[0] == "ring":
+        # Context parallelism: q/k/v sequence-sharded over a mesh axis; block
+        # attention + ppermute KV rotation + online-softmax merge
+        # (parallel/ring_attention.py).  Differentiable (shard_map + scan) —
+        # this is the --cp training path.  Decode/cache/packed shapes fall
+        # back to XLA (GSPMD gathers the sequence axis there).
+        mesh, ring_axis = impl[1], impl[2]
+        if (
+            segment_ids is None
+            and q_offset is None
+            and kv_len is None
+            and kv_format == "btnd"
+            and q.shape[1] == k.shape[1]
+        ):
+            from omchat_tpu.parallel.ring_attention import ring_attention
+
+            batch_axis = "data" if "data" in mesh.axis_names else None
+            return ring_attention(
+                q, k, v, mesh, axis=ring_axis, causal=causal, batch_axis=batch_axis
+            )
+        impl = "xla"
     if isinstance(impl, tuple) and impl[0] == "pallas_tp":
         # Tensor-parallel Pallas: the kernel runs per shard under shard_map
         # (heads Megatron-sharded over the mesh's model axis).  The tuple

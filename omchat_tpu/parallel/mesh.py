@@ -41,6 +41,25 @@ def create_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def create_cp_mesh(
+    cp: int,
+    dp: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, context) mesh for ring-attention context parallelism
+    (SURVEY.md §2.3 "CP"): the sequence axis shards over ``context`` and the
+    ppermute KV ring rides the innermost (fastest-ICI) axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % cp != 0:
+        raise ValueError(f"cp={cp} does not divide device count {n}")
+    dp = dp if dp is not None else n // cp
+    if dp * cp != n:
+        raise ValueError(f"dp*cp = {dp * cp} != device count {n}")
+    arr = np.asarray(devices).reshape(dp, cp)
+    return Mesh(arr, axis_names=("data", "context"))
+
+
 def shard(mesh: Mesh, spec: P) -> NamedSharding:
     return NamedSharding(mesh, spec)
 

@@ -1,4 +1,4 @@
-"""Pipeline parallelism (GPipe-style forward) over a ``stage`` mesh axis.
+"""Pipeline parallelism (GPipe) over a ``stage`` mesh axis.
 
 The reference has no PP (SURVEY.md §2.3: only HF ``device_map="auto"``
 sequential layer placement).  This provides the genuinely-parallel TPU
@@ -7,9 +7,15 @@ each stage's parameters live on one mesh slice, and microbatches stream
 through the stages with ``ppermute`` handoffs over ICI — S + M - 1 pipeline
 ticks for M microbatches instead of S·M sequential steps.
 
-Forward/inference schedule (fill-drain).  Training would add a 1F1B backward
-schedule on top; the TPU-idiomatic alternative for training remains
-FSDP/TP/EP (parallel/sharding.py), which cover the reference's model sizes.
+The fill-drain schedule is a ``lax.scan``, so the whole pipeline is
+reverse-mode differentiable: AD transposes the scan and the ppermutes into
+the mirrored backward schedule (gradients drain stage-by-stage over the
+inverted ring), giving GPipe training without a hand-written 1F1B state
+machine — :func:`pipeline_train_step`.  Activation memory is GPipe-style
+(all M microbatch activations live through the backward; wrap ``stage_fn``
+in ``jax.checkpoint`` to trade recompute for memory).  The TPU-idiomatic
+default for the reference's model sizes remains FSDP/TP/EP
+(parallel/sharding.py); PP is for models beyond TP reach.
 """
 
 from __future__ import annotations
@@ -52,7 +58,7 @@ def pipeline_forward(
         sid = jax.lax.axis_index(axis)
         zero = jnp.zeros_like(micro[0])
 
-        def tick(t, carry):
+        def tick(carry, t):
             inbuf, outs = carry
             # stage 0 injects microbatch t (while available); others consume
             # the activation handed over from stage s-1 last tick.
@@ -70,10 +76,13 @@ def pipeline_forward(
                 outs,
             )
             nxt = jax.lax.ppermute(y, axis, perm_fwd)
-            return nxt, outs
+            return (nxt, outs), None
 
         outs0 = jnp.zeros_like(micro)
-        _, outs = jax.lax.fori_loop(0, m + n_stages - 1, tick, (zero, outs0))
+        # scan (not fori_loop) so the schedule is reverse-differentiable
+        (_, outs), _ = jax.lax.scan(
+            tick, (zero, outs0), jnp.arange(m + n_stages - 1)
+        )
         # replicate the last stage's outputs to every stage
         return jax.lax.psum(
             jnp.where(sid == n_stages - 1, outs, jnp.zeros_like(outs)), axis
@@ -87,6 +96,34 @@ def pipeline_forward(
         out_specs=P(),
         check_vma=False,
     )(stage_params, microbatches)
+
+
+def pipeline_train_step(
+    stage_fn: Callable,
+    loss_fn: Callable,
+    stage_params,
+    microbatches: jax.Array,
+    targets,
+    mesh: Mesh,
+    *,
+    axis: str = "stage",
+):
+    """One GPipe training step: loss and stage-sharded gradients.
+
+    ``loss_fn(outputs [M, ...], targets) -> scalar`` (mean over microbatches
+    for batch-size-invariant math).  The backward is AD's transpose of the
+    pipelined scan — gradients stream back through the stages over the
+    inverted ppermute ring, each stage accumulating grads only for its own
+    [1, ...] parameter slice (same sharding as ``stage_params``).
+
+    Returns ``(loss, grads)`` with grads shaped/sharded like stage_params.
+    """
+
+    def total_loss(sp):
+        outs = pipeline_forward(stage_fn, sp, microbatches, mesh, axis=axis)
+        return loss_fn(outs, targets)
+
+    return jax.value_and_grad(total_loss)(stage_params)
 
 
 def stage_split(params, n_stages: int):

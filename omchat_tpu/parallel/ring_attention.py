@@ -60,11 +60,16 @@ def ring_attention(
     *,
     axis: str = "context",
     causal: bool = True,
+    batch_axis: Optional[str] = None,
 ) -> jax.Array:
     """Full-sequence attention with q/k/v sharded over ``axis`` on dim 1.
 
     q: [B, S, H, D]; k/v: [B, S, KVH, D] (global shapes).  Returns [B, S, H, D]
     with the same sharding.  Shard i holds rows [i*S/cp, (i+1)*S/cp).
+
+    ``batch_axis``: mesh axis the batch dim is sharded over (a combined
+    (data, context) training mesh) — the ring rotates only within each data
+    group.
     """
     cp = mesh.shape[axis]
 
@@ -108,7 +113,7 @@ def ring_attention(
         out = acc / l_safe.transpose(0, 2, 1)[..., None]
         return out.astype(q_loc.dtype)
 
-    spec = P(None, axis, None, None)
+    spec = P(batch_axis, axis, None, None)
     fn = jax.shard_map(
         body,
         mesh=mesh,

@@ -129,6 +129,24 @@ def projector_specs(params: dict) -> dict:
     return out
 
 
+def specs_without_axis(specs, axis: str):
+    """Replace references to ``axis`` with None (replicate) in a spec tree —
+    e.g. reuse the Megatron TP specs on a (data, context) CP mesh, where the
+    ``model`` axis does not exist."""
+
+    def fix(spec):
+        if not isinstance(spec, P):
+            return spec
+        return P(*[
+            None
+            if a == axis
+            else (tuple(x for x in a if x != axis) if isinstance(a, tuple) else a)
+            for a in spec
+        ])
+
+    return jax.tree.map(fix, specs, is_leaf=lambda x: isinstance(x, P))
+
+
 def omchat_param_specs(cfg: OmChatConfig, params: dict, *, fsdp: bool = False) -> dict:
     return {
         "vision_tower": vision_param_specs(cfg.vision, fsdp=fsdp),

@@ -99,9 +99,12 @@ def loss_fn(
     parallelism (norms/elementwise run sequence-sharded; GSPMD inserts the
     gather/scatter around the TP attention/MLP blocks)."""
     attn_impl = attn_impl or default_train_attn_impl()
+    # tuple impls (("ring", mesh, axis) context parallelism) apply to the
+    # trunk's sequence axis only — the ViT runs its own per-tile sequences
+    vit_impl = "xla" if isinstance(attn_impl, tuple) else attn_impl
     pixel_values = batch.get("pixel_values")
     if pixel_values is not None:
-        feats = encode_images(params, cfg, pixel_values, attn_impl=attn_impl)
+        feats = encode_images(params, cfg, pixel_values, attn_impl=vit_impl)
         feats = feats.reshape(-1, feats.shape[-1])
     else:
         feats = None
@@ -148,6 +151,7 @@ def make_sharded_train_step(
     attn_impl: Optional[str] = None,
     remat: bool = True,
     sequence_parallel: bool = False,
+    context_parallel: bool = False,
 ):
     """jit the train step with explicit in/out shardings over the mesh.
 
@@ -155,15 +159,27 @@ def make_sharded_train_step(
     follow ``param_specs``.  ``sequence_parallel=True`` additionally shards
     the trunk activations' sequence axis over ``model`` (Megatron SP —
     SURVEY.md §2.3; requires seq_len % tp == 0).
+
+    ``context_parallel=True`` runs ring-attention CP over a ``context`` mesh
+    axis (SURVEY.md §2.3 "CP / ring attention"): the batch's sequence axis
+    shards over ``context``, every trunk op except attention is row-local,
+    and attention runs the ppermute KV ring (parallel/ring_attention.py) —
+    no device materializes the full sequence.  Requires a mesh with a
+    ``context`` axis (``create_cp_mesh``) and seq_len % cp == 0.
     """
+    if sequence_parallel and context_parallel:
+        raise ValueError("sequence_parallel and context_parallel are mutually exclusive")
+    if context_parallel and "context" not in mesh.axis_names:
+        raise ValueError("context_parallel needs a mesh with a 'context' axis (create_cp_mesh)")
+    seq_spec = P("data", "context") if context_parallel else P("data")
     batch_spec = {
-        "token_ids": P("data"),
-        "is_image": P("data"),
-        "image_index": P("data"),
-        "positions": P("data"),
-        "labels": P("data"),
+        "token_ids": seq_spec,
+        "is_image": seq_spec,
+        "image_index": seq_spec,
+        "positions": seq_spec,
+        "labels": seq_spec,
         "pixel_values": P("data"),
-        "segment_ids": P("data"),  # multi-document packing (optional)
+        "segment_ids": seq_spec,  # multi-document packing (optional)
     }
 
     def to_sharding(tree):
@@ -179,13 +195,18 @@ def make_sharded_train_step(
     # (all-gathering sharded q/k/v), while XLA's fused attention partitions
     # cleanly; running the Pallas kernels per-shard under shard_map is the
     # planned multi-chip fast path.
-    if attn_impl is None:
+    if context_parallel:
+        attn_impl = ("ring", mesh, "context")
+    elif attn_impl is None:
         platform = next(iter(mesh.devices.flat)).platform
         attn_impl = "pallas_vjp" if platform == "tpu" and mesh.size == 1 else "xla"
 
-    act_sharding = (
-        NamedSharding(mesh, P("data", "model", None)) if sequence_parallel else None
-    )
+    if sequence_parallel:
+        act_sharding = NamedSharding(mesh, P("data", "model", None))
+    elif context_parallel:
+        act_sharding = NamedSharding(mesh, P("data", "context", None))
+    else:
+        act_sharding = None
     step_fn = functools.partial(
         train_step, optimizer=optimizer, attn_impl=attn_impl, remat=remat,
         act_sharding=act_sharding,
