@@ -203,6 +203,23 @@ def main():
     vit_time = (time.perf_counter() - t0) / n_rep
     vit_images_per_sec = 1.0 / vit_time  # one anyres image (= N_TILES tiles) per call
 
+    # --- Batched multi-image encode (the serving engine's dispatch shape:
+    # several requests' anyres images ride ONE ViT call) ---
+    n_imgs = 4
+    pixels_b = jnp.asarray(
+        rng.standard_normal((n_imgs * N_TILES, 3, 448, 448)).astype(np.float32),
+        dtype=jnp.bfloat16,
+    )
+    _log("compiling batched ViT encode")
+    feats_b = engine.encode_images(pixels_b)
+    _sync(feats_b)
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        feats_b = engine.encode_images(pixels_b)
+    _sync(feats_b)
+    vit_batched_time = (time.perf_counter() - t0) / n_rep
+    vit_images_per_sec_batched = n_imgs / vit_batched_time
+
     # --- Prefill (TTFT) ---
     plan = engine.plan([ids])
     # NOTE: no calibrate_swiglu_scales here — the static SwiGLU epilogue is a
@@ -267,6 +284,7 @@ def main():
 
     # --- Paged continuous-batching serving (mixed text+image workload) ---
     serving_toks = None
+    serving_latency = None
     try:
         del cache, bcache, blogits, bfirst, bout  # free scratch KV before the page pool
         from dev.bench_serving import MAX_NEW, build_workload
@@ -289,10 +307,14 @@ def main():
                 for r, im in zip(sreqs, simages)]
         pengine.run_to_completion()
         serving_wall = time.perf_counter() - t0
+        serving_latency = {
+            k: round(v, 4) if isinstance(v, float) else v
+            for k, v in pengine.latency_stats().items()
+        }
         n_gen = sum(len(pengine.pop_result(r)[0]) for r in rids)
         serving_toks = round(n_gen / serving_wall, 2)
         del pengine
-        _log(f"serving: {serving_toks} tok/s")
+        _log(f"serving: {serving_toks} tok/s {serving_latency}")
     except Exception as e:  # never lose the core metrics to the serving add-on
         _log(f"serving bench skipped: {type(e).__name__}: {e}")
 
@@ -321,6 +343,8 @@ def main():
                     "model": model_name,
                     "ttft_ms": round(ttft * 1000, 1),
                     "vit_images_per_sec": round(vit_images_per_sec, 2),
+                    "vit_images_per_sec_batched": round(vit_images_per_sec_batched, 2),
+                    "vit_batched_tflops": round(n_imgs * vit_flops / vit_batched_time / 1e12, 1),
                     "vit_tflops": round(vit_flops / vit_time / 1e12, 1),
                     "prefill_ms": round(prefill_time * 1000, 1),
                     "prefill_tflops": round(prefill_flops / prefill_time / 1e12, 1),
@@ -330,6 +354,7 @@ def main():
                     "batch4_decode_tokens_per_sec": round(batch_decode_toks, 2),
                     "batch8_decode_tokens_per_sec": round(batch_decode[8], 2),
                     "serving_tokens_per_sec": serving_toks,
+                    "serving_latency": serving_latency,
                     "serving_note": "paged continuous batching, 16 mixed requests (64-512 prompt tokens, 2-tile image every 4th), 64 generated each (dev/bench_serving.py workload)",
                     "baseline_assumption": "30 tok/s: A100 fp16 HF-4.41 generate (reference stack)",
                     "bf16_decode_note": "13B bf16 weights (26GB) exceed one 16GB v5e chip; int8 weight-only is the single-chip serving dtype (bf16 needs TP>=2). Decode is HBM-bound, so bf16 at TP=2 ~= the same tok/s as int8 at TP=1.",

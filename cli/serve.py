@@ -436,14 +436,16 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     "completion_tokens": len(emitted),
                     "total_tokens": n_prompt + len(emitted),
                 })
-            self.wfile.write(b"data: [DONE]\n\n")
-            self.wfile.flush()
+            # count BEFORE the final write: a client seeing the completed
+            # response must also see it in /metrics (no read-after-write race)
             count(
                 prompt_tokens=len(inputs["input_ids"][0]),
                 completion_tokens=len(emitted),
                 latency_ms=(time.time() - t_start) * 1000,
                 failed=finish == "error",
             )
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
 
         def _text_completions(self):
             """OpenAI legacy ``/v1/completions``: raw text in, raw
@@ -502,6 +504,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         if (stop_cut or len(token_ids) < gen.max_new_tokens)
                         else "length",
                     })
+                count(len(input_ids), total_new, (time.time() - t0) * 1000)
                 self._json(200, {
                     "object": "text_completion",
                     "model": "omchat-tpu",
@@ -513,7 +516,6 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         "latency_ms": round((time.time() - t0) * 1000, 1),
                     },
                 })
-                count(len(input_ids), total_new, (time.time() - t0) * 1000)
             except BadRequest as e:
                 count(failed=True)
                 self._json(400, _error_body(e, "invalid_request_error"))
@@ -716,10 +718,11 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                             "completion_tokens": total_new,
                             "total_tokens": prompt_len + total_new,
                         })
+                    count(prompt_len, total_new, (time.time() - t0) * 1000)
                     self.wfile.write(b"data: [DONE]\n\n")
                     self.wfile.flush()
-                    count(prompt_len, total_new, (time.time() - t0) * 1000)
                     return
+                count(prompt_len, total_new, (time.time() - t0) * 1000)
                 self._json(
                     200,
                     {
@@ -734,7 +737,6 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         },
                     },
                 )
-                count(prompt_len, total_new, (time.time() - t0) * 1000)
             except BadRequest as e:
                 count(failed=True)
                 self._json(400, _error_body(e, "invalid_request_error"))

@@ -174,6 +174,8 @@ def main():
         prof["decode_s"] -= prof["prefill_s"]  # step() includes prefill ticks
         prof = {k: round(v, 3) for k, v in prof.items()}
         print(json.dumps({"profile": prof}), flush=True)
+    latency = {k: round(v, 4) if isinstance(v, float) else v
+               for k, v in engine.latency_stats().items()}
     n_out = 0
     for rid in ids:
         out, _ = engine.pop_result(rid)
@@ -194,6 +196,7 @@ def main():
                     "shared_prefix_tokens": args.shared_prefix,
                     "prefix_cache_stats": engine.prefix_cache.stats() if engine.prefix_cache else None,
                     "wall_s": round(dt, 2),
+                    "latency": latency,
                     "requests_per_min": round(N_REQUESTS / dt * 60, 1),
                     "engine": f"PagedBatchEngine slots={args.max_slots} pages={args.num_pages}x{args.page_size} decode_roll={args.decode_roll} prefill_chunk={args.prefill_chunk} prefix_cache={args.prefix_cache}",
                 },

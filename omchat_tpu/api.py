@@ -103,6 +103,13 @@ class OmChatModel:
             from omchat_tpu.runtime.json_mode import get_json_mode
 
             allowed_fn = get_json_mode(self.tokenizer).mask_fn()
+        extra = {}
+        if self.config.mm_patch_merge_type.startswith("spatial") and "images" in inputs:
+            # OmChat-v1 assembly: variable tokens per image sentinel
+            extra = {
+                "num_patches": inputs["num_patches"].tolist(),
+                "image_sizes": inputs["image_sizes"],
+            }
         out = self.engine.generate(
             [inputs["input_ids"][0].tolist()],
             inputs.get("images"),
@@ -110,6 +117,7 @@ class OmChatModel:
             stream_callback=stream_callback,
             tokenizer=self.tokenizer,
             allowed_tokens_fn=allowed_fn,
+            **extra,
         )
         return self.tokenizer.decode(out.token_ids[0], skip_special_tokens=True)
 
@@ -278,6 +286,10 @@ def load_pretrained_model(
         shortest_edge=config.vision.image_size,
         image_grid_pinpoints=config.image_grid_pinpoints,
     )
-    processor = OmChatProcessor(tokenizer, image_processor)
+    processor = OmChatProcessor(
+        tokenizer,
+        image_processor,
+        patch_expand=not config.mm_patch_merge_type.startswith("spatial"),
+    )
     context_len = config.tokenizer_model_max_length or 8192
     return OmChatModel(tokenizer, engine, image_processor, processor, config, context_len)

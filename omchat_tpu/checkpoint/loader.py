@@ -221,11 +221,19 @@ def convert_omchat_state_dict(
     vt_prefix = (
         "vision_tower.vision_tower." if any(k.startswith("vision_tower.vision_tower.") for k in state) else "vision_tower."
     )
-    return {
+    out = {
         "vision_tower": convert_vision_tower(_subdict(state, vt_prefix), cfg.vision, dtype),
         "projector": convert_projector(_subdict(state, "multi_modal_projector."), dtype),
         "language_model": convert_qwen2(_subdict(state, "language_model."), cfg.text, dtype),
     }
+    # OmChat-v1 spatial_unpad newline embedding (omchat_llama.py:443-446):
+    # repo-native key model.image_newline → language_model.model.image_newline
+    # after normalization; HF-bundle exports write the bare key.
+    for key in ("image_newline", "language_model.model.image_newline"):
+        if key in state:
+            out["image_newline"] = jnp.asarray(state[key], dtype)
+            break
+    return out
 
 
 def load_mm_projector(path: str, dtype=jnp.bfloat16) -> dict:

@@ -105,6 +105,8 @@ def flatten_to_hf_state(params: dict) -> Dict[str, np.ndarray]:
         if "bias" in pp:
             out[f"multi_modal_projector.{name}.bias"] = _t(pp["bias"])
     lm(params["language_model"], "language_model.")
+    if "image_newline" in params:  # v1 spatial_unpad newline embedding
+        out["image_newline"] = _t(params["image_newline"])
     return out
 
 

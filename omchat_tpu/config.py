@@ -221,6 +221,11 @@ class OmChatConfig:
     ignore_index: int = -100
     tokenizer_model_max_length: Optional[int] = None
     tokenizer_padding_side: str = "right"
+    # OmChat-v1 legacy fusion (reference omchat_llama.py:421-459): "flat" is
+    # the v2 per-tile sentinel expansion; "spatial"/"spatial_unpad" arranges
+    # each image's tiles into the anyres grid (LLaVA-NeXT layout) with a
+    # learned image_newline — one sentinel per IMAGE, variable tokens.
+    mm_patch_merge_type: str = "flat"
 
     @property
     def image_seq_len(self) -> int:
@@ -248,6 +253,7 @@ class OmChatConfig:
             vision_feature_select_strategy=d.get("vision_feature_select_strategy", "default"),
             tokenizer_model_max_length=d.get("tokenizer_model_max_length"),
             tokenizer_padding_side=d.get("tokenizer_padding_side", "right"),
+            mm_patch_merge_type=d.get("mm_patch_merge_type", "flat"),
         )
 
     def with_w8a8(self) -> "OmChatConfig":
@@ -287,6 +293,8 @@ class OmChatConfig:
             "ignore_index": self.ignore_index,
             "tokenizer_padding_side": self.tokenizer_padding_side,
         }
+        if self.mm_patch_merge_type != "flat":
+            d["mm_patch_merge_type"] = self.mm_patch_merge_type
         if self.tokenizer_model_max_length is not None:
             d["tokenizer_model_max_length"] = self.tokenizer_model_max_length
         return d

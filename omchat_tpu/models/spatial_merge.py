@@ -51,6 +51,12 @@ def spatial_unpad_merge(
     tile_features: [1 + n_tiles, hw, C] (thumbnail first, raster tiles after),
     hw = (tile_pixels/14)². image_newline: [C]. Returns [T, C]."""
     base = tile_features[0]
+    if tile_features.shape[0] == 1:
+        # single-tile image: base features, newline appended in unpad mode
+        # (omchat_llama.py:452-459)
+        if "unpad" in patch_merge_type:
+            return jnp.concatenate([base, image_newline[None].astype(base.dtype)], axis=0)
+        return base
     tiles = tile_features[1:]
     hw, c = base.shape
     side = int(hw**0.5)

@@ -148,11 +148,14 @@ def specs_without_axis(specs, axis: str):
 
 
 def omchat_param_specs(cfg: OmChatConfig, params: dict, *, fsdp: bool = False) -> dict:
-    return {
+    specs = {
         "vision_tower": vision_param_specs(cfg.vision, fsdp=fsdp),
         "projector": projector_specs(params.get("projector", {})),
         "language_model": qwen2_param_specs(cfg.text, fsdp=fsdp),
     }
+    if "image_newline" in params:  # v1 spatial_unpad newline (replicated)
+        specs["image_newline"] = P()
+    return specs
 
 
 def kv_cache_specs(cfg: TextConfig, mesh: Mesh, batch: Optional[int] = None):

@@ -26,9 +26,19 @@ from omchat_tpu.processing.image_processor import OmChatImageProcessor, split_pi
 
 
 class OmChatProcessor:
-    def __init__(self, tokenizer, image_processor: Optional[OmChatImageProcessor] = None):
+    def __init__(
+        self,
+        tokenizer,
+        image_processor: Optional[OmChatImageProcessor] = None,
+        patch_expand: bool = True,
+    ):
+        """``patch_expand=False`` is the OmChat-v1 prompt shape
+        (mm_patch_merge_type spatial/spatial_unpad): ONE ``<image>`` sentinel
+        per image — the engine expands it to the spatial-merged token count —
+        instead of the v2 per-tile ``patch:<image>`` expansion."""
         self.tokenizer = tokenizer
         self.image_processor = image_processor or OmChatImageProcessor()
+        self.patch_expand = patch_expand
 
     def __call__(
         self,
@@ -49,7 +59,12 @@ class OmChatProcessor:
         per_image = split_pixel_values(image_inputs["pixel_values"], image_inputs["num_patches"])
         num_patches = [int(n) for n in image_inputs["num_patches"]]
 
-        if len(per_image) == 1:
+        if not self.patch_expand:
+            # v1: one sentinel per image, in place when the text has markers,
+            # else prepended
+            missing = len(per_image) - text.count(DEFAULT_IMAGE_TOKEN)
+            prompt = "\n".join([DEFAULT_IMAGE_TOKEN] * max(missing, 0) + [text]).strip()
+        elif len(per_image) == 1:
             prompt = image_prompt(text.replace(DEFAULT_IMAGE_TOKEN, "").strip(), num_patches[0])
         else:
             prompt = interleave_image_prompt(text, num_patches)
@@ -59,6 +74,7 @@ class OmChatProcessor:
             "input_ids": np.asarray([context_tokens], dtype=np.int32),
             "images": np.concatenate(per_image, axis=0),
             "num_patches": np.asarray(num_patches, dtype=np.int32),
+            "image_sizes": [im.size for im in images],
         }
 
     def decode(self, token_ids, **kwargs) -> str:

@@ -69,6 +69,14 @@ class ImageFeatureCache:
         self.hits += 1
         return feats
 
+    def peek(self, key: Optional[str]):
+        """Stat-free lookup (no hit/miss accounting, no LRU touch) — for
+        schedulers deciding whether to defer an encode; the deferred path's
+        own get() does the official accounting."""
+        if key is None:
+            return None
+        return self._entries.get(key)
+
     def put(self, key: Optional[str], feats) -> None:
         if key is None:
             return

@@ -372,14 +372,50 @@ class OmChatEngine:
             lambda pv: _encode_images_jit(self.params, self.cfg, jnp.asarray(pv), self.attn_impl),
         )
 
-    def plan(self, batch_input_ids, pad_to=None) -> MergePlan:
+    def plan(self, batch_input_ids, pad_to=None, tokens_per_sentinel=None) -> MergePlan:
         return plan_multimodal_merge(
             batch_input_ids,
             self.cfg.image_seq_len,
+            tokens_per_sentinel=tokens_per_sentinel,
             pad_to=pad_to,
             bucket=self.prompt_bucket,
             max_length=self.cfg.tokenizer_model_max_length,
         )
+
+    def merge_spatial_features(self, feats, num_patches, image_sizes):
+        """OmChat-v1 fusion (cfg.mm_patch_merge_type 'spatial'/'spatial_unpad',
+        reference omchat_llama.py:421-459): arrange each image's projected tile
+        features into the anyres grid, crop the aspect padding, append the
+        learned image_newline per row, prepend the thumbnail.
+
+        feats: flattened [ΣN·L, D] tile features (sentinel order);
+        num_patches: tiles per image; image_sizes: (width, height) originals.
+        Returns (flat [ΣT, D] merged features, tokens-per-sentinel list)."""
+        from omchat_tpu.models.spatial_merge import spatial_unpad_merge
+
+        newline = self.params.get("image_newline")
+        if newline is None:
+            raise ValueError(
+                "mm_patch_merge_type spatial needs the checkpoint's image_newline embedding"
+            )
+        per_tile = self.cfg.image_seq_len
+        feats = feats.reshape(-1, per_tile, feats.shape[-1])  # [ΣN, L, D]
+        outs, counts, off = [], [], 0
+        for n, size in zip(num_patches, image_sizes):
+            merged = spatial_unpad_merge(
+                feats[off : off + int(n)],
+                tuple(size),
+                self.cfg.image_grid_pinpoints,
+                self.cfg.vision.image_size,
+                newline,
+                patch_merge_type=self.cfg.mm_patch_merge_type,
+            )
+            off += int(n)
+            outs.append(merged)
+            counts.append(int(merged.shape[0]))
+        import jax.numpy as _jnp
+
+        return _jnp.concatenate(outs, axis=0), counts
 
     def _adapter_ids(self, b: int, adapter_id) -> Optional[jax.Array]:
         """[B] bank indices for this dispatch, or None when no bank is loaded.
@@ -495,11 +531,18 @@ class OmChatEngine:
         allowed_tokens_fn: Optional[Callable[[List[int]], Optional[List[int]]]] = None,
         logit_bias: Optional[dict] = None,
         adapter_id=0,
+        num_patches: Optional[Sequence[int]] = None,
+        image_sizes: Optional[Sequence] = None,
     ) -> GenerateOutput:
         """Greedy/sampled decode with host streaming.
 
         images: [N_total_tiles, 3, H, W] across the batch's sentinels, in
         sentinel order (the reference's cur_image_idx contract).
+
+        num_patches / image_sizes: required when cfg.mm_patch_merge_type is
+        'spatial'/'spatial_unpad' (the OmChat-v1 assembly) — tiles per image
+        and original (width, height) per image; one sentinel per IMAGE then
+        expands to that image's spatial-merged token count.
 
         logit_bias: OpenAI-style {token_id: bias} added to every step's
         logits (clamped upstream to ±100 by the server).  Presence/frequency
@@ -515,7 +558,16 @@ class OmChatEngine:
         self.spans: dict = {}
         with trace_span("encode_images", self.spans):
             feats = self.encode_images(images) if images is not None else None
-        plan = self.plan(batch_input_ids)
+        tokens_per_sentinel = None
+        if feats is not None and self.cfg.mm_patch_merge_type.startswith("spatial"):
+            if num_patches is None or image_sizes is None:
+                raise ValueError(
+                    "spatial patch merge needs num_patches and image_sizes per image"
+                )
+            feats, tokens_per_sentinel = self.merge_spatial_features(
+                feats, num_patches, image_sizes
+            )
+        plan = self.plan(batch_input_ids, tokens_per_sentinel=tokens_per_sentinel)
         adapter_ids = self._adapter_ids(plan.token_ids.shape[0], adapter_id)
         with trace_span("prefill", self.spans):
             logits, cache = self.prefill(plan, feats, gen.max_new_tokens, adapter_ids=adapter_ids)

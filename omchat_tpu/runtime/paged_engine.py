@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
@@ -375,6 +376,11 @@ class _PagedRequest:
     page_hashes: List[bytes] = field(default_factory=list)  # prefix-cache digests
     cache_refs: List[int] = field(default_factory=list)  # pages held via the cache
     cancelled: bool = False  # cooperative: swept by the scheduler at tick start
+    pending_pixels: Optional[object] = None  # tiles awaiting the batched ViT tick
+    image_cache_key: Optional[str] = None
+    submit_t: float = 0.0  # perf_counter at submit (latency accounting)
+    ttft: Optional[float] = None  # first-token latency (s)
+    token_times: List[float] = field(default_factory=list)  # observation time per token
 
     @property
     def samples(self) -> bool:
@@ -525,6 +531,11 @@ class PagedBatchEngine:
         self.queue: List[_PagedRequest] = []
         self.slots: List[Optional[_PagedRequest]] = [None] * max_slots
         self.requests: Dict[int, _PagedRequest] = {}
+        # rolling latency windows (latency_stats / serve.py /metrics)
+        from collections import deque
+
+        self._ttfts: "deque[float]" = deque(maxlen=1024)
+        self._gaps: "deque[float]" = deque(maxlen=8192)
         self._tokens = np.zeros(max_slots, np.int32)
         self._lengths = np.zeros(max_slots, np.int32)
         self._tables = np.full((max_slots, self.max_pages), self._parking, np.int32)
@@ -546,6 +557,7 @@ class PagedBatchEngine:
         image_cache_key: Optional[str] = None,
     ) -> int:
         req = _PagedRequest(next(self._ids), list(input_ids), None, max_new_tokens, eos_token_id, generation)
+        req.submit_t = time.perf_counter()
         # plan + feasibility first (both need only input_ids): reject requests
         # no allocation could ever satisfy before paying the ViT encode.
         # decode_roll - 1 extra positions of headroom absorb mid-roll writes
@@ -577,12 +589,95 @@ class PagedBatchEngine:
                 image_index=np.asarray(req.plan.image_index[0]),
             )
         if images is not None:
-            # feature LRU rides the prefiller engine (feature_cache.py):
-            # repeated images (multi-turn VQA) skip the whole ViT stage
-            req.image_features = self._prefiller.encode_images(images, cache_key=image_cache_key)
+            # feature LRU (feature_cache.py): repeated images skip the ViT.
+            # Misses DEFER to the batched encode tick — all requests' tiles
+            # waiting at a tick ride ONE ViT dispatch (a 2-tile dispatch
+            # leaves the MXU mostly idle; batching across requests runs at
+            # the full-encode rate, bench.py vit_images_per_sec_batched).
+            cache = self._prefiller.image_cache
+            feats = cache.peek(image_cache_key) if cache is not None else None
+            if feats is not None:
+                cache.get(image_cache_key)  # official hit accounting
+                req.image_features = feats
+            else:
+                req.pending_pixels = images
+                req.image_cache_key = image_cache_key
         self.queue.append(req)
         self.requests[req.request_id] = req
         return req.request_id
+
+    # ViT dispatch tile buckets: one compiled encode program per bucket; the
+    # ladder keeps padding waste ≤ 1/3 while bounding compiles.
+    _TILE_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+
+    def _tile_bucket(self, n: int) -> int:
+        for b in self._TILE_BUCKETS:
+            if n <= b:
+                return b
+        return -(-n // 8) * 8
+
+    def _encode_pending(self):
+        """Batch every waiting ViT encode into one padded dispatch.
+
+        Requests whose images missed the feature LRU at submit hold raw
+        tiles; here their tile stacks concatenate into one [bucket, 3, H, W]
+        encode (padding tiles are zeros, their features dropped), the result
+        splits back per request, and each entry lands in the LRU."""
+        pend = [
+            r
+            for r in itertools.chain(self.queue, (s for s in self.slots if s is not None))
+            if r.pending_pixels is not None
+        ]
+        if not pend:
+            return
+        from omchat_tpu.runtime.generate import _encode_images_jit
+
+        pre = self._prefiller
+        cache = pre.image_cache
+        entries = []  # (key, tiles, [reqs]) — one encode per distinct image
+        by_key: dict = {}
+        for r in pend:
+            key = r.image_cache_key
+            if key is not None and key in by_key:
+                by_key[key][2].append(r)  # same image twice in one tick
+                r.pending_pixels = None
+                continue
+            if cache is not None and key is not None:
+                feats = cache.get(key)  # filled since submit (earlier tick)
+                if feats is not None:
+                    r.image_features = feats
+                    r.pending_pixels = None
+                    continue
+            e = (key, jnp.asarray(r.pending_pixels), [r])
+            entries.append(e)
+            if key is not None:
+                by_key[key] = e
+            r.pending_pixels = None
+        if not entries:
+            return
+        counts = [int(e[1].shape[0]) for e in entries]
+        total = sum(counts)
+        bucket = self._tile_bucket(total)
+        cat = (
+            jnp.concatenate([e[1] for e in entries], axis=0)
+            if len(entries) > 1
+            else entries[0][1]
+        )
+        if bucket > total:
+            pad = jnp.zeros((bucket - total, *cat.shape[1:]), cat.dtype)
+            cat = jnp.concatenate([cat, pad], axis=0)
+        feats = _encode_images_jit(pre.params, self.cfg, cat, pre.attn_impl)  # [bucket*L, D]
+        per_tile = feats.shape[0] // bucket
+        feats = feats.reshape(bucket, per_tile, feats.shape[-1])
+        off = 0
+        for (key, _, reqs), n in zip(entries, counts):
+            f = feats[off : off + n].reshape(n * per_tile, -1)
+            off += n
+            if cache is not None:
+                cache.put(key, f)
+            reqs[0].image_features = f
+            for r in reqs[1:]:  # duplicates register as cache hits
+                r.image_features = cache.get(key) if cache is not None and key is not None else f
 
     def finished(self, request_id: int) -> bool:
         return self.requests[request_id].done
@@ -633,6 +728,27 @@ class PagedBatchEngine:
             out.update(
                 {f"image_cache_{k}": v for k, v in self._prefiller.image_cache.stats().items()}
             )
+        out.update(
+            {k: round(v, 4) for k, v in self.latency_stats().items() if k != "requests_measured"}
+        )
+        return out
+
+    def latency_stats(self) -> dict:
+        """Per-request latency distribution (rolling windows — survives
+        pop_result): TTFT p50/p99/max and inter-token p50/p99, seconds.
+        Inter-token deltas are observation gaps at roll granularity — a
+        decode roll delivers its tokens together, so the p99 reflects what a
+        streaming client actually sees between flushes."""
+        ttfts = list(self._ttfts)
+        gaps = list(self._gaps)
+        out: dict = {"requests_measured": len(ttfts)}
+        if ttfts:
+            out["ttft_p50_s"] = float(np.percentile(ttfts, 50))
+            out["ttft_p99_s"] = float(np.percentile(ttfts, 99))
+            out["ttft_max_s"] = float(max(ttfts))
+        if gaps:
+            out["intertoken_p50_s"] = float(np.percentile(gaps, 50))
+            out["intertoken_p99_s"] = float(np.percentile(gaps, 99))
         return out
 
     # -- scheduler ----------------------------------------------------------
@@ -966,6 +1082,9 @@ class PagedBatchEngine:
     def _finish_with_token(self, req: _PagedRequest, first: int):
         req.prefilled = True
         req.last_token = first
+        now = time.perf_counter()
+        req.ttft = now - req.submit_t
+        self._ttfts.append(req.ttft)
         if self.prefix_cache is not None and req.page_hashes:
             self._publish_prefix_pages(req)
         self._lengths[req.slot] = req.prompt_len
@@ -973,11 +1092,13 @@ class PagedBatchEngine:
             self._release(req)
         else:
             req.generated.append(first)
+            req.token_times.append(now)
             if len(req.generated) >= req.max_new_tokens:
                 self._release(req)
 
     def step(self):
         self._sweep_cancelled()
+        self._encode_pending()
         self._admit()
         # Advance EVERY pending prefill per tick, then roll.  Pending short
         # text-only prompts ride ONE batched prefill dispatch; long/multimodal
@@ -1135,6 +1256,7 @@ class PagedBatchEngine:
                 **sample_args,
             )
             toks_np = np.asarray(toks)  # [roll, S]
+        tick_now = time.perf_counter()  # tokens in a roll arrive together
         for r in decoding:
             for i in range(toks_np.shape[0]):
                 tok = int(toks_np[i, r.slot])
@@ -1147,6 +1269,9 @@ class PagedBatchEngine:
                     self._release(r)
                     break
                 r.generated.append(tok)
+                if r.token_times and tick_now > r.token_times[-1]:
+                    self._gaps.append(tick_now - r.token_times[-1])
+                r.token_times.append(tick_now)
                 if len(r.generated) >= r.max_new_tokens:
                     self._release(r)
                     break

@@ -115,6 +115,116 @@ SLOW_TESTS = {
     ("test_json_schema.py", "test_cache_and_engine_integration"),
     ("test_trust_remote_code.py", "test_parity_runbook_reports_full_match"),
     ("test_trust_remote_code.py", "test_automodel_greedy_matches_jax_engine"),
+    ("test_anyres.py", "test_select_best_resolution_matches_reference"),
+    ("test_batch_engine.py", "test_batched_sampling_deterministic_and_mixed"),
+    ("test_batch_engine.py", "test_late_join_does_not_disturb_running_request"),
+    ("test_batch_engine.py", "test_sample_batch_per_row_params"),
+    ("test_cabstractor_parity.py", "test_cabstractor_matches_reference"),
+    ("test_chunked_prefill.py", "test_chunked_prefill_matches_oneshot"),
+    ("test_chunked_prefill.py", "test_chunked_prefill_nonmultiple_cache"),
+    ("test_feature_cache.py", "test_paged_engine_image_cache_key"),
+    ("test_flash_bwd.py", "test_flash_grads_gqa"),
+    ("test_flash_bwd.py", "test_flash_grads_nonmultiple_seq"),
+    ("test_intern_vit_parity.py", "test_pos_embed_interpolation_matches_torch"),
+    ("test_legacy_features.py", "test_beam1_equals_greedy"),
+    ("test_legacy_features.py", "test_beam_search_improves_logprob"),
+    ("test_legacy_features.py", "test_v1_assembly_end_to_end"),
+    ("test_llm_glue.py", "test_glue_decode_step_unchanged"),
+    ("test_lora.py", "test_adapter_save_load_roundtrip"),
+    ("test_lora_bank.py", "test_bank_through_decode_cache"),
+    ("test_lora_bank.py", "test_mixed_adapter_continuous_batch"),
+    ("test_lora_bank.py", "test_mixed_batch_rows_independent"),
+    ("test_omchat_e2e.py", "test_batch_generation_varied_lengths"),
+    ("test_omchat_e2e.py", "test_greedy_decode_matches_reference"),
+    ("test_packing.py", "test_segment_isolation"),
+    ("test_paged_attention.py", "test_manual_dma_decode_matches_production"),
+    ("test_paged_engine.py", "test_batched_short_prefill_path_taken"),
+    ("test_paged_engine.py", "test_cancel_queued_request"),
+    ("test_paged_engine.py", "test_fp8_page_pool"),
+    ("test_paged_engine.py", "test_kv_write_variants_agree"),
+    ("test_paged_engine.py", "test_pages_are_reused_across_waves"),
+    ("test_pallas_kernels.py", "test_attn_proj_glue_quant_matches_chain"),
+    ("test_pallas_kernels.py", "test_bntd_kv_format"),
+    ("test_pallas_kernels.py", "test_dense_prequant_gelu_quant_contract"),
+    ("test_pallas_kernels.py", "test_fc1_gelu_quant_pallas_matches_xla_chain"),
+    ("test_pallas_kernels.py", "test_flash_decode_matches_xla"),
+    ("test_pallas_kernels.py", "test_gqa_with_lengths_and_offset"),
+    ("test_pallas_kernels.py", "test_grouped_gqa_multi_kv_tile_default_blocks"),
+    ("test_pallas_kernels.py", "test_packed_qkv_norm_attention_matches_split_path"),
+    ("test_pallas_kernels.py", "test_segment_ids_pallas_matches_xla"),
+    ("test_pipeline_ulysses.py", "test_pipeline_train_optimizer_descends"),
+    ("test_pipeline_ulysses.py", "test_pipeline_train_step_matches_sequential"),
+    ("test_pipeline_ulysses.py", "test_ulysses_matches_full_attention"),
+    ("test_prefix_cache.py", "test_concurrent_twins_are_correct"),
+    ("test_prefix_cache.py", "test_different_image_no_false_hit"),
+    ("test_prefix_cache.py", "test_prefix_hit_suffixes_batch_into_one_dispatch"),
+    ("test_prefix_cache.py", "test_second_request_hits_and_output_matches"),
+    ("test_quantization.py", "test_quantized_generation_argmax_stable"),
+    ("test_quantization.py", "test_w8a8_generation_argmax_stable"),
+    ("test_qwen2_moe_parity.py", "test_moe_engine_generate_matches_hf"),
+    ("test_qwen2_moe_parity.py", "test_moe_logits_match_hf"),
+    ("test_qwen2_moe_parity.py", "test_moe_paged_engine"),
+    ("test_qwen2_parity.py", "test_tied_embeddings"),
+    ("test_ring_attention.py", "test_cp_train_step_matches_single_device"),
+    ("test_ring_attention.py", "test_ring_attention_gqa"),
+    ("test_serve.py", "test_image_completion"),
+    ("test_serve.py", "test_tool_calling_forced"),
+    ("test_serve.py", "test_warmup_engines"),
+    ("test_sharding.py", "test_tp_paged_engine_matches_single_device"),
+    ("test_sharding.py", "test_vocab_parallel_ce_matches_dense"),
+    ("test_speculative.py", "test_speculative_greedy_equivalence"),
+    ("test_tower_dispatch.py", "test_tower_forward_through_dispatch"),
+    ("test_tp_attention.py", "test_attention_tuple_impl_dispatch"),
+    ("test_tp_attention.py", "test_tp_flash_matches_xla"),
+    ("test_trust_remote_code.py", "test_parity_in_repo_twin"),
+    ("test_video.py", "test_video_generation_e2e"),
+    ("test_anyres.py", "test_resize_and_pad_matches_reference"),
+    ("test_batch_engine.py", "test_cancel_frees_slot"),
+    ("test_batch_engine.py", "test_fp8_shared_cache"),
+    ("test_batch_engine.py", "test_generate_return_logprobs"),
+    ("test_chat.py", "test_tokenizer_image_token_indexed_form"),
+    ("test_chat.py", "test_tokenizer_image_token_matches_reference"),
+    ("test_chunked_prefill.py", "test_chunked_prefill_batch_varied_lengths"),
+    ("test_constrained.py", "test_api_chat_guided_choices"),
+    ("test_feature_cache.py", "test_batch_engine_image_cache"),
+    ("test_json_mode.py", "test_engine_generates_valid_json"),
+    ("test_legacy_features.py", "test_clip_contrastive_loss"),
+    ("test_legacy_features.py", "test_unpad_image_matches_reference"),
+    ("test_legacy_features.py", "test_v1_image_newline_checkpoint_roundtrip"),
+    ("test_llm_glue.py", "test_rmsnorm_quant_matches_unfused"),
+    ("test_mm_projector.py", "test_save_load_roundtrip"),
+    ("test_native_pipeline.py", "test_anyres_native_matches_python"),
+    ("test_omchat_e2e.py", "test_ondevice_sampled_decode"),
+    ("test_omchat_e2e.py", "test_text_only_generation"),
+    ("test_paged_attention.py", "test_paged_prefill_matches_contiguous"),
+    ("test_paged_engine.py", "test_cancel_releases_pages"),
+    ("test_paged_engine.py", "test_decode_roll_keeps_documented_capacity"),
+    ("test_paged_engine.py", "test_paged_xla_fallback_matches_contiguous"),
+    ("test_pallas_kernels.py", "test_add_rmsnorm_quant_matches_unfused"),
+    ("test_pallas_kernels.py", "test_causal_matches_xla"),
+    ("test_pallas_kernels.py", "test_decode_group_not_multiple_of_8"),
+    ("test_pallas_kernels.py", "test_noncausal_matches_xla"),
+    ("test_pallas_kernels.py", "test_segment_ids_mismatched_block_padding"),
+    ("test_pallas_kernels.py", "test_segment_ids_packing"),
+    ("test_pallas_kernels.py", "test_segment_ids_pallas_matches_unpacked"),
+    ("test_pipeline_ulysses.py", "test_pipeline_forward_matches_sequential"),
+    ("test_prefix_cache.py", "test_decode_never_corrupts_shared_pages"),
+    ("test_quantization.py", "test_fp8_kv_cache"),
+    ("test_qwen2_parity.py", "test_qwen2_logits_match_hf"),
+    ("test_ring_attention.py", "test_ring_attention_matches_dense"),
+    ("test_serve.py", "test_bad_requests_get_400"),
+    ("test_serve.py", "test_json_mode"),
+    ("test_serve.py", "test_json_schema_structured_output"),
+    ("test_serve.py", "test_logprobs"),
+    ("test_serve.py", "test_metrics_endpoint"),
+    ("test_serve.py", "test_stop_strings"),
+    ("test_serve.py", "test_streaming_text_completions_with_usage"),
+    ("test_serve.py", "test_text_completions_endpoint"),
+    ("test_serve.py", "test_tool_calling_auto_and_history"),
+    ("test_serve.py", "test_tool_calling_stream_buffered"),
+    ("test_speculative.py", "test_speculative_saves_steps_on_repetitive_output"),
+    ("test_trust_remote_code.py", "test_automodel_text_only_matches"),
+    ("test_trust_remote_code.py", "test_bundle_has_code_and_auto_map"),
 }
 
 
