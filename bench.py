@@ -302,6 +302,7 @@ def main():
         for w in wids:
             pengine.pop_result(w)
         _log("serving warmup done")
+        pengine.reset_latency_stats()  # drop compile-time TTFTs
         t0 = time.perf_counter()
         rids = [pengine.submit(list(r), im, max_new_tokens=MAX_NEW, eos_token_id=-1)
                 for r, im in zip(sreqs, simages)]

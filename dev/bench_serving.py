@@ -62,6 +62,11 @@ def main():
     ap.add_argument("--kv-cache-dtype", choices=["bf16", "fp8"], default="bf16")
     ap.add_argument("--decode-kernel", choices=["auto", "manual"], default="auto")
     ap.add_argument("--profile", action="store_true", help="per-phase wall-time breakdown")
+    ap.add_argument("--sweep", default=None,
+                    help="semicolon-separated engine-config overrides, e.g. "
+                    "'decode_roll=16;decode_roll=16,decode_kernel=manual' — "
+                    "params build ONCE (the expensive part over the tunnel), "
+                    "one measured workload per config")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -70,6 +75,32 @@ def main():
     bench._sync(params["language_model"]["norm"]["scale"])
     bench._log("params built")
 
+    if args.sweep:
+        for spec in args.sweep.split(";"):
+            kw = {}
+            for kv in spec.split(","):
+                k, v = kv.split("=")
+                kw[k.strip()] = v.strip()
+            run_args = argparse.Namespace(**vars(args))
+            run_args.decode_roll = int(kw.get("decode_roll", args.decode_roll))
+            run_args.max_slots = int(kw.get("max_slots", args.max_slots))
+            run_args.page_size = int(kw.get("page_size", args.page_size))
+            run_args.num_pages = int(kw.get("num_pages", args.num_pages))
+            run_args.prefill_chunk = int(kw.get("prefill_chunk", args.prefill_chunk))
+            run_args.decode_kernel = kw.get("decode_kernel", args.decode_kernel)
+            run_args.kv_cache_dtype = kw.get("kv_cache_dtype", args.kv_cache_dtype)
+            bench._log(f"sweep config: {spec}")
+            # fresh fixed-seed generator per config: every config measures the
+            # SAME workload (the shared outer rng would drift per run)
+            run_one(run_args, cfg, params, np.random.default_rng(1))
+            import gc
+
+            gc.collect()  # free the previous engine's page pools promptly
+        return
+    run_one(args, cfg, params, rng)
+
+
+def run_one(args, cfg, params, rng):
     engine = PagedBatchEngine(
         cfg,
         params,
@@ -114,6 +145,7 @@ def main():
         for wid in wids:
             engine.pop_result(wid)
     bench._log("warmup/compile done")
+    engine.reset_latency_stats()  # drop compile-time TTFTs from the windows
 
     prof = {"submit_s": 0.0, "prefill_s": 0.0, "decode_s": 0.0, "prefill_ticks": 0, "decode_ticks": 0}
     if args.profile:

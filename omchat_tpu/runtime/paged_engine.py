@@ -733,6 +733,12 @@ class PagedBatchEngine:
         )
         return out
 
+    def reset_latency_stats(self) -> None:
+        """Clear the rolling windows — call after warmup so compile-time
+        TTFTs don't pollute steady-state percentiles."""
+        self._ttfts.clear()
+        self._gaps.clear()
+
     def latency_stats(self) -> dict:
         """Per-request latency distribution (rolling windows — survives
         pop_result): TTFT p50/p99/max and inter-token p50/p99, seconds.
