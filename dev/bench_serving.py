@@ -61,6 +61,9 @@ def main():
                     "(the prefix-cache showcase workload; pair with --prefix-cache)")
     ap.add_argument("--kv-cache-dtype", choices=["bf16", "fp8"], default="bf16")
     ap.add_argument("--decode-kernel", choices=["auto", "manual"], default="auto")
+    ap.add_argument("--prefill-priority", action="store_true",
+                    help="skip decode rolls while admitted slots are mid-prefill "
+                    "(full-occupancy rolls; throughput mode)")
     ap.add_argument("--profile", action="store_true", help="per-phase wall-time breakdown")
     ap.add_argument("--sweep", default=None,
                     help="semicolon-separated engine-config overrides, e.g. "
@@ -89,6 +92,7 @@ def main():
             run_args.prefill_chunk = int(kw.get("prefill_chunk", args.prefill_chunk))
             run_args.decode_kernel = kw.get("decode_kernel", args.decode_kernel)
             run_args.kv_cache_dtype = kw.get("kv_cache_dtype", args.kv_cache_dtype)
+            run_args.prefill_priority = bool(int(kw.get("prefill_priority", args.prefill_priority)))
             bench._log(f"sweep config: {spec}")
             # fresh fixed-seed generator per config: every config measures the
             # SAME workload (the shared outer rng would drift per run)
@@ -114,6 +118,7 @@ def run_one(args, cfg, params, rng):
         prefill_chunk=args.prefill_chunk,
         cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
         decode_kernel=args.decode_kernel,
+        prefill_priority=args.prefill_priority,
     )
 
     reqs, images, lengths = build_workload(rng, N_REQUESTS, args.shared_prefix)

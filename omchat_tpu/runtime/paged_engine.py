@@ -415,6 +415,7 @@ class PagedBatchEngine:
         decode_kernel: str = "auto",
         prefill_batch_tokens: int = 8192,
         image_cache_size: int = 8,
+        prefill_priority: bool = False,
     ):
         """``max_len`` caps one request's prompt+generation (it sets the page
         TABLE width, so per-step attention cost scales with the request cap,
@@ -443,7 +444,14 @@ class PagedBatchEngine:
         ``decode_kernel``: "auto" uses the auto-pipelined paged decode kernel;
         "manual" uses the manual-DMA ring variant (grid (B,), NBUF pages in
         flight per request — see ops/paged_attention.paged_flash_decode_manual).
-        TPU + single-device only; ignored elsewhere."""
+        TPU + single-device only; ignored elsewhere.
+
+        ``prefill_priority``: skip the decode roll while any admitted slot is
+        still mid-prefill.  Every decode step streams the full weight set
+        whatever the occupancy, so rolls issued while stragglers prefill run
+        at partial occupancy and the laggards' tokens re-pay the stream later
+        — batching all starts together trades a small TTFT/inter-token bump
+        for aggregate throughput (throughput mode)."""
         assert prompt_bucket % page_size == 0, "prompt buckets must align to pages"
         assert prefill_chunk % page_size == 0, "prefill chunks must align to pages"
         self.prefill_chunk = prefill_chunk
@@ -452,6 +460,7 @@ class PagedBatchEngine:
         import math
 
         self._chunk_bucket = math.lcm(prompt_bucket, page_size)
+        self.prefill_priority = prefill_priority
         self.cfg = cfg
         self.params = params
         self.page_size = page_size
@@ -1191,6 +1200,13 @@ class PagedBatchEngine:
         decoding = [r for r in self.slots if r is not None and r.prefilled and r.last_token is not None]
         if not decoding:
             return
+        # throughput mode: roll only when every ADMITTED start is in the
+        # batch (queued-but-unadmitted requests wait on slots/pages that only
+        # decode progress frees — stalling on them would deadlock)
+        if self.prefill_priority and any(
+            r is not None and not r.prefilled for r in self.slots
+        ):
+            return
         active = np.zeros(self.max_slots, bool)
         for r in decoding:
             self._tokens[r.slot] = r.last_token
@@ -1200,6 +1216,19 @@ class PagedBatchEngine:
         # admission) — pass it parked, or the roll would scribble K/V over the
         # chunks already committed.
         tables_dec = np.where(active[:, None], self._tables, self._parking)
+        # Slice the table width to the pages reachable THIS dispatch: the
+        # decode kernel's grid is (S, table_width) per layer, so at low fill
+        # a full-width table is mostly dead grid steps (a 4096-cap table is
+        # 32 pages while a fresh request sits at 2-5).  Width is bucketed
+        # (powers of two) so compiles stay bounded; +decode_roll covers the
+        # tokens written during the dispatch.
+        max_need = int(max(self._lengths[r.slot] for r in decoding)) + self.decode_roll
+        need_pages = -(-max_need // self.page_size)
+        width = 4
+        while width < need_pages:
+            width *= 2
+        width = min(width, tables_dec.shape[1])
+        tables_dec = tables_dec[:, :width]
         any_sampled = any(r.samples for r in decoding)
         sample_args = {}
         if any_sampled:

@@ -74,6 +74,30 @@ def test_paged_engine_matches_single_request(setup, rng):
         assert be.result(rid) == exp
 
 
+def test_prefill_priority_matches_default(setup, rng):
+    """prefill_priority=True (skip rolls while admitted slots are mid-
+    prefill) produces the same outputs as the default interleave policy,
+    including multimodal stragglers and queued admissions."""
+    cfg, params = setup
+    max_new = 5
+    reqs = [
+        ([5, 6, 7, 8], None),
+        ([5, 6, IMAGE_TOKEN_INDEX, 7], rng.standard_normal((1, 3, 56, 56)).astype(np.float32)),
+        ([11, 12, 13], None),
+        ([21, 22, 23, 24, 25], None),
+    ]
+    expected = _expected(cfg, params, reqs, max_new)
+    be = PagedBatchEngine(
+        cfg, params, max_slots=2, num_pages=14, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=96, decode_roll=2, prefill_priority=True,
+    )
+    rids = [be.submit(ids, im, max_new_tokens=max_new, eos_token_id=-1) for ids, im in reqs]
+    ticks = be.run_to_completion(max_ticks=500)
+    assert ticks < 500
+    for rid, exp in zip(rids, expected):
+        assert be.result(rid) == exp
+
+
 def test_batched_short_prefill_path_taken(setup):
     """≥2 pending text-only short prompts ride ONE batched prefill dispatch
     (with a power-of-two padding row committed to the parking page), and the
