@@ -294,6 +294,10 @@ def main():
         pengine = PagedBatchEngine(
             cfg, params, max_slots=16, num_pages=192, page_size=128,
             prompt_bucket=128, max_len=4096, decode_roll=16, prefill_chunk=2048,
+            # measured +63 tok/s AND better TTFT p50/p99 on the mixed workload
+            # (rolls at partial occupancy re-pay the weight stream; see
+            # BENCH.md serving section, round-4 sweep)
+            prefill_priority=True,
         )
         sreqs, simages, _ = build_workload(np.random.default_rng(0))
         wids = [pengine.submit(list(r), im, max_new_tokens=4, eos_token_id=-1)

@@ -221,6 +221,24 @@ def cache_attend(cfg, attn_impl, write_pos, kv_len, q, k, v, cache_state, *, seg
     return out, (k_cache, v_cache)
 
 
+def cache_attend_stacked(cfg, attn_impl, kv_len, k_cache, v_cache, q, k, v, li):
+    """Decode-step (S == 1) cache handler over the FULL stacked READ-ONLY
+    cache (closed over; [L, B, KVH, T, D]).
+
+    Attention selects the layer inside the kernel's index maps and folds the
+    in-flight token in as a self-column (``kv_len`` here INCLUDES it, so the
+    cache part masks at kv_len - 1); the token's K/V rows are returned for
+    the caller to commit in ONE post-scan scatter — see :func:`qwen2_forward`
+    for why the cache is neither scanned as xs/ys nor mutated per layer."""
+    from omchat_tpu.ops.attention import decode_attention
+
+    out = decode_attention(
+        q, k_cache, v_cache, jnp.asarray(kv_len, jnp.int32) - 1,
+        impl=attn_impl, layer=li, k_new=k[:, 0], v_new=v[:, 0],
+    )
+    return out, (li, k[:, 0], v[:, 0])
+
+
 def _dense_mlp(y, p, a8, lora=None, adapter_ids=None):
     return _mlp(y, p, a8=a8, lora=lora, adapter_ids=adapter_ids)
 
@@ -326,7 +344,51 @@ def qwen2_forward(
     if remat:
         body = jax.checkpoint(body)
 
-    if cache is not None:
+    if cache is not None and inputs_embeds.shape[1] == 1:
+        # Decode step: the cache is READ-ONLY and loop-invariant through the
+        # layer scan — attention selects the layer inside the kernel's index
+        # maps and handles the in-flight token as a self-column; each layer
+        # emits only its new K/V rows as scan outputs and ONE scatter commits
+        # them.  Scanning the cache as xs/ys (the prefill structure below)
+        # makes XLA re-materialize every layer's slice to stack the updated
+        # ys (~2 ms of a 13 ms single-stream step); carrying a per-layer-
+        # mutated cache makes XLA copy it to feed the Pallas operand (4x
+        # worse; dev/exp_decode_anatomy.py, round 4).  Prefill keeps xs/ys:
+        # its copy cost amortizes over the whole chunk.
+        n_layers = params["layers"]["input_layernorm"]["scale"].shape[0]
+        attend = functools.partial(
+            cache_attend_stacked, cfg, attn_impl, kv_len, cache.k, cache.v
+        )
+
+        def body_dec(carry, xs_):
+            x, cos_, sin_ = carry
+            li, layer, lora_layer = xs_
+            x, (_, k_row, v_row) = decoder_layer(
+                cfg, x, layer, cos_, sin_, attend, _dense_mlp, li,
+                quant_glue=quant_glue_ok(attn_impl),
+                lora=lora_layer, adapter_ids=adapter_ids,
+            )
+            return (x, cos_, sin_), (k_row, v_row)
+
+        (x, _, _), (k_rows, v_rows) = jax.lax.scan(
+            body_dec,
+            (inputs_embeds, cos, sin),
+            (jnp.arange(n_layers, dtype=jnp.int32), params["layers"], lora_xs),
+        )  # k_rows: [L, B, KVH, D]
+        b = inputs_embeds.shape[0]
+        wp = jnp.broadcast_to(write_pos, (b,))
+        rows = (
+            jnp.arange(n_layers, dtype=jnp.int32)[:, None] * b
+            + jnp.arange(b, dtype=jnp.int32)[None, :]
+        )
+        wp_b = jnp.broadcast_to(wp[None, :], rows.shape)
+        cshape = cache.k.shape
+        kf = cache.k.reshape(n_layers * b, *cshape[2:])
+        vf = cache.v.reshape(n_layers * b, *cshape[2:])
+        kf = kf.at[rows, :, wp_b].set(k_rows.astype(kf.dtype))
+        vf = vf.at[rows, :, wp_b].set(v_rows.astype(vf.dtype))
+        new_cache = KVCache(k=kf.reshape(cshape), v=vf.reshape(cshape))
+    elif cache is not None:
         xs = (params["layers"], lora_xs, cache.k, cache.v)
         (x, *_), (new_k, new_v) = jax.lax.scan(body, (inputs_embeds, cos, sin, write_pos, kv_len), xs)
         new_cache = KVCache(k=new_k, v=new_v)

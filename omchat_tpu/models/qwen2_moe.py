@@ -157,7 +157,45 @@ def qwen2_moe_forward(
     if remat:
         body = jax.checkpoint(body)
 
-    if cache is not None:
+    if cache is not None and inputs_embeds.shape[1] == 1:
+        # Decode step: read-only cache + self-column + one post-scan row
+        # commit — see qwen2.qwen2_forward for the measured rationale.
+        from omchat_tpu.models.qwen2 import cache_attend_stacked
+
+        n_layers = params["layers"]["input_layernorm"]["scale"].shape[0]
+        mlp_fn = moe_mlp(cfg, moe_impl)
+        attend = functools.partial(
+            cache_attend_stacked, cfg, attn_impl, kv_len, cache.k, cache.v
+        )
+
+        def body_dec(carry, xs_):
+            x, cos_, sin_ = carry
+            li, layer, lora_layer = xs_
+            x, (_, k_row, v_row) = decoder_layer(
+                cfg, x, layer, cos_, sin_, attend, mlp_fn, li,
+                lora=lora_layer, adapter_ids=adapter_ids,
+            )
+            return (x, cos_, sin_), (k_row, v_row)
+
+        (x, _, _), (k_rows, v_rows) = jax.lax.scan(
+            body_dec,
+            (inputs_embeds, cos, sin),
+            (jnp.arange(n_layers, dtype=jnp.int32), params["layers"], lora_xs),
+        )
+        b = inputs_embeds.shape[0]
+        wp = jnp.broadcast_to(write_pos, (b,))
+        rows = (
+            jnp.arange(n_layers, dtype=jnp.int32)[:, None] * b
+            + jnp.arange(b, dtype=jnp.int32)[None, :]
+        )
+        wp_b = jnp.broadcast_to(wp[None, :], rows.shape)
+        cshape = cache.k.shape
+        kf = cache.k.reshape(n_layers * b, *cshape[2:])
+        vf = cache.v.reshape(n_layers * b, *cshape[2:])
+        kf = kf.at[rows, :, wp_b].set(k_rows.astype(kf.dtype))
+        vf = vf.at[rows, :, wp_b].set(v_rows.astype(vf.dtype))
+        new_cache = KVCache(k=kf.reshape(cshape), v=vf.reshape(cshape))
+    elif cache is not None:
         xs = (params["layers"], lora_xs, cache.k, cache.v)
         (x, *_), (new_k, new_v) = jax.lax.scan(body, (inputs_embeds, cos, sin, write_pos, kv_len), xs)
         new_cache = KVCache(k=new_k, v=new_v)

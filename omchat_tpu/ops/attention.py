@@ -184,14 +184,23 @@ def decode_attention(
     cache_len: jax.Array,
     *,
     impl: Optional[str] = None,
+    layer: Optional[jax.Array] = None,
+    k_new: Optional[jax.Array] = None,
+    v_new: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single-step decode attention against a padded KV cache.
 
     Args:
       q: [B, 1, H, D] — the new token's queries.
       k_cache, v_cache: [B, KVH, S_max, D] head-major HBM-resident cache (new
-        token already written at position cache_len - 1).
-      cache_len: [B] current valid cache length (including the new token).
+        token already written at position cache_len - 1) — or the full
+        stacked per-layer cache [L, B, KVH, S_max, D] with ``layer`` giving
+        the layer index (the read-only-cache decode scan; the layer slice is
+        selected inside the Pallas kernel's index maps, never materialized).
+      cache_len: [B] current valid cache length (including the new token) —
+        or, when ``k_new``/``v_new`` [B, KVH, D] carry the in-flight token as
+        a self-column, the length EXCLUDING it (see
+        qwen2.cache_attend_stacked for why the cache stays read-only).
 
     Returns [B, 1, H, D].
     """
@@ -201,9 +210,40 @@ def decode_attention(
         # cleanly under GSPMD — no per-shard kernel needed at S=1.
         impl = "xla"
     if impl == "pallas":
+        if k_cache.ndim == 5:
+            from omchat_tpu.ops.decode_attention import flash_decode_stacked
+
+            return flash_decode_stacked(q, k_cache, v_cache, cache_len, layer, k_new, v_new)
         from omchat_tpu.ops.decode_attention import flash_decode
 
         return flash_decode(q, k_cache, v_cache, cache_len)
+    if k_cache.ndim == 5:
+        k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+    if k_new is not None:
+        # self-column reference path: append the in-flight token's K/V as one
+        # extra cache column; valid = first cache_len positions + that column
+        k_cache = jnp.concatenate(
+            [k_cache, k_new.astype(k_cache.dtype)[:, :, None, :]], axis=2
+        )
+        v_cache = jnp.concatenate(
+            [v_cache, v_new.astype(v_cache.dtype)[:, :, None, :]], axis=2
+        )
+        B, _, H, D = q.shape
+        t = k_cache.shape[2]
+        kr = _repeat_kv(k_cache.transpose(0, 2, 1, 3), H).transpose(0, 2, 1, 3)
+        vr = _repeat_kv(v_cache.transpose(0, 2, 1, 3), H).transpose(0, 2, 1, 3)
+        idx = jnp.arange(t)[None, :]
+        valid = (idx < jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (B,))[:, None]) | (
+            idx == t - 1
+        )
+        scores = jnp.einsum(
+            "bshd,bhtd->bhst", q.astype(jnp.float32) * (D**-0.5), kr.astype(jnp.float32)
+        )
+        scores = jnp.where(valid[:, None, None, :], scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhst,bhtd->bshd", probs, vr.astype(jnp.float32))
+        return out.astype(q.dtype)
     return _xla_attention(
         q,
         k_cache.transpose(0, 2, 1, 3),

@@ -90,6 +90,131 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def _decode_kernel_stacked(lengths_ref, li_ref, q_ref, k_ref, v_ref,
+                           k_new_ref, v_new_ref, o_ref,
+                           m_scratch, l_scratch, acc_scratch, *,
+                           sm_scale, block_k, num_kv_blocks):
+    # li_ref is consumed by the kv index map only; the in-flight token's K/V
+    # ride k_new_ref/v_new_ref (row 0 of [8, D]) and fold in at the last step
+    _decode_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref,
+                   m_scratch, l_scratch, acc_scratch,
+                   sm_scale=sm_scale, block_k=block_k, num_kv_blocks=num_kv_blocks)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _self_and_renorm():
+        q = q_ref[...]  # [G_pad, D]
+        kn = k_new_ref[...].astype(q.dtype)  # [8, D], row 0 valid
+        sn = jax.lax.dot_general(
+            q, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [G_pad, 8]
+        col = jax.lax.broadcasted_iota(jnp.int32, sn.shape, 1)
+        sn = jnp.where(col == 0, sn, DEFAULT_MASK_VALUE)
+        # _decode_kernel's store already normalized o_ref by l; undo is messy,
+        # so recompute the final output here from the scratches + self column
+        m_prev, l_prev = m_scratch[...], l_scratch[...]
+        m_next = jnp.maximum(m_prev, jnp.max(sn, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(sn - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        vn = v_new_ref[...].astype(q.dtype)
+        acc = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + jax.lax.dot(
+            p.astype(vn.dtype), vn, preferred_element_type=jnp.float32
+        )
+        l = l_next[:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[...] = (acc * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def flash_decode_stacked(
+    q: jax.Array,
+    k_cache: jax.Array,  # [L, B, KVH, T, D] — the WHOLE per-layer cache stack
+    v_cache: jax.Array,
+    cache_len: jax.Array,  # [B] valid tokens ALREADY in the cache (excl. new)
+    layer: jax.Array,  # scalar int32 layer index
+    k_new: jax.Array,  # [B, KVH, D] the in-flight token's K/V (self-column)
+    v_new: jax.Array,
+    *,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode attention against one layer of a stacked READ-ONLY cache.
+
+    Same contract as :func:`flash_decode` except (a) the cache keeps its
+    leading layer axis and the layer is selected inside the kernel's index
+    maps (scalar-prefetched) — the caller never materializes a per-layer
+    slice — and (b) the in-flight token's K/V arrive as a self-column
+    (``cache_len`` EXCLUDES it) instead of being read back from the cache.
+    Together these keep the cache loop-invariant through the decode layer
+    scan: scanning it as xs/ys re-materializes every layer's slice to stack
+    the updated ys (~2 ms of a 13 ms single-stream step), and carrying a
+    per-layer-mutated cache makes XLA copy it to feed the Pallas operand
+    (measured 4x worse; dev/exp_decode_anatomy.py, round 4).
+
+    T must be a multiple of 128 (the cache-bucket contract) — padding here
+    would copy all L layers."""
+    L, B, KVH, T, D = k_cache.shape
+    H = q.shape[2]
+    assert q.shape[1] == 1, "flash_decode handles a single query position"
+    assert T % 128 == 0, "stacked decode requires 128-aligned cache buckets"
+    group = H // KVH
+    g_pad = max(8, _round_up(group, 8))
+    block_k = min(block_k, T)
+    while T % block_k:
+        block_k //= 2
+    num_kv_blocks = T // block_k
+
+    qg = q[:, 0].reshape(B, KVH, group, D)
+    if g_pad != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+    lengths = jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (B,))
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    kn = jnp.pad(k_new[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, 0)))
+    vn = jnp.pad(v_new[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, 0)))
+
+    def q_index(b, g, ki, lens, li_):
+        return (b, g, 0, 0)
+
+    def kv_index(b, g, ki, lens, li_):
+        last = jnp.maximum(pl.cdiv(lens[b], block_k) - 1, 0)
+        return (li_[0], b, g, jnp.minimum(ki, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, KVH, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((None, None, g_pad, D), q_index),
+            pl.BlockSpec((None, None, None, block_k, D), kv_index),
+            pl.BlockSpec((None, None, None, block_k, D), kv_index),
+            pl.BlockSpec((None, None, 8, D), q_index),
+            pl.BlockSpec((None, None, 8, D), q_index),
+        ],
+        out_specs=pl.BlockSpec((None, None, g_pad, D), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, 128), jnp.float32),
+            pltpu.VMEM((g_pad, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_stacked,
+        sm_scale=D**-0.5,
+        block_k=block_k,
+        num_kv_blocks=num_kv_blocks,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, g_pad, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, li, qg, k_cache, v_cache, kn, vn)
+    return out[:, :, :group].reshape(B, 1, H, D)
+
+
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
 def flash_decode(
     q: jax.Array,

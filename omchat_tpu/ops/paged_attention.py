@@ -35,21 +35,28 @@ def _paged_decode_kernel(
     q_ref,  # [KVH, G_pad, D]
     k_pages_ref,  # [KVH, page_size, D] (one gathered page, every kv head)
     v_pages_ref,  # [KVH, page_size, D]
-    o_ref,  # [KVH, G_pad, D]
-    m_scratch,  # [KVH, G_pad, 128]
-    l_scratch,
-    acc_scratch,  # [KVH, G_pad, D]
-    *,
+    *rest,  # [k_new_ref, v_new_ref (if self_col),] o_ref, m, l, acc
     sm_scale: float,
     page_size: int,
     num_blocks: int,
+    self_col: bool = False,
 ):
     """One grid step = one (request, page): ALL kv heads of the page ride a
     single CONTIGUOUS block fetch (page-major pool layout).  Decode is
     DMA-issue-bound, not bandwidth-bound — at B=16/fill=2048 the
     per-(head, page) variant measured ~24 us per 32 KB fetch
     (dev/exp_decode_b.py), so fetch count and contiguity, not bandwidth, are
-    the levers here."""
+    the levers here.
+
+    ``self_col``: the pool holds only tokens 0..length-1 and the in-flight
+    token's K/V arrive as a tiny VMEM block (row 0 of [KVH, 8, D]), folded
+    into the online softmax at the last grid step — this keeps the pool
+    READ-ONLY through the serving engine's layer scan (see
+    paged_engine._decode_step_core for the measured write-path anatomy)."""
+    if self_col:
+        k_new_ref, v_new_ref, o_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = rest
     b = pl.program_id(0)
     ki = pl.program_id(1)
     length = lengths_ref[b]
@@ -63,31 +70,59 @@ def _paged_decode_kernel(
     @pl.when(ki * page_size < length)
     def _run():
         kvh, g_pad, _ = q_ref.shape
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (g_pad, page_size), 1) + ki * page_size
-        mask = col_ids < length
-        for h in range(kvh):  # static unroll: per-head online-softmax update
-            q = q_ref[h]
-            k = k_pages_ref[h].astype(q.dtype)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            s = s * sm_scale
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-
-            m_prev, l_prev = m_scratch[h], l_scratch[h]
-            m_curr = jnp.max(s, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])
-            l_scratch[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            m_scratch[h] = m_next
-            v = v_pages_ref[h].astype(q.dtype)
-            acc_scratch[h] = acc_scratch[h] * alpha[:, : acc_scratch.shape[2]] + jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            )
+        # Batched-head update: one dot_general over the kv-head batch dim and
+        # one flattened online-softmax instead of a KVH-unrolled loop — fewer
+        # VPU instruction streams per page (measured 1.68 -> 1.11 ms on a
+        # 512-step grid, dev/exp_decode_anatomy.py round 4).
+        q = q_ref[...]  # [KVH, G, D]
+        k = k_pages_ref[...].astype(q.dtype)  # [KVH, ps, D]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # [KVH, G, ps]
+        s = s * sm_scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (kvh, g_pad, page_size), 2) + ki * page_size
+        s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
+        m_prev, l_prev = m_scratch[...], l_scratch[...]
+        m_curr = jnp.max(s, axis=2, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :, :1])
+        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+        m_scratch[...] = m_next
+        v = v_pages_ref[...].astype(q.dtype)  # [KVH, ps, D]
+        acc_scratch[...] = acc_scratch[...] * alpha[
+            :, :, : acc_scratch.shape[2]
+        ] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(ki == num_blocks - 1)
     def _store():
+        if self_col:
+            # fold the in-flight token in before normalizing: one [KVH, G, 8]
+            # score block (row 0 valid), standard online-softmax update
+            kvh, g_pad, _ = q_ref.shape
+            q = q_ref[...]
+            kn = k_new_ref[...].astype(q.dtype)  # [KVH, 8, D]
+            sn = jax.lax.dot_general(
+                q, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            ) * sm_scale  # [KVH, G, 8]
+            col = jax.lax.broadcasted_iota(jnp.int32, sn.shape, 2)
+            sn = jnp.where(col == 0, sn, DEFAULT_MASK_VALUE)
+            m_prev, l_prev = m_scratch[...], l_scratch[...]
+            m_curr = jnp.max(sn, axis=2, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(sn - m_next[:, :, :1])
+            l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+            vn = v_new_ref[...].astype(q.dtype)
+            acc_scratch[...] = acc_scratch[...] * alpha[
+                :, :, : acc_scratch.shape[2]
+            ] + jax.lax.dot_general(
+                p.astype(vn.dtype), vn, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
         l = l_scratch[...][:, :, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
@@ -104,6 +139,8 @@ def paged_flash_decode(
     v_pages: jax.Array,
     lengths: jax.Array,
     page_tables: jax.Array,
+    k_new: Optional[jax.Array] = None,
+    v_new: Optional[jax.Array] = None,
     *,
     interpret: bool = False,
 ) -> jax.Array:
@@ -111,6 +148,8 @@ def paged_flash_decode(
 
     q: [B, 1, H, D]; k/v_pages: [P, KVH, page_size, D] (page-major); lengths:
     [B]; page_tables: [B, max_pages] physical page per logical block.
+    ``k_new``/``v_new`` [B, KVH, D]: optional self-column — the in-flight
+    token's K/V, not yet in the pool (``lengths`` then EXCLUDES it).
     Returns [B, 1, H, D].
     """
     B, S, H, D = q.shape
@@ -119,6 +158,7 @@ def paged_flash_decode(
     group = H // KVH
     g_pad = max(8, _round_up(group, 8))
     max_pages = page_tables.shape[1]
+    self_col = k_new is not None
 
     qg = q[:, 0].reshape(B, KVH, group, D)
     if g_pad != group:
@@ -134,14 +174,25 @@ def paged_flash_decode(
         last = jnp.maximum(pl.cdiv(lens[b], page_size) - 1, 0)
         return (tables[b, jnp.minimum(ki, last)], 0, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((None, KVH, g_pad, D), q_index),
+        pl.BlockSpec((None, KVH, page_size, D), kv_index),
+        pl.BlockSpec((None, KVH, page_size, D), kv_index),
+    ]
+    operands = [qg, k_pages, v_pages]
+    if self_col:
+        kn = jnp.pad(k_new[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, 0)))
+        vn = jnp.pad(v_new[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, 0)))
+        in_specs += [
+            pl.BlockSpec((None, KVH, 8, D), q_index),
+            pl.BlockSpec((None, KVH, 8, D), q_index),
+        ]
+        operands += [kn, vn]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, max_pages),
-        in_specs=[
-            pl.BlockSpec((None, KVH, g_pad, D), q_index),
-            pl.BlockSpec((None, KVH, page_size, D), kv_index),
-            pl.BlockSpec((None, KVH, page_size, D), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((None, KVH, g_pad, D), q_index),
         scratch_shapes=[
             pltpu.VMEM((KVH, g_pad, 128), jnp.float32),
@@ -150,7 +201,8 @@ def paged_flash_decode(
         ],
     )
     kernel = functools.partial(
-        _paged_decode_kernel, sm_scale=D**-0.5, page_size=page_size, num_blocks=max_pages
+        _paged_decode_kernel, sm_scale=D**-0.5, page_size=page_size,
+        num_blocks=max_pages, self_col=self_col,
     )
     out = pl.pallas_call(
         kernel,
@@ -160,7 +212,7 @@ def paged_flash_decode(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, page_tables, qg, k_pages, v_pages)
+    )(lengths, page_tables, *operands)
     return out[:, :, :group].reshape(B, 1, H, D)
 
 
@@ -173,22 +225,20 @@ def _paged_decode_manual_kernel(
     q_ref,  # [KVH, G_pad, D] (VMEM block)
     k_hbm,  # [P, KVH, page_size, D] (stays in HBM)
     v_hbm,
-    o_ref,  # [KVH, G_pad, D]
-    kbuf,  # [NBUF, KVH, page_size, D] VMEM ring
-    vbuf,
-    m_s,  # [KVH, G_pad, 128] f32
-    l_s,
-    acc_s,  # [KVH, G_pad, D] f32
-    sems,  # DMA semaphores [NBUF, 2]
-    *,
+    *rest,  # [k_new_ref, v_new_ref (if self_col),] o_ref, kbuf, vbuf, m, l, acc, sems
     page_size: int,
     sm_scale: float,
+    self_col: bool = False,
 ):
     """Grid (B,): each request walks its own page list with an NBUF-deep ring
     of manual async copies — pages stream while the previous page's online
     softmax runs.  This replaces the auto-pipelined per-page grid, whose
     per-step issue overhead capped KV streaming at ~56-66 GB/s
     (BENCH.md decode anatomy; dev/exp_manual_decode.py is the measured A/B)."""
+    if self_col:
+        k_new_ref, v_new_ref, o_ref, kbuf, vbuf, m_s, l_s, acc_s, sems = rest
+    else:
+        o_ref, kbuf, vbuf, m_s, l_s, acc_s, sems = rest
     b = pl.program_id(0)
     length = lengths_ref[b]
     n_pages = pl.cdiv(length, page_size)
@@ -244,6 +294,25 @@ def _paged_decode_manual_kernel(
 
     jax.lax.fori_loop(0, n_pages, body, None)
 
+    if self_col:
+        q = q_ref[...]
+        kn = k_new_ref[...].astype(q.dtype)  # [KVH, 8, D], row 0 valid
+        sn = jax.lax.dot_general(
+            q, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * sm_scale
+        col = jax.lax.broadcasted_iota(jnp.int32, sn.shape, 2)
+        sn = jnp.where(col == 0, sn, DEFAULT_MASK_VALUE)
+        m_prev, l_prev = m_s[...], l_s[...]
+        m_next = jnp.maximum(m_prev, jnp.max(sn, axis=2, keepdims=True))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(sn - m_next[:, :, :1])
+        l_s[...] = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
+        vn = v_new_ref[...].astype(q.dtype)
+        acc_s[...] = acc_s[...] * alpha[:, :, : acc_s.shape[2]] + jax.lax.dot_general(
+            p.astype(vn.dtype), vn, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
     l = l_s[...][:, :, :1]
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[...] = (acc_s[...] * l_inv).astype(o_ref.dtype)
@@ -256,6 +325,8 @@ def paged_flash_decode_manual(
     v_pages: jax.Array,
     lengths: jax.Array,
     page_tables: jax.Array,
+    k_new: Optional[jax.Array] = None,
+    v_new: Optional[jax.Array] = None,
     *,
     interpret: bool = False,
 ) -> jax.Array:
@@ -265,6 +336,7 @@ def paged_flash_decode_manual(
     _, KVH, page_size, _ = k_pages.shape
     group = H // KVH
     g_pad = max(8, _round_up(group, 8))
+    self_col = k_new is not None
 
     qg = q[:, 0].reshape(B, KVH, group, D)
     if g_pad != group:
@@ -272,15 +344,29 @@ def paged_flash_decode_manual(
     lengths = jnp.asarray(lengths, jnp.int32)
     page_tables = jnp.asarray(page_tables, jnp.int32)
 
+    def blk(b, lens, tabs):
+        return (b, 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((None, KVH, g_pad, D), blk),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [qg, k_pages, v_pages]
+    if self_col:
+        kn = jnp.pad(k_new[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, 0)))
+        vn = jnp.pad(v_new[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, 0)))
+        in_specs += [
+            pl.BlockSpec((None, KVH, 8, D), blk),
+            pl.BlockSpec((None, KVH, 8, D), blk),
+        ]
+        operands += [kn, vn]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((None, KVH, g_pad, D), lambda b, lens, tabs: (b, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((None, KVH, g_pad, D), lambda b, lens, tabs: (b, 0, 0, 0)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, KVH, g_pad, D), blk),
         scratch_shapes=[
             pltpu.VMEM((NBUF, KVH, page_size, D), k_pages.dtype),
             pltpu.VMEM((NBUF, KVH, page_size, D), v_pages.dtype),
@@ -291,12 +377,13 @@ def paged_flash_decode_manual(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_paged_decode_manual_kernel, page_size=page_size, sm_scale=D**-0.5),
+        functools.partial(_paged_decode_manual_kernel, page_size=page_size,
+                          sm_scale=D**-0.5, self_col=self_col),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, g_pad, D), q.dtype),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(lengths, page_tables, qg, k_pages, v_pages)
+    )(lengths, page_tables, *operands)
     return out[:, :, :group].reshape(B, 1, H, D)
 
 
@@ -308,9 +395,17 @@ def paged_decode_attention(
     page_tables: jax.Array,
     *,
     impl: Optional[str] = None,
+    k_new: Optional[jax.Array] = None,
+    v_new: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatcher: Pallas paged kernel on TPU, gather + dense attention as the
-    cross-backend reference (and CPU test oracle)."""
+    cross-backend reference (and CPU test oracle).
+
+    ``k_new``/``v_new`` [B, KVH, D]: self-column mode — the in-flight token's
+    K/V are folded into the softmax by the kernel instead of being read back
+    from the pool, and ``lengths`` EXCLUDES that token.  This lets the serving
+    engine keep the pool read-only across its layer scan (one commit scatter
+    per step, see paged_engine._decode_step_core)."""
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if isinstance(impl, tuple):
@@ -318,15 +413,36 @@ def paged_decode_attention(
         # the gather+dense path partitions cleanly under GSPMD.
         impl = "xla"
     if impl == "pallas":
-        return paged_flash_decode(q, k_pages, v_pages, lengths, page_tables)
+        return paged_flash_decode(q, k_pages, v_pages, lengths, page_tables, k_new, v_new)
     if impl == "pallas_manual":
-        return paged_flash_decode_manual(q, k_pages, v_pages, lengths, page_tables)
+        return paged_flash_decode_manual(q, k_pages, v_pages, lengths, page_tables, k_new, v_new)
 
     from omchat_tpu.ops.attention import _xla_attention
 
     # gather the logical KV per request: [B, KVH, max_pages*page_size, D]
     k, v = _gather_pages(k_pages, v_pages, page_tables)
     k, v = k.astype(q.dtype), v.astype(q.dtype)  # pool may be fp8
+    if k_new is not None:
+        k = jnp.concatenate([k, k_new.astype(q.dtype)[:, :, None, :]], axis=2)
+        v = jnp.concatenate([v, v_new.astype(q.dtype)[:, :, None, :]], axis=2)
+        # the self token sits at gathered position MP*ps (the appended column);
+        # clamp every row's valid length to include exactly it
+        t = k.shape[2] - 1
+        idx = jnp.arange(t + 1)[None, :]
+        valid = (idx < jnp.asarray(lengths, jnp.int32)[:, None]) | (idx == t)
+        # express via additive mask: _xla_attention supports kv_len only, so
+        # fold the hole into a segment-free mask by moving the self column in
+        # range: simplest correct route — build attention manually here.
+        B, S, H, D = q.shape
+        kr = k if k.shape[1] == H else jnp.repeat(k, H // k.shape[1], axis=1)
+        vr = v if v.shape[1] == H else jnp.repeat(v, H // v.shape[1], axis=1)
+        scores = jnp.einsum(
+            "bshd,bhtd->bhst", q.astype(jnp.float32) * (D**-0.5), kr.astype(jnp.float32)
+        )
+        scores = jnp.where(valid[:, None, None, :], scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhst,bhtd->bshd", probs, vr.astype(jnp.float32))
+        return out.astype(q.dtype)
     return _xla_attention(
         q,
         k.transpose(0, 2, 1, 3),
@@ -423,7 +539,13 @@ def paged_flash_prefill(
     kv head — one page fetch serves the whole GQA group), the kv index map
     reads the page table via scalar prefetch, and out-of-range steps clamp to
     the previous page so the pipeline skips the re-fetch (no dead HBM traffic
-    past ``kv_len``)."""
+    past ``kv_len``).
+
+    NOT the serving default (select with ``impl='pallas_paged'``): the grid
+    repeats the page walk per (kv head, q block), so every live page is
+    fetched KVH x (C/bq) times and the per-step issue overhead dominates long
+    chunks — the gather+flash path in :func:`paged_prefill_attention` measured
+    ~2.5x faster on the serving workload's multimodal chunks (round 4)."""
     B, C, H, D = q.shape
     _, KVH, page_size, _ = k_pages.shape
     import math
@@ -522,6 +644,23 @@ def paged_prefill_attention(
         # gather+flash path partitions under GSPMD (kv-head axis sharded).
         impl = "xla"
     if impl in ("pallas", "pallas_manual"):  # manual ring is a decode-only variant
+        # Gather the page-mapped prefix to contiguous KV, then run the tuned
+        # causal flash kernel.  The page-walk kernel below re-fetches every
+        # page KVH x (C/bq) times (its grid repeats the page dimension per kv
+        # head and per q block), so a 2048-token chunk over ~20 live pages
+        # pays ~1000 grid steps/layer at ~4 us each — ~3x the chunk's whole
+        # matmul floor (round-4 profile; BENCH.md serving section).  One
+        # jnp.take per layer (a few MB) + big-block flash is far cheaper;
+        # 2048 queries amortize the gather, unlike decode where S=1 makes the
+        # same trade lose (BENCH.md decode anatomy: gather+dense 99-130 ms).
+        from omchat_tpu.ops.flash_attention import flash_attention
+
+        k, v = _gather_pages(k_pages, v_pages, page_tables)
+        return flash_attention(
+            q, k.astype(q.dtype), v.astype(q.dtype), causal=True,
+            q_offset=q_offset, kv_len=kv_len, kv_format="bntd",
+        )
+    if impl == "pallas_paged":  # the page-walk grid kernel (kept for A/B)
         return paged_flash_prefill(q, k_pages, v_pages, kv_len, page_tables, q_offset)
 
     from omchat_tpu.ops.attention import _xla_attention

@@ -127,7 +127,19 @@ def _decode_step_core(
     The layer body is the shared :func:`~omchat_tpu.models.qwen2.decoder_layer`
     (one decoder implementation serves every engine); only ``attend`` differs —
     K/V scatter at (page, offset) plus paged attention over the pool — so the
-    MoE trunk serves through ``--paged`` unchanged."""
+    MoE trunk serves through ``--paged`` unchanged.
+
+    Pool plumbing: the pools are READ-ONLY and loop-invariant through the
+    layer scan (a flat ``[L*(P+1), KVH, ps, D]`` view, layer l's pages at
+    ``l*(P+1) + page``); each layer emits only its new K/V rows as scan
+    outputs, ONE scatter after the scan commits all layers' rows, and the
+    attention kernel folds the in-flight token in as a self-column.  The two
+    obvious structures both lose (dev/exp_decode_anatomy.py, round 4):
+    scanning pools as xs/ys re-materializes every layer's pool slice to stack
+    the updated ys (~6.7 ms of a 17.3 ms attention-stubbed step at the
+    serving pool size, vs 10.6 ms pure weight stream); carrying them and
+    scattering per layer makes each freshly-scattered pool a new value that
+    XLA copies to feed the Pallas operand (measured 78 ms/step)."""
     tc = cfg.text
     s = tokens.shape[0]
     hd = tc.attn_head_dim
@@ -146,42 +158,58 @@ def _decode_step_core(
     offsets = lengths % page_size
     mlp_fn = _mlp_fn(tc, moe_impl)
 
-    def attend(q, k, v, pools):
-        kp, vp = pools
-        if kv_write == "scatter":
-            # one batched scatter writes every request's new K/V at its
-            # (page, offset).  Inactive slots' parked (page, offset) pairs may
-            # collide; any write order is fine on the parking page.
-            kp = kp.at[page_idx, :, offsets].set(k[:, 0].astype(kp.dtype))
-            vp = vp.at[page_idx, :, offsets].set(v[:, 0].astype(vp.dtype))
-        else:  # "dus_loop": S dependent in-place row updates
+    n_layers, n_slots = k_pool.shape[0], k_pool.shape[1]  # P+1 incl. parking
+    pool_shape = k_pool.shape
+    kflat = k_pool.reshape(n_layers * n_slots, *pool_shape[2:])
+    vflat = v_pool.reshape(n_layers * n_slots, *pool_shape[2:])
 
-            def write(i, pools_):
-                kpp, vpp = pools_
-                upd_k = k[i, 0].astype(kpp.dtype)[None, :, None]  # [1,KVH,1,D]
-                upd_v = v[i, 0].astype(vpp.dtype)[None, :, None]
-                kpp = jax.lax.dynamic_update_slice(kpp, upd_k, (page_idx[i], 0, offsets[i], 0))
-                vpp = jax.lax.dynamic_update_slice(vpp, upd_v, (page_idx[i], 0, offsets[i], 0))
-                return kpp, vpp
-
-            kp, vp = jax.lax.fori_loop(0, s, write, (kp, vp))
+    def attend(q, k, v, st):
+        loff = st  # layer_index * n_slots (flat-pool offset)
+        # pools read-only here: the pool holds tokens 0..length-1; the token
+        # being decoded rides the kernel's self-column and its K/V rows are
+        # emitted as scan outputs, committed after the scan.
         out = paged_decode_attention(
-            q, kp, vp, jnp.where(active, lengths + 1, 1), tables, impl=attn_impl
+            q, kflat, vflat, jnp.where(active, lengths, 0), tables + loff,
+            impl=attn_impl, k_new=k[:, 0], v_new=v[:, 0],
         )
-        return out, (kp, vp)
+        return out, (st, k[:, 0], v[:, 0])
 
     def layer(carry, xs):
         xx = carry
-        lp, kp, vp = xs
-        xx, (kp, vp) = decoder_layer(
-            tc, xx, lp, cos, sin, attend, mlp_fn, (kp, vp),
+        li, lp = xs
+        xx, (_, k_row, v_row) = decoder_layer(
+            tc, xx, lp, cos, sin, attend, mlp_fn, li * n_slots,
             quant_glue=quant_glue_ok(attn_impl),
         )
-        return xx, (kp, vp)
+        return xx, (k_row, v_row)
 
-    (xf), (k_pool, v_pool) = jax.lax.scan(
-        layer, x, (params["language_model"]["layers"], k_pool, v_pool)
-    )
+    xf, (k_rows, v_rows) = jax.lax.scan(
+        layer,
+        x,
+        (jnp.arange(n_layers, dtype=jnp.int32), params["language_model"]["layers"]),
+    )  # k_rows: [L, S, KVH, D]
+    # ONE commit for all layers' rows.  kv_write variants are measurement
+    # modes (dev/exp_decode_anatomy.py): "none" prices the write out entirely;
+    # "dus_loop" is the serialized per-row alternative.
+    flat_pages = jnp.arange(n_layers, dtype=jnp.int32)[:, None] * n_slots + page_idx[None, :]
+    if kv_write == "scatter":
+        off_b = jnp.broadcast_to(offsets[None, :], flat_pages.shape)
+        kflat = kflat.at[flat_pages, :, off_b].set(k_rows.astype(kflat.dtype))
+        vflat = vflat.at[flat_pages, :, off_b].set(v_rows.astype(vflat.dtype))
+    elif kv_write == "dus_loop":
+
+        def write(i, pools_):
+            kpp, vpp = pools_
+            li, si = i // s, i % s
+            upd_k = k_rows[li, si].astype(kpp.dtype)[None, :, None]  # [1,KVH,1,D]
+            upd_v = v_rows[li, si].astype(vpp.dtype)[None, :, None]
+            kpp = jax.lax.dynamic_update_slice(kpp, upd_k, (flat_pages[li, si], 0, offsets[si], 0))
+            vpp = jax.lax.dynamic_update_slice(vpp, upd_v, (flat_pages[li, si], 0, offsets[si], 0))
+            return kpp, vpp
+
+        kflat, vflat = jax.lax.fori_loop(0, n_layers * s, write, (kflat, vflat))
+    k_pool = kflat.reshape(pool_shape)
+    v_pool = vflat.reshape(pool_shape)
     xf = rms_norm(xf, params["language_model"]["norm"]["scale"], tc.rms_norm_eps)
     logits = lm_head(params["language_model"], tc, xf)[:, 0]
     if any_sampled:

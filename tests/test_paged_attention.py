@@ -164,3 +164,84 @@ def test_fp8_pool_both_kernels(rng):
     manual = paged_flash_decode_manual(q, kp, vp, lengths, tables, interpret=True)
     np.testing.assert_allclose(np.asarray(auto), np.asarray(ref), atol=2e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(manual), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_self_column_decode_matches_reference(rng):
+    """Self-column mode (k_new/v_new carry the in-flight token, lengths
+    EXCLUDE it) is exact vs attending a pool that already contains the token
+    — both pallas kernels (interpret) and the xla fallback."""
+    import jax.numpy as jnp
+
+    from omchat_tpu.ops.paged_attention import (
+        paged_decode_attention,
+        paged_flash_decode,
+        paged_flash_decode_manual,
+    )
+
+    B, H, KVH, D, ps, P = 2, 8, 2, 128, 16, 24
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+    kp = np.asarray(rng.standard_normal((P, KVH, ps, D)), np.float32)
+    vp = np.asarray(rng.standard_normal((P, KVH, ps, D)), np.float32)
+    # DISJOINT page sets per row (one permutation split) — independent
+    # permutations can share pages, so one row's truth-write would corrupt
+    # the other row's reference input
+    perm = rng.permutation(P)
+    tables = np.stack([perm[:8], perm[8:16]]).astype(np.int32)
+    lengths = np.asarray([100, 37], np.int32)  # tokens already in pages
+    k_new = np.asarray(rng.standard_normal((B, KVH, D)), np.float32)
+    v_new = np.asarray(rng.standard_normal((B, KVH, D)), np.float32)
+
+    # truth: write the new token at (page, offset) and attend lengths+1
+    kp_w, vp_w = kp.copy(), vp.copy()
+    for b in range(B):
+        page = tables[b, lengths[b] // ps]
+        kp_w[page, :, lengths[b] % ps] = k_new[b]
+        vp_w[page, :, lengths[b] % ps] = v_new[b]
+    ref = paged_flash_decode(
+        q, jnp.asarray(kp_w), jnp.asarray(vp_w),
+        jnp.asarray(lengths + 1), jnp.asarray(tables), interpret=True,
+    )
+
+    args = (q, jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(lengths),
+            jnp.asarray(tables), jnp.asarray(k_new), jnp.asarray(v_new))
+    auto = paged_flash_decode(*args, interpret=True)
+    manual = paged_flash_decode_manual(*args, interpret=True)
+    xla = paged_decode_attention(
+        q, jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(lengths),
+        jnp.asarray(tables), impl="xla",
+        k_new=jnp.asarray(k_new), v_new=jnp.asarray(v_new),
+    )
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(manual), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(xla), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_self_column_stacked_contiguous_decode(rng):
+    """flash_decode_stacked (read-only [L, B, KVH, T, D] cache + layer index
+    + self-column) matches per-layer flash_decode on a written cache."""
+    import jax.numpy as jnp
+
+    from omchat_tpu.ops.decode_attention import flash_decode, flash_decode_stacked
+
+    L, B, H, KVH, D, T = 3, 2, 8, 2, 128, 256
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+    kc = np.asarray(rng.standard_normal((L, B, KVH, T, D)), np.float32)
+    vc = np.asarray(rng.standard_normal((L, B, KVH, T, D)), np.float32)
+    lengths = np.asarray([100, 37], np.int32)  # EXCLUDING the new token
+    k_new = np.asarray(rng.standard_normal((B, KVH, D)), np.float32)
+    v_new = np.asarray(rng.standard_normal((B, KVH, D)), np.float32)
+    for li in range(L):
+        kc_w, vc_w = kc[li].copy(), vc[li].copy()
+        for b in range(B):
+            kc_w[b, :, lengths[b]] = k_new[b]
+            vc_w[b, :, lengths[b]] = v_new[b]
+        ref = flash_decode(
+            q, jnp.asarray(kc_w), jnp.asarray(vc_w), jnp.asarray(lengths + 1),
+            interpret=True,
+        )
+        out = flash_decode_stacked(
+            q, jnp.asarray(kc), jnp.asarray(vc), jnp.asarray(lengths),
+            jnp.int32(li), jnp.asarray(k_new), jnp.asarray(v_new),
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
