@@ -417,7 +417,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-attn", action="store_true")
     ap.add_argument("--skip-write", action="store_true")
-    ap.add_argument("--kv-write", default="scatter", choices=["scatter", "dus_loop"])
+    ap.add_argument("--kv-write", default="scatter", choices=["scatter", "dus_loop", "kernel"])
     ap.add_argument("--batches", default=None, help="comma list of B for fill512, e.g. 1,4,16")
     ap.add_argument("--kernels-only", action="store_true")
     ap.add_argument("--single-stream", action="store_true")

@@ -677,6 +677,96 @@ def paged_prefill_attention(
     )
 
 
+def _commit_rows_kernel(pages_ref, offsets_ref, krow_ref, vrow_ref,
+                        kwin_ref, vwin_ref, ko_ref, vo_ref):
+    # Each grid step's block is the 8-row-aligned WINDOW holding the target
+    # row (Mosaic requires sublane blocks in multiples of 8): copy the old
+    # window, overwrite the one row, write back.  input_output_aliases pins
+    # the outputs to the input pools, so every untouched byte survives.
+    i = pl.program_id(0)
+    sub = offsets_ref[i] % 8
+    kvh, w, d = ko_ref.shape
+    row_sel = jax.lax.broadcasted_iota(jnp.int32, (kvh, w, d), 1) == sub
+    ko_ref[...] = jnp.where(
+        row_sel, jnp.broadcast_to(krow_ref[:, :1], (kvh, w, d)).astype(ko_ref.dtype),
+        kwin_ref[...],
+    )
+    vo_ref[...] = jnp.where(
+        row_sel, jnp.broadcast_to(vrow_ref[:, :1], (kvh, w, d)).astype(vo_ref.dtype),
+        vwin_ref[...],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnames=("k_pool", "v_pool"))
+def commit_rows(
+    k_pool: jax.Array,  # [P_flat, KVH, ps, D] (flat page-major pool)
+    v_pool: jax.Array,
+    pages: jax.Array,  # [N] int32 flat page per row
+    offsets: jax.Array,  # [N] int32 in-page position per row
+    k_rows: jax.Array,  # [N, KVH, D]
+    v_rows: jax.Array,
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scatter N single-token K/V rows into the paged pool IN PLACE.
+
+    The jnp scatter equivalent (``pool.at[pages, :, offsets].set(rows)``)
+    lowers to a full-operand rematerialization on TPU (measured ~5-7 ms/step
+    at the serving pool size, dev/exp_decode_anatomy.py round 4); here each
+    grid step reads/writes only the 8-row-aligned page WINDOW holding its
+    target row (Mosaic's minimum sublane block), with
+    ``input_output_aliases`` pinning the outputs to the input pools, so the
+    commit moves ~N x KVH x 8 x D elements of HBM and touches nothing else.
+
+    Two rows sharing a (page, window) would race through the pipeline's
+    read-ahead; the engine's layout makes that impossible for real pages
+    (one row per slot per layer, distinct pages per slot, distinct layers at
+    distinct flat pages) — only parking-page rows collide, and parking
+    content is garbage by contract."""
+    n = pages.shape[0]
+    kr = jnp.pad(k_rows[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, 0)))
+    vr = jnp.pad(v_rows[:, :, None, :], ((0, 0), (0, 0), (0, 7), (0, 0)))
+    pages = jnp.asarray(pages, jnp.int32)
+    offsets = jnp.asarray(offsets, jnp.int32)
+    kvh, ps, d = k_pool.shape[1:]
+
+    def row_index(i, pages_, offsets_):
+        return (i, 0, 0, 0)
+
+    def pool_index(i, pages_, offsets_):
+        # window block: (page, 0, 8-row window holding the offset, 0)
+        return (pages_[i], 0, offsets_[i] // 8, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((None, kvh, 8, d), row_index),
+            pl.BlockSpec((None, kvh, 8, d), row_index),
+            pl.BlockSpec((None, kvh, 8, d), pool_index),
+            pl.BlockSpec((None, kvh, 8, d), pool_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, kvh, 8, d), pool_index),
+            pl.BlockSpec((None, kvh, 8, d), pool_index),
+        ],
+    )
+    # input order: [pages, offsets (prefetch), kr, vr, k_pool, v_pool];
+    # aliases count ALL inputs including the scalar-prefetch operands
+    ko, vo = pl.pallas_call(
+        _commit_rows_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pages, offsets, kr, vr, k_pool, v_pool)
+    return ko, vo
+
+
 class PageAllocator:
     """Host-side free-list allocator for the shared page pool."""
 

@@ -114,7 +114,7 @@ def _decode_step_core(
     attn_impl: Optional[str] = None,
     moe_impl: str = "dense",
     *,
-    kv_write: str = "scatter",
+    kv_write: str = "auto",
     any_sampled: bool = False,
     rng_key=None,
     do_sample=None,
@@ -192,7 +192,24 @@ def _decode_step_core(
     # modes (dev/exp_decode_anatomy.py): "none" prices the write out entirely;
     # "dus_loop" is the serialized per-row alternative.
     flat_pages = jnp.arange(n_layers, dtype=jnp.int32)[:, None] * n_slots + page_idx[None, :]
-    if kv_write == "scatter":
+    if kv_write == "auto":
+        # row-commit Pallas kernel on TPU Pallas paths (the jnp scatter
+        # rematerializes the pool operand, ~7 ms/step at the serving pool
+        # size — dev/exp_commit.py); the scatter is the portable fallback
+        kv_write = (
+            "kernel" if attn_impl in (None, "pallas", "pallas_manual")
+            and jax.default_backend() == "tpu" else "scatter"
+        )
+    if kv_write == "kernel":
+        from omchat_tpu.ops.paged_attention import commit_rows
+
+        off_all = jnp.broadcast_to(offsets[None, :], flat_pages.shape).reshape(-1)
+        kflat, vflat = commit_rows(
+            kflat, vflat, flat_pages.reshape(-1), off_all,
+            k_rows.reshape(n_layers * s, *k_rows.shape[2:]),
+            v_rows.reshape(n_layers * s, *v_rows.shape[2:]),
+        )
+    elif kv_write == "scatter":
         off_b = jnp.broadcast_to(offsets[None, :], flat_pages.shape)
         kflat = kflat.at[flat_pages, :, off_b].set(k_rows.astype(kflat.dtype))
         vflat = vflat.at[flat_pages, :, off_b].set(v_rows.astype(vflat.dtype))
