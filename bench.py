@@ -293,11 +293,11 @@ def main():
         _log("compiling paged serving engine")
         pengine = PagedBatchEngine(
             cfg, params, max_slots=16, num_pages=192, page_size=128,
-            prompt_bucket=128, max_len=4096, decode_roll=16, prefill_chunk=2048,
-            # measured +63 tok/s AND better TTFT p50/p99 on the mixed workload
-            # (rolls at partial occupancy re-pay the weight stream; see
-            # BENCH.md serving section, round-4 sweep)
-            prefill_priority=True,
+            # round-4 sweep winner (BENCH.md serving section): chunk=4096 lets
+            # the ~2.3k-token multimodal prompts prefill in ONE chunk (cheap
+            # now that chunk attention is gather+flash), and with the decode
+            # step at ~12.4 ms prefill_priority measured neutral-to-negative
+            prompt_bucket=128, max_len=4096, decode_roll=16, prefill_chunk=4096,
         )
         sreqs, simages, _ = build_workload(np.random.default_rng(0))
         wids = [pengine.submit(list(r), im, max_new_tokens=4, eos_token_id=-1)

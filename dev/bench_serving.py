@@ -50,7 +50,7 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--prefill-chunk", type=int, default=2048)
+    ap.add_argument("--prefill-chunk", type=int, default=4096)
     ap.add_argument("--decode-roll", type=int, default=8)
     ap.add_argument("--max-slots", type=int, default=16)
     ap.add_argument("--num-pages", type=int, default=192)
