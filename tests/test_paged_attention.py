@@ -271,3 +271,52 @@ def test_commit_rows_touched(rng):
     for i in range(4):
         np.testing.assert_allclose(ko[pages[i], :, offsets[i]], kr[i], atol=1e-6)
         np.testing.assert_allclose(vo[pages[i], :, offsets[i]], vr[i], atol=1e-6)
+
+
+def test_self_column_fp8_pool(rng):
+    """fp8(e4m3) pool + self-column decode + row commit: the kernels
+    dequantize pool pages on load, the self-column K/V stay full precision,
+    and commit_rows quantizes rows on write (pool dtype)."""
+    import jax.numpy as jnp
+
+    from omchat_tpu.ops.paged_attention import commit_rows, paged_decode_attention
+
+    B, H, KVH, D, ps, P = 2, 8, 2, 128, 16, 24
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
+    kp = jnp.asarray(rng.standard_normal((P, KVH, ps, D)), jnp.float8_e4m3fn)
+    vp = jnp.asarray(rng.standard_normal((P, KVH, ps, D)), jnp.float8_e4m3fn)
+    perm = rng.permutation(P)
+    tables = np.stack([perm[:8], perm[8:16]]).astype(np.int32)
+    lengths = np.asarray([100, 37], np.int32)
+    k_new = np.asarray(rng.standard_normal((B, KVH, D)), np.float32)
+    v_new = np.asarray(rng.standard_normal((B, KVH, D)), np.float32)
+
+    # reference: quantize-write the token into the pool, attend lengths+1
+    kp_w, vp_w = np.asarray(kp).copy(), np.asarray(vp).copy()
+    for b in range(B):
+        page = tables[b, lengths[b] // ps]
+        kp_w[page, :, lengths[b] % ps] = k_new[b].astype(jnp.float8_e4m3fn)
+        vp_w[page, :, lengths[b] % ps] = v_new[b].astype(jnp.float8_e4m3fn)
+    ref = paged_decode_attention(
+        q, jnp.asarray(kp_w, jnp.float8_e4m3fn), jnp.asarray(vp_w, jnp.float8_e4m3fn),
+        jnp.asarray(lengths + 1), jnp.asarray(tables), impl="xla",
+    )
+    # self-column keeps the in-flight K/V full precision, so tolerance covers
+    # the reference's extra fp8 rounding of that one row
+    out = paged_decode_attention(
+        q, kp, vp, jnp.asarray(lengths), jnp.asarray(tables), impl="xla",
+        k_new=jnp.asarray(k_new), v_new=jnp.asarray(v_new),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+    # commit quantizes on write
+    pages_i = np.asarray([tables[b, lengths[b] // ps] for b in range(B)], np.int32)
+    offs_i = np.asarray([lengths[b] % ps for b in range(B)], np.int32)
+    ko, _ = commit_rows(
+        kp, vp, jnp.asarray(pages_i), jnp.asarray(offs_i),
+        jnp.asarray(k_new), jnp.asarray(v_new), interpret=True,
+    )
+    assert ko.dtype == jnp.float8_e4m3fn
+    got = np.asarray(ko[pages_i[0], :, offs_i[0]].astype(jnp.float32))
+    want = np.asarray(jnp.asarray(k_new[0]).astype(jnp.float8_e4m3fn).astype(jnp.float32))
+    np.testing.assert_allclose(got, want, atol=1e-6)
