@@ -65,6 +65,13 @@ def main():
                     help="skip decode rolls while admitted slots are mid-prefill "
                     "(full-occupancy rolls; throughput mode)")
     ap.add_argument("--profile", action="store_true", help="per-phase wall-time breakdown")
+    ap.add_argument("--arrival-rate", type=float, default=None,
+                    help="requests/second Poisson arrivals instead of an all-at-t0 burst "
+                    "(steady-state continuous batching: the scheduler admits newcomers "
+                    "between ticks while earlier requests decode); measures sustained "
+                    "tok/s and the latency distribution under that offered load")
+    ap.add_argument("--n-requests", type=int, default=None,
+                    help="override the workload size (default 16; arrival mode defaults 48)")
     ap.add_argument("--sweep", default=None,
                     help="semicolon-separated engine-config overrides, e.g. "
                     "'decode_roll=16;decode_roll=16,decode_kernel=manual' — "
@@ -104,6 +111,26 @@ def main():
     run_one(args, cfg, params, rng)
 
 
+def run_arrivals(engine, reqs, images, rate, seed=7):
+    """Submit the workload on a fixed Poisson schedule (seeded — warmup and
+    measurement replay the same arrivals), ticking the engine in between."""
+    arr_rng = np.random.default_rng(seed)
+    arrivals = np.cumsum(arr_rng.exponential(1.0 / rate, len(reqs)))
+    ids, nxt = [], 0
+    t0 = time.perf_counter()
+    while nxt < len(reqs) or engine.has_work():
+        now = time.perf_counter() - t0
+        while nxt < len(reqs) and arrivals[nxt] <= now:
+            ids.append(engine.submit(list(reqs[nxt]), images[nxt],
+                                     max_new_tokens=MAX_NEW, eos_token_id=-1))
+            nxt += 1
+        if engine.has_work():
+            engine.step()
+        elif nxt < len(reqs):
+            time.sleep(min(0.005, max(0.0, arrivals[nxt] - (time.perf_counter() - t0))))
+    return ids
+
+
 def run_one(args, cfg, params, rng):
     engine = PagedBatchEngine(
         cfg,
@@ -121,7 +148,8 @@ def run_one(args, cfg, params, rng):
         prefill_priority=args.prefill_priority,
     )
 
-    reqs, images, lengths = build_workload(rng, N_REQUESTS, args.shared_prefix)
+    n_requests = args.n_requests or (48 if args.arrival_rate else N_REQUESTS)
+    reqs, images, lengths = build_workload(rng, n_requests, args.shared_prefix)
 
     # Warmup: run the measured workload once at max_new_tokens=4 — this
     # compiles exactly the programs the measurement hits (the batched
@@ -147,6 +175,16 @@ def run_one(args, cfg, params, rng):
             for ids, img in zip(reqs, images)
         ]
         engine.run_to_completion()
+        for wid in wids:
+            engine.pop_result(wid)
+    if args.arrival_rate:
+        # Dress rehearsal: run the EXACT measured schedule once (same
+        # arrivals, same max_new).  Trickle mode hits programs the burst
+        # warmup never compiles — solo/pair prefill buckets and the decode
+        # roll at every live-width bucket the evolving occupancy walks
+        # through — and one mid-run compile over the tunnel (20-200 s)
+        # destroys the latency distribution.
+        wids = run_arrivals(engine, reqs, images, args.arrival_rate)
         for wid in wids:
             engine.pop_result(wid)
     bench._log("warmup/compile done")
@@ -201,11 +239,17 @@ def run_one(args, cfg, params, rng):
 
     t0 = time.perf_counter()
     ids = []
-    for r, img in zip(reqs, images):
-        ts = time.perf_counter()
-        ids.append(engine.submit(r, img, max_new_tokens=MAX_NEW, eos_token_id=-1))
-        prof["submit_s"] += time.perf_counter() - ts
-    engine.run_to_completion()
+    if args.arrival_rate:
+        # Poisson arrivals: submissions interleave with scheduler ticks, so
+        # newcomers admit while earlier requests decode (the steady-state
+        # continuous-batching regime, not the all-at-t0 burst).
+        ids = run_arrivals(engine, reqs, images, args.arrival_rate)
+    else:
+        for r, img in zip(reqs, images):
+            ts = time.perf_counter()
+            ids.append(engine.submit(r, img, max_new_tokens=MAX_NEW, eos_token_id=-1))
+            prof["submit_s"] += time.perf_counter() - ts
+        engine.run_to_completion()
     dt = time.perf_counter() - t0
     if args.profile:
         prof["decode_s"] -= prof["prefill_s"]  # step() includes prefill ticks
@@ -217,7 +261,7 @@ def run_one(args, cfg, params, rng):
     for rid in ids:
         out, _ = engine.pop_result(rid)
         n_out += len(out)
-    assert n_out == N_REQUESTS * MAX_NEW, n_out
+    assert n_out == n_requests * MAX_NEW, n_out
 
     print(
         json.dumps(
@@ -226,7 +270,8 @@ def run_one(args, cfg, params, rng):
                 "value": round(n_out / dt, 2),
                 "unit": "tokens/s",
                 "extra": {
-                    "requests": N_REQUESTS,
+                    "requests": n_requests,
+                    "arrival_rate_req_s": args.arrival_rate,
                     "multimodal_requests": sum(1 for i in images if i is not None),
                     "prompt_tokens_min_max": [min(lengths), max(lengths)],
                     "max_new_tokens": MAX_NEW,

@@ -221,6 +221,25 @@ def cache_attend(cfg, attn_impl, write_pos, kv_len, q, k, v, cache_state, *, seg
     return out, (k_cache, v_cache)
 
 
+def commit_decode_rows(cache: "KVCache", write_pos, k_rows, v_rows) -> "KVCache":
+    """Commit the decode layer scan's staged K/V rows ([L, B, KVH, D]) into
+    the stacked cache at ``write_pos`` — the one write of the read-only-cache
+    decode step (see :func:`qwen2_forward`)."""
+    n_layers, b = k_rows.shape[0], k_rows.shape[1]
+    wp = jnp.broadcast_to(jnp.asarray(write_pos, jnp.int32), (b,))
+    rows = (
+        jnp.arange(n_layers, dtype=jnp.int32)[:, None] * b
+        + jnp.arange(b, dtype=jnp.int32)[None, :]
+    )
+    wp_b = jnp.broadcast_to(wp[None, :], rows.shape)
+    cshape = cache.k.shape
+    kf = cache.k.reshape(n_layers * b, *cshape[2:])
+    vf = cache.v.reshape(n_layers * b, *cshape[2:])
+    kf = kf.at[rows, :, wp_b].set(k_rows.astype(kf.dtype))
+    vf = vf.at[rows, :, wp_b].set(v_rows.astype(vf.dtype))
+    return KVCache(k=kf.reshape(cshape), v=vf.reshape(cshape))
+
+
 def cache_attend_stacked(cfg, attn_impl, kv_len, k_cache, v_cache, q, k, v, li):
     """Decode-step (S == 1) cache handler over the FULL stacked READ-ONLY
     cache (closed over; [L, B, KVH, T, D]).
@@ -375,19 +394,7 @@ def qwen2_forward(
             (inputs_embeds, cos, sin),
             (jnp.arange(n_layers, dtype=jnp.int32), params["layers"], lora_xs),
         )  # k_rows: [L, B, KVH, D]
-        b = inputs_embeds.shape[0]
-        wp = jnp.broadcast_to(write_pos, (b,))
-        rows = (
-            jnp.arange(n_layers, dtype=jnp.int32)[:, None] * b
-            + jnp.arange(b, dtype=jnp.int32)[None, :]
-        )
-        wp_b = jnp.broadcast_to(wp[None, :], rows.shape)
-        cshape = cache.k.shape
-        kf = cache.k.reshape(n_layers * b, *cshape[2:])
-        vf = cache.v.reshape(n_layers * b, *cshape[2:])
-        kf = kf.at[rows, :, wp_b].set(k_rows.astype(kf.dtype))
-        vf = vf.at[rows, :, wp_b].set(v_rows.astype(vf.dtype))
-        new_cache = KVCache(k=kf.reshape(cshape), v=vf.reshape(cshape))
+        new_cache = commit_decode_rows(cache, write_pos, k_rows, v_rows)
     elif cache is not None:
         xs = (params["layers"], lora_xs, cache.k, cache.v)
         (x, *_), (new_k, new_v) = jax.lax.scan(body, (inputs_embeds, cos, sin, write_pos, kv_len), xs)

@@ -160,7 +160,7 @@ def qwen2_moe_forward(
     if cache is not None and inputs_embeds.shape[1] == 1:
         # Decode step: read-only cache + self-column + one post-scan row
         # commit — see qwen2.qwen2_forward for the measured rationale.
-        from omchat_tpu.models.qwen2 import cache_attend_stacked
+        from omchat_tpu.models.qwen2 import cache_attend_stacked, commit_decode_rows
 
         n_layers = params["layers"]["input_layernorm"]["scale"].shape[0]
         mlp_fn = moe_mlp(cfg, moe_impl)
@@ -182,19 +182,7 @@ def qwen2_moe_forward(
             (inputs_embeds, cos, sin),
             (jnp.arange(n_layers, dtype=jnp.int32), params["layers"], lora_xs),
         )
-        b = inputs_embeds.shape[0]
-        wp = jnp.broadcast_to(write_pos, (b,))
-        rows = (
-            jnp.arange(n_layers, dtype=jnp.int32)[:, None] * b
-            + jnp.arange(b, dtype=jnp.int32)[None, :]
-        )
-        wp_b = jnp.broadcast_to(wp[None, :], rows.shape)
-        cshape = cache.k.shape
-        kf = cache.k.reshape(n_layers * b, *cshape[2:])
-        vf = cache.v.reshape(n_layers * b, *cshape[2:])
-        kf = kf.at[rows, :, wp_b].set(k_rows.astype(kf.dtype))
-        vf = vf.at[rows, :, wp_b].set(v_rows.astype(vf.dtype))
-        new_cache = KVCache(k=kf.reshape(cshape), v=vf.reshape(cshape))
+        new_cache = commit_decode_rows(cache, write_pos, k_rows, v_rows)
     elif cache is not None:
         xs = (params["layers"], lora_xs, cache.k, cache.v)
         (x, *_), (new_k, new_v) = jax.lax.scan(body, (inputs_embeds, cos, sin, write_pos, kv_len), xs)

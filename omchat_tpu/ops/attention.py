@@ -177,6 +177,30 @@ def _xla_attention(q, k, v, *, causal, q_offset, kv_len, segment_ids=None):
     return out.astype(q.dtype)
 
 
+def self_column_reference(q, k_cache, v_cache, cache_len, k_new, v_new):
+    """Reference (XLA) decode attention with the in-flight token as a
+    self-column: k/v_cache [B, KVH, T, D] hold the first ``cache_len``
+    tokens; ``k_new``/``v_new`` [B, KVH, D] are appended as one extra valid
+    column.  Shared by the contiguous and paged dispatchers' fallbacks."""
+    k = jnp.concatenate([k_cache, k_new.astype(k_cache.dtype)[:, :, None, :]], axis=2)
+    v = jnp.concatenate([v_cache, v_new.astype(v_cache.dtype)[:, :, None, :]], axis=2)
+    B, _, H, D = q.shape
+    t = k.shape[2]
+    kr = _repeat_kv(k.transpose(0, 2, 1, 3), H).transpose(0, 2, 1, 3)
+    vr = _repeat_kv(v.transpose(0, 2, 1, 3), H).transpose(0, 2, 1, 3)
+    idx = jnp.arange(t)[None, :]
+    valid = (
+        idx < jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (B,))[:, None]
+    ) | (idx == t - 1)
+    scores = jnp.einsum(
+        "bshd,bhtd->bhst", q.astype(jnp.float32) * (D**-0.5), kr.astype(jnp.float32)
+    )
+    scores = jnp.where(valid[:, None, None, :], scores, jnp.float32(-1e30))
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhst,bhtd->bshd", probs, vr.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
 def decode_attention(
     q: jax.Array,
     k_cache: jax.Array,
@@ -221,29 +245,7 @@ def decode_attention(
         k_cache = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
         v_cache = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
     if k_new is not None:
-        # self-column reference path: append the in-flight token's K/V as one
-        # extra cache column; valid = first cache_len positions + that column
-        k_cache = jnp.concatenate(
-            [k_cache, k_new.astype(k_cache.dtype)[:, :, None, :]], axis=2
-        )
-        v_cache = jnp.concatenate(
-            [v_cache, v_new.astype(v_cache.dtype)[:, :, None, :]], axis=2
-        )
-        B, _, H, D = q.shape
-        t = k_cache.shape[2]
-        kr = _repeat_kv(k_cache.transpose(0, 2, 1, 3), H).transpose(0, 2, 1, 3)
-        vr = _repeat_kv(v_cache.transpose(0, 2, 1, 3), H).transpose(0, 2, 1, 3)
-        idx = jnp.arange(t)[None, :]
-        valid = (idx < jnp.broadcast_to(jnp.asarray(cache_len, jnp.int32), (B,))[:, None]) | (
-            idx == t - 1
-        )
-        scores = jnp.einsum(
-            "bshd,bhtd->bhst", q.astype(jnp.float32) * (D**-0.5), kr.astype(jnp.float32)
-        )
-        scores = jnp.where(valid[:, None, None, :], scores, jnp.float32(-1e30))
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhst,bhtd->bshd", probs, vr.astype(jnp.float32))
-        return out.astype(q.dtype)
+        return self_column_reference(q, k_cache, v_cache, cache_len, k_new, v_new)
     return _xla_attention(
         q,
         k_cache.transpose(0, 2, 1, 3),

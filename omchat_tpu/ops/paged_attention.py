@@ -417,32 +417,13 @@ def paged_decode_attention(
     if impl == "pallas_manual":
         return paged_flash_decode_manual(q, k_pages, v_pages, lengths, page_tables, k_new, v_new)
 
-    from omchat_tpu.ops.attention import _xla_attention
+    from omchat_tpu.ops.attention import _xla_attention, self_column_reference
 
     # gather the logical KV per request: [B, KVH, max_pages*page_size, D]
     k, v = _gather_pages(k_pages, v_pages, page_tables)
     k, v = k.astype(q.dtype), v.astype(q.dtype)  # pool may be fp8
     if k_new is not None:
-        k = jnp.concatenate([k, k_new.astype(q.dtype)[:, :, None, :]], axis=2)
-        v = jnp.concatenate([v, v_new.astype(q.dtype)[:, :, None, :]], axis=2)
-        # the self token sits at gathered position MP*ps (the appended column);
-        # clamp every row's valid length to include exactly it
-        t = k.shape[2] - 1
-        idx = jnp.arange(t + 1)[None, :]
-        valid = (idx < jnp.asarray(lengths, jnp.int32)[:, None]) | (idx == t)
-        # express via additive mask: _xla_attention supports kv_len only, so
-        # fold the hole into a segment-free mask by moving the self column in
-        # range: simplest correct route — build attention manually here.
-        B, S, H, D = q.shape
-        kr = k if k.shape[1] == H else jnp.repeat(k, H // k.shape[1], axis=1)
-        vr = v if v.shape[1] == H else jnp.repeat(v, H // v.shape[1], axis=1)
-        scores = jnp.einsum(
-            "bshd,bhtd->bhst", q.astype(jnp.float32) * (D**-0.5), kr.astype(jnp.float32)
-        )
-        scores = jnp.where(valid[:, None, None, :], scores, jnp.float32(-1e30))
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhst,bhtd->bshd", probs, vr.astype(jnp.float32))
-        return out.astype(q.dtype)
+        return self_column_reference(q, k, v, lengths, k_new, v_new)
     return _xla_attention(
         q,
         k.transpose(0, 2, 1, 3),
