@@ -111,9 +111,10 @@ def main():
     run_one(args, cfg, params, rng)
 
 
-def run_arrivals(engine, reqs, images, rate, seed=7):
+def run_arrivals(engine, reqs, images, rate, seed=7, tick_log=None):
     """Submit the workload on a fixed Poisson schedule (seeded — warmup and
-    measurement replay the same arrivals), ticking the engine in between."""
+    measurement replay the same arrivals), ticking the engine in between.
+    ``tick_log`` (list) collects (t_start, duration, slots_busy, queue)."""
     arr_rng = np.random.default_rng(seed)
     arrivals = np.cumsum(arr_rng.exponential(1.0 / rate, len(reqs)))
     ids, nxt = [], 0
@@ -125,7 +126,12 @@ def run_arrivals(engine, reqs, images, rate, seed=7):
                                      max_new_tokens=MAX_NEW, eos_token_id=-1))
             nxt += 1
         if engine.has_work():
+            ts = time.perf_counter()
             engine.step()
+            if tick_log is not None:
+                busy = sum(r is not None for r in engine.slots)
+                tick_log.append((round(ts - t0, 3), round(time.perf_counter() - ts, 3),
+                                 busy, len(engine.queue)))
         elif nxt < len(reqs):
             time.sleep(min(0.005, max(0.0, arrivals[nxt] - (time.perf_counter() - t0))))
     return ids
@@ -243,7 +249,10 @@ def run_one(args, cfg, params, rng):
         # Poisson arrivals: submissions interleave with scheduler ticks, so
         # newcomers admit while earlier requests decode (the steady-state
         # continuous-batching regime, not the all-at-t0 burst).
-        ids = run_arrivals(engine, reqs, images, args.arrival_rate)
+        ticks = []
+        ids = run_arrivals(engine, reqs, images, args.arrival_rate, tick_log=ticks)
+        slow = sorted(ticks, key=lambda t: -t[1])[:8]
+        bench._log(f"slowest ticks (t, dur, busy, queue): {slow}")
     else:
         for r, img in zip(reqs, images):
             ts = time.perf_counter()

@@ -273,13 +273,19 @@ def test_commit_rows_touched(rng):
         np.testing.assert_allclose(vo[pages[i], :, offsets[i]], vr[i], atol=1e-6)
 
 
-def test_self_column_fp8_pool(rng):
+def test_self_column_fp8_pool():
     """fp8(e4m3) pool + self-column decode + row commit: the kernels
     dequantize pool pages on load, the self-column K/V stay full precision,
-    and commit_rows quantizes rows on write (pool dtype)."""
+    and commit_rows quantizes rows on write (pool dtype).
+
+    Dedicated seed (not the session-scoped ``rng`` fixture): the tolerance
+    covers the reference's extra fp8 rounding of one K/V row, whose magnitude
+    is draw-dependent — a shared-state rng makes the test order-sensitive."""
     import jax.numpy as jnp
 
     from omchat_tpu.ops.paged_attention import commit_rows, paged_decode_attention
+
+    rng = np.random.default_rng(3)
 
     B, H, KVH, D, ps, P = 2, 8, 2, 128, 16, 24
     q = jnp.asarray(rng.standard_normal((B, 1, H, D)).astype(np.float32))
