@@ -757,6 +757,11 @@ def warmup_engines(model, batch_engine, logger, timeout_s=600.0):
     on the client's images).  eos_token_id=-1 never matches a real token, so
     every warmup request runs its full max_new_tokens."""
     t0 = time.time()
+    if batch_engine is not None and hasattr(batch_engine, "precompile"):
+        # paged engine: compile the (batch, width) shorts-prefill menu and the
+        # decode roll's live-width buckets up front — steady traffic otherwise
+        # pays each first compile as a multi-second latency outlier
+        batch_engine.precompile()
     if batch_engine is not None:
         prompts = [[9] * 17, [9] * 9, [9] * 9]
         rids = [batch_engine.submit(list(p), None, max_new_tokens=4, eos_token_id=-1)

@@ -184,12 +184,14 @@ def run_one(args, cfg, params, rng):
         for wid in wids:
             engine.pop_result(wid)
     if args.arrival_rate:
-        # Dress rehearsal: run the EXACT measured schedule once (same
-        # arrivals, same max_new).  Trickle mode hits programs the burst
-        # warmup never compiles — solo/pair prefill buckets and the decode
-        # roll at every live-width bucket the evolving occupancy walks
-        # through — and one mid-run compile over the tunnel (20-200 s)
-        # destroys the latency distribution.
+        # Steady-state traffic walks program shapes the burst warmup never
+        # compiles (solo/pair prefill buckets, roll width buckets), and one
+        # mid-run compile over the tunnel (20-200 s) destroys the latency
+        # distribution.  precompile() covers the fixed menu; a dress
+        # rehearsal of the exact measured schedule covers the per-prompt
+        # multimodal chunk widths.
+        engine.precompile()
+        bench._log("precompile done")
         wids = run_arrivals(engine, reqs, images, args.arrival_rate)
         for wid in wids:
             engine.pop_result(wid)

@@ -599,6 +599,56 @@ class PagedBatchEngine:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def precompile(self, batch_sizes=(1, 2, 4, 8, 16), widths=(128, 256, 512),
+                   roll_widths=(4, 8, 16, 32)):
+        """Compile the program menu ahead of traffic.
+
+        Live traffic walks program shapes the first requests otherwise pay
+        for one by one — the bucketed shorts prefill at every (pow2 batch,
+        pow2 width) combination the scheduler can form, the page-commit
+        scatter per batch, and the decode roll at every live-width bucket as
+        occupancy/fills evolve.  Each first compile costs seconds (20-200 s
+        on a tunneled backend), which lands as multi-second TTFT/inter-token
+        outliers in steady-state serving.  Long-prompt chunk widths are NOT
+        covered (they depend on actual prompt lengths); the fixed-shape
+        chunked path bounds those to bucketed multiples of the prompt bucket.
+        """
+        cap = 1
+        while cap < self.max_slots:
+            cap *= 2
+        for w in widths:
+            for b in batch_sizes:
+                if b > cap or (b * w > self.prefill_batch_tokens and b > 1):
+                    continue
+                plan = self._prefiller.plan([[9] * (w - 1)] * b, pad_to=w)
+                logits, cache = self._prefiller.prefill(plan, None, 0)
+                tables = jnp.full((b, self.max_pages), self._parking, jnp.int32)
+                self.k_pool, self.v_pool = _commit_pages_jit(
+                    cache.k, cache.v, self.k_pool, self.v_pool, tables,
+                    jnp.zeros((b,), jnp.int32), self.page_size,
+                )
+                jax.block_until_ready(logits)
+        tokens = jnp.zeros((self.max_slots,), jnp.int32)
+        lengths = jnp.zeros((self.max_slots,), jnp.int32)
+        active = jnp.zeros((self.max_slots,), bool)
+        for w in roll_widths:
+            if w > self.max_pages:
+                continue
+            tables = jnp.full((self.max_slots, w), self._parking, jnp.int32)
+            if self.decode_roll == 1:
+                toks, self.k_pool, self.v_pool = _paged_decode_step_jit(
+                    self.params, self.cfg, tokens, lengths, active, tables,
+                    self.k_pool, self.v_pool, self.page_size, self.attn_impl,
+                    self.moe_impl,
+                )
+            else:
+                toks, self.k_pool, self.v_pool = _paged_decode_roll_jit(
+                    self.params, self.cfg, tokens, lengths, active, tables,
+                    self.k_pool, self.v_pool, self.page_size, self.attn_impl,
+                    self.decode_roll, self.moe_impl,
+                )
+            jax.block_until_ready(toks)
+
     # -- client API ---------------------------------------------------------
 
     def submit(

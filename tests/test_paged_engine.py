@@ -452,3 +452,21 @@ def test_multimodal_grouped_chunk_prefill(setup, rng):
     for rid, exp in zip(rids, expected):
         assert be.result(rid) == exp
     assert be.allocator.available == 48
+
+
+def test_precompile_then_serve(setup):
+    """precompile() compiles the (batch, width) shorts + roll-width program
+    menu without corrupting engine state; serving afterwards matches the
+    single-request engine (all precompile writes land on the parking page)."""
+    cfg, params = setup
+    engine = PagedBatchEngine(
+        cfg, params, max_slots=2, num_pages=16, page_size=8,
+        prompt_bucket=8, max_len=64, attn_impl="xla",
+    )
+    engine.precompile(batch_sizes=(1, 2), widths=(8, 16), roll_widths=(4,))
+    ids = [[5, 6, 7, 8, 9], [4, 3, 2]]
+    rids = [engine.submit(list(t), None, max_new_tokens=4, eos_token_id=-1) for t in ids]
+    engine.run_to_completion()
+    got = [engine.pop_result(r)[0] for r in rids]
+    want = _expected(cfg, params, [(t, None) for t in ids], 4)
+    assert got == [list(w) for w in want]
