@@ -198,6 +198,12 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
         they serialize on the lock."""
         completions = []
         if batch_engine is not None and not use_engine:
+            # paged engine: logprobs ride the continuous batch natively (the
+            # decode dispatch returns chosen + top-K when any member asks)
+            native_lp = want_logprobs and hasattr(batch_engine, "request_logprobs")
+            lp_kwargs = (
+                {"logprobs": True, "top_logprobs": n_top} if native_lp else {}
+            )
             with lock:
                 rids = [
                     batch_engine.submit(
@@ -207,6 +213,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         eos_token_id=gen.eos_token_id,
                         generation=gen,
                         image_cache_key=image_key,
+                        **lp_kwargs,
                     )
                     for _ in range(n)
                 ]
@@ -229,8 +236,12 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                                 batch_engine.cancel(rid)
                 time.sleep(0.005)
             for rid in rids:
+                lp = None
+                if native_lp:
+                    lps, tops = batch_engine.request_logprobs(rid)
+                    lp = (lps, tops if n_top else None)
                 token_ids, prompt_len = batch_engine.pop_result(rid)
-                completions.append((token_ids, prompt_len, None))
+                completions.append((token_ids, prompt_len, lp))
         elif speculative and not gen.do_sample and not use_engine and n == 1:
             from omchat_tpu.runtime.speculative import generate_speculative
 
@@ -618,11 +629,14 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                             [{"name": f["name"]} for f in tool_fns], forced_name
                         )
                         allowed_fn = get_json_schema_mode(model.tokenizer, tc_schema).mask_fn()
-                # logprobs/seed/guided_choice/json_mode run the single-request
-                # engine (the batch decode step returns tokens only, and
-                # samples from an engine-global rng); they serialize on the lock
+                # seed/guided_choice/json_mode run the single-request engine
+                # (constrained steps need per-token host callbacks, and the
+                # batch engine samples from an engine-global rng); they
+                # serialize on the lock.  logprobs stay in the continuous
+                # batch on the paged engine (native chosen+top-K), and only
+                # fall back on the slot engine.
                 use_engine = (
-                    want_logprobs
+                    (want_logprobs and not hasattr(batch_engine, "request_logprobs"))
                     or seed is not None
                     or allowed_fn is not None
                     or logit_bias is not None

@@ -116,6 +116,7 @@ def _decode_step_core(
     *,
     kv_write: str = "auto",
     any_sampled: bool = False,
+    logprobs: bool = False,
     rng_key=None,
     do_sample=None,
     temperature=None,
@@ -233,19 +234,32 @@ def _decode_step_core(
         next_tokens = sample_batch(logits, rng_key, do_sample, temperature, top_k, top_p)
     else:
         next_tokens = greedy(logits)
+    if logprobs:
+        # OpenAI logprobs WITHOUT leaving the continuous batch: the chosen
+        # token's logprob + a fixed top-5 (the OpenAI surface caps
+        # top_logprobs there; one static K bounds program count — hosts
+        # slice per-request).
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        chosen = jnp.take_along_axis(lp, next_tokens[:, None], axis=1)[:, 0]
+        top_v, top_i = jax.lax.top_k(lp, LOGPROBS_K)
+        return (next_tokens, chosen, top_v, top_i), k_pool, v_pool
     return next_tokens, k_pool, v_pool
 
 
+LOGPROBS_K = 5  # OpenAI caps top_logprobs at 5; one static K bounds compiles
+
 _paged_decode_step_jit = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "page_size", "attn_impl", "moe_impl", "kv_write", "any_sampled"),
+    static_argnames=("cfg", "page_size", "attn_impl", "moe_impl", "kv_write",
+                     "any_sampled", "logprobs"),
     donate_argnames=("k_pool", "v_pool"),
 )(_decode_step_core)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "page_size", "attn_impl", "moe_impl", "steps", "any_sampled"),
+    static_argnames=("cfg", "page_size", "attn_impl", "moe_impl", "steps",
+                     "any_sampled", "logprobs"),
     donate_argnames=("k_pool", "v_pool"),
 )
 def _paged_decode_roll_jit(
@@ -263,6 +277,7 @@ def _paged_decode_roll_jit(
     moe_impl: str = "dense",
     *,
     any_sampled: bool = False,
+    logprobs: bool = False,
     rng_key=None,
     do_sample=None,
     temperature=None,
@@ -277,7 +292,9 @@ def _paged_decode_roll_jit(
     their own allocated headroom pages (the engine allocates ``decode_roll``
     extra positions); the host discards the surplus tokens.
 
-    Returns ([steps, S] tokens, k_pool, v_pool).
+    Returns ([steps, S] tokens, k_pool, v_pool) — with ``logprobs``, tokens
+    is the tuple ([steps, S], [steps, S] chosen-lp, [steps, S, K] top-lp,
+    [steps, S, K] top-id).
     """
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
@@ -285,13 +302,14 @@ def _paged_decode_roll_jit(
     def body(carry, _):
         toks, lens, kp, vp, key = carry
         key, sub = jax.random.split(key)
-        nt, kp, vp = _decode_step_core(
+        out, kp, vp = _decode_step_core(
             params, cfg, toks, lens, active, tables, kp, vp, page_size, attn_impl,
-            moe_impl, any_sampled=any_sampled, rng_key=sub, do_sample=do_sample,
-            temperature=temperature, top_k=top_k, top_p=top_p,
+            moe_impl, any_sampled=any_sampled, logprobs=logprobs, rng_key=sub,
+            do_sample=do_sample, temperature=temperature, top_k=top_k, top_p=top_p,
         )
+        nt = out[0] if logprobs else out
         lens = jnp.where(active, lens + 1, lens)
-        return (nt, lens, kp, vp, key), nt
+        return (nt, lens, kp, vp, key), out
 
     (_, _, k_pool, v_pool, _), toks = jax.lax.scan(
         body, (tokens, lengths, k_pool, v_pool, rng_key), None, length=steps
@@ -426,6 +444,10 @@ class _PagedRequest:
     submit_t: float = 0.0  # perf_counter at submit (latency accounting)
     ttft: Optional[float] = None  # first-token latency (s)
     token_times: List[float] = field(default_factory=list)  # observation time per token
+    logprobs: bool = False  # OpenAI logprobs: chosen-token logprob per token
+    top_logprobs: int = 0  # 0..LOGPROBS_K alternatives per token
+    lp_list: List[float] = field(default_factory=list)  # aligned with generated
+    top_list: List[list] = field(default_factory=list)  # [(token_id, lp), ...] per token
 
     @property
     def samples(self) -> bool:
@@ -659,8 +681,12 @@ class PagedBatchEngine:
         eos_token_id: int = 151645,
         generation=None,
         image_cache_key: Optional[str] = None,
+        logprobs: bool = False,
+        top_logprobs: int = 0,
     ) -> int:
         req = _PagedRequest(next(self._ids), list(input_ids), None, max_new_tokens, eos_token_id, generation)
+        req.logprobs = logprobs or top_logprobs > 0
+        req.top_logprobs = max(0, min(int(top_logprobs), LOGPROBS_K))
         req.submit_t = time.perf_counter()
         # plan + feasibility first (both need only input_ids): reject requests
         # no allocation could ever satisfy before paying the ViT encode.
@@ -798,6 +824,21 @@ class PagedBatchEngine:
     def pop_result(self, request_id: int):
         req = self.requests.pop(request_id)
         return list(req.generated), req.prompt_len
+
+    def request_logprobs(self, request_id: int):
+        """OpenAI logprobs surface: (chosen-token logprobs, top alternatives),
+        both aligned with the generated tokens — read BEFORE
+        :meth:`pop_result`.  Top entries are ``[(token_id, logprob), ...]``
+        sliced to the request's ``top_logprobs``; (None, None) when the
+        request didn't ask.  Unlike the single-request fallback the tokens
+        never leave the continuous batch — the decode dispatch computes the
+        chosen logprob + a static top-LOGPROBS_K when any active request
+        wants them (one extra program variant)."""
+        req = self.requests[request_id]
+        if not req.logprobs:
+            return None, None
+        tops = [t[: req.top_logprobs] for t in req.top_list] if req.top_logprobs else None
+        return list(req.lp_list), tops
 
     def cancel(self, request_id: int) -> None:
         """Request early termination (client disconnect, stop string hit).
@@ -1172,7 +1213,7 @@ class PagedBatchEngine:
             first = int(np.asarray(sample(logits, self._next_key(), req.generation))[0])
         else:
             first = int(np.asarray(greedy(logits))[0])
-        self._finish_with_token(req, first)
+        self._finish_with_token(req, first, logits)
 
     def _publish_prefix_pages(self, req: _PagedRequest):
         """After a completed prefill, publish the freshly written immutable
@@ -1189,7 +1230,7 @@ class PagedBatchEngine:
         if moved:
             req.pages = [p for k, p in enumerate(req.pages) if k not in moved]
 
-    def _finish_with_token(self, req: _PagedRequest, first: int):
+    def _finish_with_token(self, req: _PagedRequest, first: int, logits_row=None):
         req.prefilled = True
         req.last_token = first
         now = time.perf_counter()
@@ -1202,6 +1243,17 @@ class PagedBatchEngine:
             self._release(req)
         else:
             req.generated.append(first)
+            if req.logprobs and logits_row is not None:
+                from omchat_tpu.runtime.generate import _chosen_logprob_jit, _top_logprobs_jit
+
+                row = logits_row if logits_row.ndim == 2 else logits_row[None]
+                req.lp_list.append(
+                    float(np.asarray(_chosen_logprob_jit(row, jnp.asarray([first])))[0])
+                )
+                tl, ti = _top_logprobs_jit(row, LOGPROBS_K)
+                req.top_list.append(
+                    [(int(t), float(v)) for t, v in zip(np.asarray(ti)[0], np.asarray(tl)[0])]
+                )
             req.token_times.append(now)
             if len(req.generated) >= req.max_new_tokens:
                 self._release(req)
@@ -1288,7 +1340,7 @@ class PagedBatchEngine:
                     if greedy_toks is None:  # ONE readback for the whole batch
                         greedy_toks = np.asarray(greedy(blogits))
                     first = int(greedy_toks[i])
-                self._finish_with_token(r, first)
+                self._finish_with_token(r, first, blogits[i : i + 1])
         for req, logits in finished_prefills:
             self._finish_prefill(req, logits)
 
@@ -1351,8 +1403,10 @@ class PagedBatchEngine:
         # waiting request's admission is delayed by at most one chunk + one
         # roll (the documented throughput/latency trade).
         roll = self.decode_roll
+        any_lp = any(r.logprobs for r in decoding)
+        lp_np = tl_np = ti_np = None
         if roll == 1:
-            next_tokens, self.k_pool, self.v_pool = _paged_decode_step_jit(
+            out, self.k_pool, self.v_pool = _paged_decode_step_jit(
                 self.params,
                 self.cfg,
                 jnp.asarray(self._tokens),
@@ -1365,8 +1419,16 @@ class PagedBatchEngine:
                 self.attn_impl,
                 self.moe_impl,
                 any_sampled=any_sampled,
+                logprobs=any_lp,
                 **sample_args,
             )
+            if any_lp:
+                next_tokens, chosen, top_v, top_i = out
+                lp_np = np.asarray(chosen)[None]
+                tl_np = np.asarray(top_v)[None]
+                ti_np = np.asarray(top_i)[None]
+            else:
+                next_tokens = out
             toks_np = np.asarray(next_tokens)[None]  # [1, S]
         else:
             toks, self.k_pool, self.v_pool = _paged_decode_roll_jit(
@@ -1383,8 +1445,14 @@ class PagedBatchEngine:
                 roll,
                 self.moe_impl,
                 any_sampled=any_sampled,
+                logprobs=any_lp,
                 **sample_args,
             )
+            if any_lp:
+                toks, chosen, top_v, top_i = toks
+                lp_np = np.asarray(chosen)  # [roll, S]
+                tl_np = np.asarray(top_v)  # [roll, S, K]
+                ti_np = np.asarray(top_i)
             toks_np = np.asarray(toks)  # [roll, S]
         tick_now = time.perf_counter()  # tokens in a roll arrive together
         for r in decoding:
@@ -1399,6 +1467,14 @@ class PagedBatchEngine:
                     self._release(r)
                     break
                 r.generated.append(tok)
+                if r.logprobs and lp_np is not None:
+                    r.lp_list.append(float(lp_np[i, r.slot]))
+                    r.top_list.append(
+                        [
+                            (int(t), float(v))
+                            for t, v in zip(ti_np[i, r.slot], tl_np[i, r.slot])
+                        ]
+                    )
                 if r.token_times and tick_now > r.token_times[-1]:
                     self._gaps.append(tick_now - r.token_times[-1])
                 r.token_times.append(tick_now)

@@ -470,3 +470,36 @@ def test_precompile_then_serve(setup):
     got = [engine.pop_result(r)[0] for r in rids]
     want = _expected(cfg, params, [(t, None) for t in ids], 4)
     assert got == [list(w) for w in want]
+
+
+def test_paged_logprobs_match_single_engine(setup):
+    """Native continuous-batch logprobs == the single-request engine's
+    return_logprobs/top_logprobs on the same greedy request (the OpenAI
+    surface previously had to leave the batch for these)."""
+    cfg, params = setup
+    ids = [7, 6, 5, 4, 9, 8]
+    single = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=16)
+    want = single.generate(
+        [list(ids)], None,
+        GenerationConfig(max_new_tokens=5, eos_token_id=-1),
+        return_logprobs=True, top_logprobs=3,
+    )
+
+    engine = PagedBatchEngine(
+        cfg, params, max_slots=2, num_pages=16, page_size=8,
+        prompt_bucket=8, max_len=64, attn_impl="xla",
+    )
+    rid = engine.submit(list(ids), None, max_new_tokens=5, eos_token_id=-1,
+                        logprobs=True, top_logprobs=3)
+    # a logprobs-less companion shares the batch (the dispatch upgrades)
+    rid2 = engine.submit([3, 2, 1], None, max_new_tokens=5, eos_token_id=-1)
+    engine.run_to_completion()
+    lps, tops = engine.request_logprobs(rid)
+    toks, _ = engine.pop_result(rid)
+    assert toks == list(want.token_ids[0])
+    np.testing.assert_allclose(lps, want.logprobs[0], atol=1e-3, rtol=1e-3)
+    assert len(tops) == len(toks) and all(len(t) == 3 for t in tops)
+    for got_t, want_t in zip(tops, want.top_logprobs[0]):
+        assert [g[0] for g in got_t] == [w[0] for w in want_t[:3]]
+    assert engine.request_logprobs(rid2) == (None, None)
+    engine.pop_result(rid2)
