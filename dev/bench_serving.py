@@ -290,7 +290,7 @@ def run_one(args, cfg, params, rng):
                     "prefix_cache_stats": engine.prefix_cache.stats() if engine.prefix_cache else None,
                     "wall_s": round(dt, 2),
                     "latency": latency,
-                    "requests_per_min": round(N_REQUESTS / dt * 60, 1),
+                    "requests_per_min": round(n_requests / dt * 60, 1),
                     "engine": f"PagedBatchEngine slots={args.max_slots} pages={args.num_pages}x{args.page_size} decode_roll={args.decode_roll} prefill_chunk={args.prefill_chunk} prefix_cache={args.prefix_cache}",
                 },
             }

@@ -258,6 +258,42 @@ def cache_attend_stacked(cfg, attn_impl, kv_len, k_cache, v_cache, q, k, v, li):
     return out, (li, k[:, 0], v[:, 0])
 
 
+def decode_scan(cfg, attn_impl, params, inputs_embeds, cos, sin, cache, kv_len,
+                write_pos, mlp_fn, lora_xs, adapter_ids, *, quant_glue=False):
+    """Single-token decode over the layer stack, shared by the dense and MoE
+    trunks (``mlp_fn`` is the only difference).
+
+    The cache is READ-ONLY and loop-invariant through the layer scan —
+    attention selects the layer inside the kernel's index maps and handles
+    the in-flight token as a self-column; each layer emits only its new K/V
+    rows as scan outputs and ONE scatter commits them.  Scanning the cache
+    as xs/ys (the prefill structure) makes XLA re-materialize every layer's
+    slice to stack the updated ys (~2 ms of a 13 ms single-stream step);
+    carrying a per-layer-mutated cache makes XLA copy it to feed the Pallas
+    operand (4x worse; dev/exp_decode_anatomy.py, round 4).  Prefill keeps
+    xs/ys: its copy cost amortizes over the whole chunk."""
+    n_layers = params["layers"]["input_layernorm"]["scale"].shape[0]
+    attend = functools.partial(
+        cache_attend_stacked, cfg, attn_impl, kv_len, cache.k, cache.v
+    )
+
+    def body_dec(carry, xs_):
+        x, cos_, sin_ = carry
+        li, layer, lora_layer = xs_
+        x, (_, k_row, v_row) = decoder_layer(
+            cfg, x, layer, cos_, sin_, attend, mlp_fn, li,
+            quant_glue=quant_glue, lora=lora_layer, adapter_ids=adapter_ids,
+        )
+        return (x, cos_, sin_), (k_row, v_row)
+
+    (x, _, _), (k_rows, v_rows) = jax.lax.scan(
+        body_dec,
+        (inputs_embeds, cos, sin),
+        (jnp.arange(n_layers, dtype=jnp.int32), params["layers"], lora_xs),
+    )  # k_rows: [L, B, KVH, D]
+    return x, commit_decode_rows(cache, write_pos, k_rows, v_rows)
+
+
 def _dense_mlp(y, p, a8, lora=None, adapter_ids=None):
     return _mlp(y, p, a8=a8, lora=lora, adapter_ids=adapter_ids)
 
@@ -364,37 +400,11 @@ def qwen2_forward(
         body = jax.checkpoint(body)
 
     if cache is not None and inputs_embeds.shape[1] == 1:
-        # Decode step: the cache is READ-ONLY and loop-invariant through the
-        # layer scan — attention selects the layer inside the kernel's index
-        # maps and handles the in-flight token as a self-column; each layer
-        # emits only its new K/V rows as scan outputs and ONE scatter commits
-        # them.  Scanning the cache as xs/ys (the prefill structure below)
-        # makes XLA re-materialize every layer's slice to stack the updated
-        # ys (~2 ms of a 13 ms single-stream step); carrying a per-layer-
-        # mutated cache makes XLA copy it to feed the Pallas operand (4x
-        # worse; dev/exp_decode_anatomy.py, round 4).  Prefill keeps xs/ys:
-        # its copy cost amortizes over the whole chunk.
-        n_layers = params["layers"]["input_layernorm"]["scale"].shape[0]
-        attend = functools.partial(
-            cache_attend_stacked, cfg, attn_impl, kv_len, cache.k, cache.v
+        x, new_cache = decode_scan(
+            cfg, attn_impl, params, inputs_embeds, cos, sin, cache, kv_len,
+            write_pos, _dense_mlp, lora_xs, adapter_ids,
+            quant_glue=quant_glue_ok(attn_impl),
         )
-
-        def body_dec(carry, xs_):
-            x, cos_, sin_ = carry
-            li, layer, lora_layer = xs_
-            x, (_, k_row, v_row) = decoder_layer(
-                cfg, x, layer, cos_, sin_, attend, _dense_mlp, li,
-                quant_glue=quant_glue_ok(attn_impl),
-                lora=lora_layer, adapter_ids=adapter_ids,
-            )
-            return (x, cos_, sin_), (k_row, v_row)
-
-        (x, _, _), (k_rows, v_rows) = jax.lax.scan(
-            body_dec,
-            (inputs_embeds, cos, sin),
-            (jnp.arange(n_layers, dtype=jnp.int32), params["layers"], lora_xs),
-        )  # k_rows: [L, B, KVH, D]
-        new_cache = commit_decode_rows(cache, write_pos, k_rows, v_rows)
     elif cache is not None:
         xs = (params["layers"], lora_xs, cache.k, cache.v)
         (x, *_), (new_k, new_v) = jax.lax.scan(body, (inputs_embeds, cos, sin, write_pos, kv_len), xs)

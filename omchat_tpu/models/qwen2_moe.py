@@ -159,30 +159,13 @@ def qwen2_moe_forward(
 
     if cache is not None and inputs_embeds.shape[1] == 1:
         # Decode step: read-only cache + self-column + one post-scan row
-        # commit — see qwen2.qwen2_forward for the measured rationale.
-        from omchat_tpu.models.qwen2 import cache_attend_stacked, commit_decode_rows
+        # commit — see qwen2.decode_scan for the measured rationale.
+        from omchat_tpu.models.qwen2 import decode_scan
 
-        n_layers = params["layers"]["input_layernorm"]["scale"].shape[0]
-        mlp_fn = moe_mlp(cfg, moe_impl)
-        attend = functools.partial(
-            cache_attend_stacked, cfg, attn_impl, kv_len, cache.k, cache.v
+        x, new_cache = decode_scan(
+            cfg, attn_impl, params, inputs_embeds, cos, sin, cache, kv_len,
+            write_pos, moe_mlp(cfg, moe_impl), lora_xs, adapter_ids,
         )
-
-        def body_dec(carry, xs_):
-            x, cos_, sin_ = carry
-            li, layer, lora_layer = xs_
-            x, (_, k_row, v_row) = decoder_layer(
-                cfg, x, layer, cos_, sin_, attend, mlp_fn, li,
-                lora=lora_layer, adapter_ids=adapter_ids,
-            )
-            return (x, cos_, sin_), (k_row, v_row)
-
-        (x, _, _), (k_rows, v_rows) = jax.lax.scan(
-            body_dec,
-            (inputs_embeds, cos, sin),
-            (jnp.arange(n_layers, dtype=jnp.int32), params["layers"], lora_xs),
-        )
-        new_cache = commit_decode_rows(cache, write_pos, k_rows, v_rows)
     elif cache is not None:
         xs = (params["layers"], lora_xs, cache.k, cache.v)
         (x, *_), (new_k, new_v) = jax.lax.scan(body, (inputs_embeds, cos, sin, write_pos, kv_len), xs)

@@ -27,6 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from omchat_tpu.ops.flash_attention import DEFAULT_MASK_VALUE
+from omchat_tpu.ops.online_softmax import (
+    fold_self_column,
+    normalize_output,
+    online_update,
+    qk_dot,
+)
 
 
 def _decode_kernel(
@@ -58,32 +64,19 @@ def _decode_kernel(
         g_pad = q_ref.shape[0]
         q = q_ref[...]
         k = k_ref[...].astype(q.dtype)  # cache may be fp8
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G_pad, block_k]
-        s = s * sm_scale
+        s = qk_dot(q, k) * sm_scale  # [G_pad, block_k]
 
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (g_pad, block_k), 1) + ki * block_k
         s = jnp.where(col_ids < length, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scratch[...]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[...] = m_next
-
         v = v_ref[...].astype(q_ref.dtype)
-        o_curr = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + o_curr
+        m_scratch[...], l_scratch[...], acc_scratch[...] = online_update(
+            s, v, m_scratch[...], l_scratch[...], acc_scratch[...]
+        )
 
     @pl.when(ki == num_kv_blocks - 1)
     def _store():
-        l = l_scratch[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        o_ref[...] = normalize_output(l_scratch[...], acc_scratch[...], o_ref.dtype)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -103,27 +96,13 @@ def _decode_kernel_stacked(lengths_ref, li_ref, q_ref, k_ref, v_ref,
 
     @pl.when(ki == num_kv_blocks - 1)
     def _self_and_renorm():
-        q = q_ref[...]  # [G_pad, D]
-        kn = k_new_ref[...].astype(q.dtype)  # [8, D], row 0 valid
-        sn = jax.lax.dot_general(
-            q, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # [G_pad, 8]
-        col = jax.lax.broadcasted_iota(jnp.int32, sn.shape, 1)
-        sn = jnp.where(col == 0, sn, DEFAULT_MASK_VALUE)
         # _decode_kernel's store already normalized o_ref by l; undo is messy,
         # so recompute the final output here from the scratches + self column
-        m_prev, l_prev = m_scratch[...], l_scratch[...]
-        m_next = jnp.maximum(m_prev, jnp.max(sn, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(sn - m_next[:, :1])
-        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        vn = v_new_ref[...].astype(q.dtype)
-        acc = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + jax.lax.dot(
-            p.astype(vn.dtype), vn, preferred_element_type=jnp.float32
+        _, l_next, acc = fold_self_column(
+            q_ref[...], k_new_ref[...], v_new_ref[...], sm_scale,
+            m_scratch[...], l_scratch[...], acc_scratch[...],
         )
-        l = l_next[:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[...] = (acc * l_inv).astype(o_ref.dtype)
+        o_ref[...] = normalize_output(l_next, acc, o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))

@@ -27,6 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from omchat_tpu.ops.flash_attention import DEFAULT_MASK_VALUE
+from omchat_tpu.ops.online_softmax import (
+    fold_self_column,
+    normalize_output,
+    online_update,
+    qk_dot,
+)
 
 
 def _paged_decode_kernel(
@@ -76,25 +82,12 @@ def _paged_decode_kernel(
         # 512-step grid, dev/exp_decode_anatomy.py round 4).
         q = q_ref[...]  # [KVH, G, D]
         k = k_pages_ref[...].astype(q.dtype)  # [KVH, ps, D]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # [KVH, G, ps]
-        s = s * sm_scale
+        s = qk_dot(q, k) * sm_scale  # [KVH, G, ps]
         col = jax.lax.broadcasted_iota(jnp.int32, (kvh, g_pad, page_size), 2) + ki * page_size
         s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
-        m_prev, l_prev = m_scratch[...], l_scratch[...]
-        m_curr = jnp.max(s, axis=2, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :, :1])
-        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
-        m_scratch[...] = m_next
         v = v_pages_ref[...].astype(q.dtype)  # [KVH, ps, D]
-        acc_scratch[...] = acc_scratch[...] * alpha[
-            :, :, : acc_scratch.shape[2]
-        ] + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        m_scratch[...], l_scratch[...], acc_scratch[...] = online_update(
+            s, v, m_scratch[...], l_scratch[...], acc_scratch[...]
         )
 
     @pl.when(ki == num_blocks - 1)
@@ -102,30 +95,11 @@ def _paged_decode_kernel(
         if self_col:
             # fold the in-flight token in before normalizing: one [KVH, G, 8]
             # score block (row 0 valid), standard online-softmax update
-            kvh, g_pad, _ = q_ref.shape
-            q = q_ref[...]
-            kn = k_new_ref[...].astype(q.dtype)  # [KVH, 8, D]
-            sn = jax.lax.dot_general(
-                q, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-            ) * sm_scale  # [KVH, G, 8]
-            col = jax.lax.broadcasted_iota(jnp.int32, sn.shape, 2)
-            sn = jnp.where(col == 0, sn, DEFAULT_MASK_VALUE)
-            m_prev, l_prev = m_scratch[...], l_scratch[...]
-            m_curr = jnp.max(sn, axis=2, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(sn - m_next[:, :, :1])
-            l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
-            vn = v_new_ref[...].astype(q.dtype)
-            acc_scratch[...] = acc_scratch[...] * alpha[
-                :, :, : acc_scratch.shape[2]
-            ] + jax.lax.dot_general(
-                p.astype(vn.dtype), vn, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+            _, l_scratch[...], acc_scratch[...] = fold_self_column(
+                q_ref[...], k_new_ref[...], v_new_ref[...], sm_scale,
+                m_scratch[...], l_scratch[...], acc_scratch[...],
             )
-        l = l_scratch[...][:, :, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        o_ref[...] = normalize_output(l_scratch[...], acc_scratch[...], o_ref.dtype)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -271,21 +245,10 @@ def _paged_decode_manual_kernel(
         for h in range(kvh):
             q = q_ref[h]
             k = kbuf[slot, h].astype(q.dtype)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * sm_scale
+            s = qk_dot(q, k) * sm_scale
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-            m_prev, l_prev = m_s[h], l_s[h]
-            m_curr = jnp.max(s, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])
-            l_s[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            m_s[h] = m_next
             v = vbuf[slot, h].astype(q.dtype)
-            acc_s[h] = acc_s[h] * alpha[:, : acc_s.shape[2]] + jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            )
+            m_s[h], l_s[h], acc_s[h] = online_update(s, v, m_s[h], l_s[h], acc_s[h])
 
         @pl.when(pi + NBUF < n_pages)  # refill this slot NBUF pages ahead
         def _():
@@ -295,27 +258,12 @@ def _paged_decode_manual_kernel(
     jax.lax.fori_loop(0, n_pages, body, None)
 
     if self_col:
-        q = q_ref[...]
-        kn = k_new_ref[...].astype(q.dtype)  # [KVH, 8, D], row 0 valid
-        sn = jax.lax.dot_general(
-            q, kn, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        ) * sm_scale
-        col = jax.lax.broadcasted_iota(jnp.int32, sn.shape, 2)
-        sn = jnp.where(col == 0, sn, DEFAULT_MASK_VALUE)
-        m_prev, l_prev = m_s[...], l_s[...]
-        m_next = jnp.maximum(m_prev, jnp.max(sn, axis=2, keepdims=True))
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(sn - m_next[:, :, :1])
-        l_s[...] = alpha * l_prev + jnp.sum(p, axis=2, keepdims=True)
-        vn = v_new_ref[...].astype(q.dtype)
-        acc_s[...] = acc_s[...] * alpha[:, :, : acc_s.shape[2]] + jax.lax.dot_general(
-            p.astype(vn.dtype), vn, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        _, l_s[...], acc_s[...] = fold_self_column(
+            q_ref[...], k_new_ref[...], v_new_ref[...], sm_scale,
+            m_s[...], l_s[...], acc_s[...],
         )
 
-    l = l_s[...][:, :, :1]
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    o_ref[...] = (acc_s[...] * l_inv).astype(o_ref.dtype)
+    o_ref[...] = normalize_output(l_s[...], acc_s[...], o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -473,32 +421,21 @@ def _paged_prefill_kernel(
         r = g * bq
         q = q_ref[...].reshape(r, d)
         k = k_page_ref[...].astype(q.dtype)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * sm_scale
+        s = qk_dot(q, k) * sm_scale
         row_pos = q_offset + qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (r, page_size), 0) % bq
         col_pos = ki * page_size + jax.lax.broadcasted_iota(jnp.int32, (r, page_size), 1)
         s = jnp.where((col_pos <= row_pos) & (col_pos < kv_len), s, DEFAULT_MASK_VALUE)
 
-        m_prev, l_prev = m_scratch[...], l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[...] = m_next
         v = v_page_ref[...].astype(q.dtype)
-        acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[1]] + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        m_scratch[...], l_scratch[...], acc_scratch[...] = online_update(
+            s, v, m_scratch[...], l_scratch[...], acc_scratch[...]
         )
 
     @pl.when(ki == num_blocks - 1)
     def _store():
         g, bq, d = o_ref.shape
-        l = l_scratch[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[...] = (acc_scratch[...] * l_inv).astype(o_ref.dtype).reshape(g, bq, d)
+        out = normalize_output(l_scratch[...], acc_scratch[...], o_ref.dtype)
+        o_ref[...] = out.reshape(g, bq, d)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))

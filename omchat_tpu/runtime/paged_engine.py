@@ -622,7 +622,8 @@ class PagedBatchEngine:
         return sub
 
     def precompile(self, batch_sizes=(1, 2, 4, 8, 16), widths=(128, 256, 512),
-                   roll_widths=(4, 8, 16, 32)):
+                   roll_widths=(4, 8, 16, 32),
+                   variants=((False, False), (True, False), (False, True), (True, True))):
         """Compile the program menu ahead of traffic.
 
         Live traffic walks program shapes the first requests otherwise pay
@@ -634,6 +635,12 @@ class PagedBatchEngine:
         outliers in steady-state serving.  Long-prompt chunk widths are NOT
         covered (they depend on actual prompt lengths); the fixed-shape
         chunked path bounds those to bucketed multiples of the prompt bucket.
+
+        ``variants`` lists the (any_sampled, logprobs) decode programs to
+        compile per roll width — both are STATIC jit args, so the first
+        sampled (temperature>0) or logprobs request would otherwise trigger
+        the same mid-traffic compile this method exists to prevent.  Trim it
+        to ``((False, False),)`` for a greedy-only deployment's faster start.
         """
         cap = 1
         while cap < self.max_slots:
@@ -653,23 +660,34 @@ class PagedBatchEngine:
         tokens = jnp.zeros((self.max_slots,), jnp.int32)
         lengths = jnp.zeros((self.max_slots,), jnp.int32)
         active = jnp.zeros((self.max_slots,), bool)
+        neutral_sample_args = dict(
+            rng_key=jax.random.PRNGKey(0),
+            do_sample=jnp.zeros((self.max_slots,), bool),
+            temperature=jnp.ones((self.max_slots,), jnp.float32),
+            top_k=jnp.zeros((self.max_slots,), jnp.int32),
+            top_p=jnp.ones((self.max_slots,), jnp.float32),
+        )
         for w in roll_widths:
             if w > self.max_pages:
                 continue
             tables = jnp.full((self.max_slots, w), self._parking, jnp.int32)
-            if self.decode_roll == 1:
-                toks, self.k_pool, self.v_pool = _paged_decode_step_jit(
-                    self.params, self.cfg, tokens, lengths, active, tables,
-                    self.k_pool, self.v_pool, self.page_size, self.attn_impl,
-                    self.moe_impl,
-                )
-            else:
-                toks, self.k_pool, self.v_pool = _paged_decode_roll_jit(
-                    self.params, self.cfg, tokens, lengths, active, tables,
-                    self.k_pool, self.v_pool, self.page_size, self.attn_impl,
-                    self.decode_roll, self.moe_impl,
-                )
-            jax.block_until_ready(toks)
+            for any_sampled, logprobs in variants:
+                sample_args = neutral_sample_args if any_sampled else {}
+                if self.decode_roll == 1:
+                    out, self.k_pool, self.v_pool = _paged_decode_step_jit(
+                        self.params, self.cfg, tokens, lengths, active, tables,
+                        self.k_pool, self.v_pool, self.page_size, self.attn_impl,
+                        self.moe_impl, any_sampled=any_sampled,
+                        logprobs=logprobs, **sample_args,
+                    )
+                else:
+                    out, self.k_pool, self.v_pool = _paged_decode_roll_jit(
+                        self.params, self.cfg, tokens, lengths, active, tables,
+                        self.k_pool, self.v_pool, self.page_size, self.attn_impl,
+                        self.decode_roll, self.moe_impl, any_sampled=any_sampled,
+                        logprobs=logprobs, **sample_args,
+                    )
+                jax.block_until_ready(out[0] if logprobs else out)
 
     # -- client API ---------------------------------------------------------
 
