@@ -25,6 +25,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from omchat_tpu.checkpoint.save import TrainCheckpointer
 from omchat_tpu.config import OmChatConfig
@@ -283,6 +284,17 @@ def main():
                         help="context parallelism: shard the sequence axis over a 'context' "
                         "mesh axis with ring attention (long-context training; requires "
                         "merged seq len %% cp == 0; incompatible with --tp/--sequence-parallel)")
+    parser.add_argument("--pp", type=int, default=1,
+                        help="GPipe pipeline parallelism: split the decoder trunk into N "
+                        "contiguous layer stages (params one stage per device over a "
+                        "'stage' mesh) and stream microbatches through them with ppermute "
+                        "handoffs; backward is AD's transpose of the fill-drain schedule. "
+                        "For models beyond TP reach; requires layers %% pp == 0; "
+                        "incompatible with --tp/--fsdp/--cp/--sequence-parallel/--lora-rank")
+    parser.add_argument("--pp-microbatches", type=int, default=0, metavar="M",
+                        help="microbatches per --pp step (default: batch size, i.e. "
+                        "one-row microbatches for the smallest pipeline bubble; "
+                        "must divide --batch-size)")
     parser.add_argument("--fsdp", action="store_true")
     parser.add_argument("--sequence-parallel", action="store_true", help="Megatron SP: shard activation sequence axis over the model axis")
     parser.add_argument("--grad-clip", type=float, default=1.0,
@@ -354,7 +366,21 @@ def main():
     if args.qlora:
         parser.error("--qlora requires --lora-rank")
 
-    if args.cp > 1:
+    if args.pp > 1:
+        if args.tp != 1 or args.sequence_parallel or args.fsdp or args.cp > 1:
+            parser.error("--pp is incompatible with --tp/--fsdp/--cp/--sequence-parallel")
+        if args.tune_mm_mlp_adapter:
+            parser.error("--pp does not support --tune-mm-mlp-adapter (stage-1 trains only the projector; PP splits the trunk)")
+        if cfg.text.num_hidden_layers % args.pp != 0:
+            parser.error(f"--pp {args.pp} must divide the decoder layer count {cfg.text.num_hidden_layers}")
+        if args.pp > len(jax.devices()):
+            parser.error(f"--pp {args.pp} needs {args.pp} devices; {len(jax.devices())} available")
+        pp_micro = args.pp_microbatches or args.batch_size
+        if args.batch_size % pp_micro != 0:
+            parser.error(f"--pp-microbatches {pp_micro} must divide --batch-size {args.batch_size}")
+        mesh = Mesh(np.asarray(jax.devices()[: args.pp]), axis_names=("stage",))
+        specs = None
+    elif args.cp > 1:
         if args.tp != 1 or args.sequence_parallel:
             parser.error("--cp is incompatible with --tp/--sequence-parallel")
         from omchat_tpu.parallel.mesh import create_cp_mesh
@@ -367,9 +393,10 @@ def main():
     else:
         mesh = create_mesh(tp=args.tp)
         specs = omchat_param_specs(cfg, params, fsdp=args.fsdp)
-    dp = mesh.shape["data"]
-    if args.batch_size % dp != 0:
-        parser.error(f"--batch-size {args.batch_size} must be divisible by the data-parallel degree {dp} (= devices/tp)")
+    if args.pp == 1:
+        dp = mesh.shape["data"]
+        if args.batch_size % dp != 0:
+            parser.error(f"--batch-size {args.batch_size} must be divisible by the data-parallel degree {dp} (= devices/tp)")
     schedule = warmup_cosine_schedule(args.lr, total_steps=total, warmup_steps=args.warmup)
     optimizer = optax.adamw(schedule, b1=0.9, b2=0.95)
     if args.grad_clip > 0:
@@ -386,12 +413,30 @@ def main():
         )
     if args.grad_accum > 1:
         optimizer = optax.MultiSteps(optimizer, every_k_schedule=args.grad_accum)
-    step_fn, batch_shardings, _ = make_sharded_train_step(
-        cfg, mesh, specs, optimizer, sequence_parallel=args.sequence_parallel,
-        context_parallel=args.cp > 1,
-    )
+    if args.pp > 1:
+        from omchat_tpu.training.train_step import (
+            make_pp_train_step,
+            pp_param_specs,
+            stage_params,
+        )
 
-    params = shard_params(params, mesh, specs)
+        step_fn, batch_shardings, to_sharding = make_pp_train_step(
+            cfg, mesh, optimizer, microbatches=pp_micro
+        )
+        params = stage_params(params, args.pp)
+        params = jax.tree.map(
+            lambda a, s: jax.device_put(a, s), params, to_sharding(pp_param_specs(params))
+        )
+        logger.info(
+            f"GPipe pipeline: {args.pp} stages x {cfg.text.num_hidden_layers // args.pp} layers, "
+            f"{pp_micro} microbatches/step"
+        )
+    else:
+        step_fn, batch_shardings, _ = make_sharded_train_step(
+            cfg, mesh, specs, optimizer, sequence_parallel=args.sequence_parallel,
+            context_parallel=args.cp > 1,
+        )
+        params = shard_params(params, mesh, specs)
     state = init_train_state(params, optimizer)
 
     if not args.data and not args.synthetic:

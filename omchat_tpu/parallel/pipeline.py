@@ -40,52 +40,60 @@ def pipeline_forward(
 
     Args:
       stage_fn: pure function (stage_params, x) -> x, same shape in/out.
+        ``x`` may be a pytree (e.g. ``(hidden, cos, sin)`` so per-microbatch
+        RoPE tables / segment ids ride the pipeline with the activation).
       stage_params: pytree whose leaves have a leading stage axis [S, ...];
         sharded one stage per device along ``axis``.
-      microbatches: [M, ...] input microbatches (replicated).
+      microbatches: pytree whose leaves are [M, ...] microbatches (replicated).
       mesh: mesh with an ``axis`` dimension of size S.
 
-    Returns [M, ...] outputs (replicated), bit-equal to applying the stages
-    sequentially to each microbatch.
+    Returns [M, ...]-leaved outputs (replicated), bit-equal to applying the
+    stages sequentially to each microbatch.
     """
     n_stages = mesh.shape[axis]
-    m = microbatches.shape[0]
+    m = jax.tree.leaves(microbatches)[0].shape[0]
     perm_fwd = [(i, i + 1) for i in range(n_stages - 1)]
 
     def local(params, micro):
-        # params: stage-local [1, ...] slice; micro: [M, ...] (replicated)
+        # params: stage-local [1, ...] slice; micro: [M, ...] leaves (replicated)
         params = jax.tree.map(lambda a: a[0], params)
         sid = jax.lax.axis_index(axis)
-        zero = jnp.zeros_like(micro[0])
+        zero = jax.tree.map(lambda a: jnp.zeros_like(a[0]), micro)
 
         def tick(carry, t):
             inbuf, outs = carry
             # stage 0 injects microbatch t (while available); others consume
             # the activation handed over from stage s-1 last tick.
-            x_in = jnp.where(
-                sid == 0,
-                micro[jnp.minimum(t, m - 1)],
-                inbuf,
+            x_in = jax.tree.map(
+                lambda mb, ib: jnp.where(sid == 0, mb[jnp.minimum(t, m - 1)], ib),
+                micro, inbuf,
             )
             y = stage_fn(params, x_in)
             # the last stage finished microbatch t - (S-1) at tick t
             done_idx = t - (n_stages - 1)
-            outs = jnp.where(
-                (sid == n_stages - 1) & (done_idx >= 0),
-                outs.at[jnp.maximum(done_idx, 0)].set(y),
-                outs,
+            outs = jax.tree.map(
+                lambda o, yl: jnp.where(
+                    (sid == n_stages - 1) & (done_idx >= 0),
+                    o.at[jnp.maximum(done_idx, 0)].set(yl),
+                    o,
+                ),
+                outs, y,
             )
             nxt = jax.lax.ppermute(y, axis, perm_fwd)
             return (nxt, outs), None
 
-        outs0 = jnp.zeros_like(micro)
+        outs0 = jax.tree.map(jnp.zeros_like, micro)
         # scan (not fori_loop) so the schedule is reverse-differentiable
         (_, outs), _ = jax.lax.scan(
             tick, (zero, outs0), jnp.arange(m + n_stages - 1)
         )
         # replicate the last stage's outputs to every stage
         return jax.lax.psum(
-            jnp.where(sid == n_stages - 1, outs, jnp.zeros_like(outs)), axis
+            jax.tree.map(
+                lambda o: jnp.where(sid == n_stages - 1, o, jnp.zeros_like(o)),
+                outs,
+            ),
+            axis,
         )
 
     pspec = jax.tree.map(lambda _: P(axis), stage_params)

@@ -142,6 +142,160 @@ def train_step(
     return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
 
 
+def stage_params(params: dict, n_stages: int) -> dict:
+    """Reshape the decoder trunk's stacked layers [L, ...] → [S, L/S, ...] so
+    each pipeline stage owns a contiguous layer block (parallel/pipeline.py
+    ``stage_split``).  Everything else (embeddings, final norm, lm_head,
+    vision tower, projector) stays in its normal layout and runs replicated."""
+    from omchat_tpu.parallel.pipeline import stage_split
+
+    out = dict(params)
+    lm = dict(params["language_model"])
+    lm["layers"] = stage_split(lm["layers"], n_stages)
+    out["language_model"] = lm
+    return out
+
+
+def unstage_params(params: dict) -> dict:
+    """Inverse of :func:`stage_params` — merge [S, L/S, ...] back to [L, ...]
+    (e.g. before exporting a checkpoint in the standard layout)."""
+    out = dict(params)
+    lm = dict(params["language_model"])
+    lm["layers"] = jax.tree.map(
+        lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), lm["layers"]
+    )
+    out["language_model"] = lm
+    return out
+
+
+def pp_param_specs(params_staged: dict) -> dict:
+    """PartitionSpecs for a :func:`stage_params` tree over a ('stage',) mesh:
+    trunk layer leaves shard one stage per device, the rest replicate."""
+    specs = jax.tree.map(lambda _: P(), params_staged)
+    specs["language_model"]["layers"] = jax.tree.map(
+        lambda _: P("stage"), params_staged["language_model"]["layers"]
+    )
+    return specs
+
+
+def make_pp_train_step(
+    cfg: OmChatConfig,
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+    *,
+    microbatches: int,
+    remat: bool = True,
+    attn_impl: Optional[str] = None,
+):
+    """GPipe pipeline-parallel train step over a ``('stage',)`` mesh.
+
+    The reference has no PP (SURVEY.md §2.3 — HF ``device_map="auto"`` places
+    layers sequentially with zero overlap); this is the genuinely-parallel TPU
+    equivalent for models beyond TP reach.  The decoder trunk is split into S
+    contiguous layer stages (params sharded ``P('stage')``, one stage per
+    device); the batch splits into M microbatches that stream through the
+    stages via ``ppermute`` handoffs (parallel/pipeline.py fill–drain scan,
+    S+M−1 ticks).  The backward is AD's transpose of that scan — gradients
+    drain stage-by-stage over the inverted ring — so the loss/grads match the
+    sequential step exactly.  Embeddings, multimodal fusion, the final norm,
+    and the lm_head/CE run replicated outside the pipeline (they are ~2% of
+    13B step FLOPs); per-microbatch RoPE tables and packing segment ids ride
+    the pipeline alongside the activation as a pytree.
+
+    Returns ``(jitted_step(state, cfg, batch), batch_shardings,
+    to_sharding)`` — the step has the same call contract as
+    :func:`make_sharded_train_step`; ``state.params`` must be the
+    :func:`stage_params` layout placed per
+    ``to_sharding(pp_param_specs(params_staged))``.
+    """
+    from omchat_tpu.models.qwen2 import _layer_forward
+    from omchat_tpu.ops.norms import rms_norm
+    from omchat_tpu.ops.rope import rope_cos_sin
+    from omchat_tpu.parallel.pipeline import pipeline_forward
+
+    tc = cfg.text
+    n_stages = mesh.shape["stage"]
+    if attn_impl is None:
+        platform = next(iter(mesh.devices.flat)).platform
+        # inside shard_map the trunk is stage-local, so the Pallas VJP kernel
+        # runs per-device (no GSPMD replication hazard); XLA elsewhere.
+        attn_impl = "pallas_vjp" if platform == "tpu" else "xla"
+
+    def pp_loss(params, batch):
+        pixel_values = batch.get("pixel_values")
+        if pixel_values is not None:
+            feats = encode_images(params, cfg, pixel_values, attn_impl="xla")
+            feats = feats.reshape(-1, feats.shape[-1])
+        else:
+            feats = None
+        embeds = fuse_embeddings(
+            params, batch["token_ids"], batch["is_image"], batch["image_index"], feats
+        )
+        b_total, seq, dim = embeds.shape
+        m = microbatches
+        cos, sin = rope_cos_sin(
+            batch["positions"], tc.attn_head_dim, theta=tc.rope_theta,
+            scaling=tc.rope_scaling,
+            max_position_embeddings=tc.max_position_embeddings, dtype=embeds.dtype,
+        )
+
+        def mb(a):
+            return a.reshape(m, b_total // m, *a.shape[1:])
+
+        seg = batch.get("segment_ids")
+        micro = (mb(embeds), mb(cos), mb(sin)) + ((mb(seg),) if seg is not None else ())
+
+        def stage_fn(stage_layers, x):
+            h, cs, sn = x[0], x[1], x[2]
+            sg = x[3] if len(x) == 4 else None
+
+            def body(carry, layer):
+                carry2, _ = _layer_forward(
+                    tc, attn_impl, sg, None, carry, (layer, None, None, None)
+                )
+                return carry2, None
+
+            if remat:
+                body = jax.checkpoint(body)
+            (h2, *_), _ = jax.lax.scan(
+                body, (h, cs, sn, jnp.int32(0), None), stage_layers
+            )
+            return (h2,) + tuple(x[1:])
+
+        outs = pipeline_forward(
+            stage_fn, params["language_model"]["layers"], micro, mesh, axis="stage"
+        )
+        hidden = outs[0].reshape(b_total, seq, dim)
+        hidden = rms_norm(hidden, params["language_model"]["norm"]["scale"], tc.rms_norm_eps)
+        logits = lm_head(params["language_model"], tc, hidden)
+        shifted_labels = jnp.concatenate(
+            [batch["labels"][:, 1:], jnp.full_like(batch["labels"][:, :1], IGNORE_INDEX)],
+            axis=1,
+        )
+        loss, n = cross_entropy_loss(logits, shifted_labels)
+        return loss, n
+
+    def step(state: TrainState, cfg_, batch):
+        (loss, _), grads = jax.value_and_grad(pp_loss, has_aux=True)(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
+
+    batch_spec = {
+        k: P()
+        for k in ("token_ids", "is_image", "image_index", "positions", "labels",
+                  "pixel_values", "segment_ids")
+    }
+
+    def to_sharding(tree):
+        return jax.tree.map(
+            lambda s: NamedSharding(mesh, s), tree, is_leaf=lambda x: isinstance(x, P)
+        )
+
+    jitted = jax.jit(step, static_argnames=("cfg_",))
+    return jitted, to_sharding(batch_spec), to_sharding
+
+
 def make_sharded_train_step(
     cfg: OmChatConfig,
     mesh: Mesh,

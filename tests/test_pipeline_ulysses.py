@@ -162,3 +162,136 @@ def test_pipeline_qwen2_trunk(rng):
     stages = stage_split(params["layers"], n_stages)
     out = pipeline_forward(stage, stages, x[None], mesh, axis="stage")[0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def _pp_tiny_params(cfg, seed=0):
+    from omchat_tpu.models import intern_vit, projector as projector_model, qwen2 as qwen2_model
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "vision_tower": intern_vit.init_params(k1, cfg.vision),
+        "projector": projector_model.init_params(
+            k2, cfg.projector, cfg.vision.hidden_size, cfg.text.hidden_size
+        ),
+        "language_model": qwen2_model.init_params(k3, cfg.text),
+    }
+
+
+def _pp_batch(cfg, rng, with_image=True):
+    from omchat_tpu.models.omchat import plan_multimodal_merge
+
+    ids = [5, 6, -200, 7, 8] if with_image else [5, 6, 7, 8, 9, 10]
+    plan = plan_multimodal_merge([ids] * 4, cfg.image_seq_len, bucket=8)
+    labels = np.where(plan.is_image, -100, plan.token_ids)
+    labels[plan.positions == 0] = -100
+    batch = {
+        "token_ids": jnp.asarray(plan.token_ids),
+        "is_image": jnp.asarray(plan.is_image),
+        "image_index": jnp.asarray(plan.image_index),
+        "positions": jnp.asarray(plan.positions),
+        "labels": jnp.asarray(labels),
+    }
+    if with_image:
+        batch["pixel_values"] = jnp.asarray(
+            rng.standard_normal((4, 3, 56, 56)).astype(np.float32)
+        )
+    return batch
+
+
+def test_pp_train_step_matches_sequential(rng):
+    """make_pp_train_step (2 GPipe stages, 2 microbatches) produces the same
+    loss as the plain single-device train step on an identical multimodal
+    batch — the drivable `cli/train.py --pp` path."""
+    import optax
+
+    from omchat_tpu.config import OmChatConfig
+    from omchat_tpu.training.train_step import (
+        init_train_state,
+        make_pp_train_step,
+        make_optimizer,
+        pp_param_specs,
+        stage_params,
+        train_step,
+        unstage_params,
+    )
+
+    cfg = OmChatConfig.tiny()
+    params = _pp_tiny_params(cfg)
+    batch = _pp_batch(cfg, rng)
+    optimizer = make_optimizer(lr=1e-4)
+
+    # sequential reference on one device
+    state_ref = init_train_state(params, optimizer)
+    _, loss_ref = train_step(state_ref, cfg, batch, optimizer, attn_impl="xla", remat=False)
+
+    n_stages, m = 2, 2
+    mesh = Mesh(np.asarray(jax.devices()[:n_stages]), axis_names=("stage",))
+    staged = stage_params(params, n_stages)
+    # round-trip sanity: unstage inverts stage
+    rt = unstage_params(staged)
+    np.testing.assert_array_equal(
+        np.asarray(rt["language_model"]["layers"]["input_layernorm"]["scale"]),
+        np.asarray(params["language_model"]["layers"]["input_layernorm"]["scale"]),
+    )
+
+    step_fn, batch_shardings, to_sharding = make_pp_train_step(
+        cfg, mesh, optimizer, microbatches=m, remat=False
+    )
+    param_shardings = to_sharding(pp_param_specs(staged))
+    staged = jax.tree.map(lambda a, s: jax.device_put(a, s), staged, param_shardings)
+    state = init_train_state(staged, optimizer)
+    b = {k: jax.device_put(v, batch_shardings[k]) for k, v in batch.items()}
+
+    state2, loss1 = step_fn(state, cfg, b)
+    np.testing.assert_allclose(float(loss1), float(loss_ref), rtol=2e-5)
+    state3, loss2 = step_fn(state2, cfg, b)
+    assert float(loss2) < float(loss1)  # AdamW descends through the pipeline
+    assert int(state3.step) == 2
+
+
+def test_pp_train_step_packed_segments(rng):
+    """Packed text rows (segment_ids) train through the pipeline: the segment
+    mask rides the microbatch tuple, loss matches the sequential step."""
+    from omchat_tpu.config import OmChatConfig
+    from omchat_tpu.training.train_step import (
+        init_train_state,
+        make_pp_train_step,
+        make_optimizer,
+        pp_param_specs,
+        stage_params,
+        train_step,
+    )
+
+    cfg = OmChatConfig.tiny()
+    params = _pp_tiny_params(cfg)
+    B, S = 4, 16
+    ids = rng.integers(4, 60, size=(B, S)).astype(np.int32)
+    seg = np.repeat(np.array([[0] * 10 + [1] * 6]), B, axis=0).astype(np.int32)
+    pos = np.concatenate([np.arange(10), np.arange(6)])[None].repeat(B, axis=0).astype(np.int32)
+    labels = ids.copy()
+    labels[:, :1] = -100
+    batch = {
+        "token_ids": jnp.asarray(ids),
+        "is_image": jnp.zeros((B, S), bool),
+        "image_index": jnp.zeros((B, S), jnp.int32),
+        "positions": jnp.asarray(pos),
+        "labels": jnp.asarray(labels),
+        "segment_ids": jnp.asarray(seg),
+    }
+    optimizer = make_optimizer(lr=1e-4)
+    state_ref = init_train_state(params, optimizer)
+    _, loss_ref = train_step(state_ref, cfg, batch, optimizer, attn_impl="xla", remat=False)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("stage",))
+    staged = stage_params(params, 2)
+    step_fn, batch_shardings, to_sharding = make_pp_train_step(
+        cfg, mesh, optimizer, microbatches=4, remat=False
+    )
+    staged = jax.tree.map(
+        lambda a, s: jax.device_put(a, s), staged, to_sharding(pp_param_specs(staged))
+    )
+    state = init_train_state(staged, optimizer)
+    b = {k: jax.device_put(v, batch_shardings[k]) for k, v in batch.items()}
+    _, loss = step_fn(state, cfg, b)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
