@@ -357,8 +357,8 @@ def main():
         parser.error(f"--warmup {args.warmup} must be < total steps {total}")
 
     if args.lora_rank > 0:
-        if args.tp != 1 or args.fsdp or args.sequence_parallel:
-            parser.error("--lora-rank trains single-device adapters; drop --tp/--fsdp/--sequence-parallel")
+        if args.tp != 1 or args.fsdp or args.sequence_parallel or args.pp > 1 or args.cp > 1:
+            parser.error("--lora-rank trains single-device adapters; drop --tp/--fsdp/--cp/--pp/--sequence-parallel")
         if not args.data and not args.synthetic:
             parser.error("pass --data (JSONL dataset) or --synthetic N (smoke mode)")
         _train_lora(args, cfg, params, total, logger)
@@ -445,6 +445,23 @@ def main():
         parser.error("--pack packs a JSONL dataset; pass --data")
 
     ckpt = TrainCheckpointer(os.path.join(args.output_dir, "ckpt"))
+    # --pp checkpoints hold the STAGED [S, L/S, ...] trunk layout: resumable
+    # only at the same degree, and not exportable without unstage_params
+    # (flatten_to_hf_state rejects staged trees).  Record the degree so a
+    # mismatched resume fails with instructions, not an orbax shape error.
+    meta_path = os.path.join(args.output_dir, "ckpt", "TRAIN_META.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            saved_pp = json.load(f).get("pp", 1)
+        if saved_pp != args.pp:
+            parser.error(
+                f"checkpoints in {args.output_dir}/ckpt were written with --pp {saved_pp} "
+                f"(staged [S, L/S, ...] param layout); resume with --pp {saved_pp} "
+                "or start a fresh --output-dir"
+            )
+    else:
+        with open(meta_path, "w") as f:
+            json.dump({"pp": args.pp}, f)
     state, resumed = ckpt.restore(state)
     # a checkpoint at step N holds state *after* executing step N → resume at N+1
     start_step = resumed + 1 if resumed is not None else 0

@@ -64,6 +64,13 @@ def flatten_to_hf_state(params: dict) -> Dict[str, np.ndarray]:
     def lm(p: dict, prefix: str):
         out[f"{prefix}model.embed_tokens.weight"] = _t(p["embed_tokens"])
         layers = p["layers"]
+        if np.ndim(layers["input_layernorm"]["scale"]) != 2:
+            # a silently exported staged tree would write wrongly-shaped 3D/4D
+            # weight tensors that torch loads as garbage
+            raise ValueError(
+                "staged pipeline-parallel layer tree ([S, L/S, ...] leaves); "
+                "call training.train_step.unstage_params(params) before export"
+            )
         n = _t(layers["input_layernorm"]["scale"]).shape[0]
         for i in range(n):
             lp = f"{prefix}model.layers.{i}."

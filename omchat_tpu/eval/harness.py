@@ -350,21 +350,44 @@ def run_eval_video(
                 print(f"[mmbench_video] {i} done", flush=True)
 
 
+def _stem(w: str) -> str:
+    """Light suffix stripping so inflection doesn't break recall matching
+    ('rides'/'riding' ≡ 'ride').  Deliberately tiny — no Porter machinery."""
+    for suf in ("ing", "ed", "es", "s"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+def _word_match(tw: str, answer_words: List[str]) -> bool:
+    # equal stems, or stems differing by a dropped final 'e' ('riding' → 'rid'
+    # vs 'rides' → 'ride'); no prefix matching — 'cat' must not hit 'catches'
+    ts = _stem(tw)
+    return any(
+        aw == tw or _stem(aw) == ts or _stem(aw) + "e" == ts or ts + "e" == _stem(aw)
+        for aw in answer_words
+    )
+
+
 def judge_answer_heuristic(answer: str, truth: str) -> int:
     """Offline 0-3 judge standing in for MMBench-Video's GPT judge (this
-    environment has no egress).  Content-word recall against the ground
-    truth: 3 = exact/containment match, 2 = full recall, 1 = ≥half recall,
-    0 otherwise.  For official numbers pass GPT-judge scores via
-    ``score_mmbench_video(..., scores=...)`` instead."""
+    environment has no egress).  Content-word recall (stemmed) against the
+    ground truth: 3 = exact/containment match, 2 = full recall, 1 = ≥half
+    recall, 0 otherwise.  Validated against the hand-labeled fixture in
+    tests/test_eval_harness.py::test_judge_heuristic_agreement_vs_hand_labels
+    (measured exact / ±1 agreement pinned there); its scores are NOT
+    comparable to the reference's GPT-judge numbers — for official numbers
+    pass GPT-judge scores via ``score_mmbench_video(..., scores=...)``."""
     a, t = _norm(answer), _norm(truth)
     if not t:
         return 0
     if a == t or (len(t) > 3 and t in a):
         return 3
     words = [w for w in t.split() if len(w) > 2]
+    a_words = a.split()
     if not words:
-        return 3 if t in a.split() else 0
-    recall = sum(1 for w in words if w in a) / len(words)
+        return 3 if t in a_words else 0
+    recall = sum(1 for w in words if _word_match(w, a_words)) / len(words)
     if recall >= 1.0:
         return 2
     if recall >= 0.5:
@@ -417,6 +440,136 @@ def score_mmbench_video(
     return out
 
 
+# ---------------------------------------------------------------------------
+# COCO caption metrics (BLEU-4 / CIDEr-D) — the last sliver of the reference's
+# dead eval toolbox (/root/reference/omchat/model/multimodal_encoder/utils.py:
+# 742-913 `coco_caption_eval` wraps pycocoevalcap alongside the VQAScore /
+# BeamHypotheses machinery rebuilt elsewhere).  No pycocotools offline, so the
+# metrics are implemented directly from their published definitions:
+# BLEU (Papineni et al. 2002), CIDEr-D (Vedantam et al. 2015, the
+# length-penalized / count-clipped variant the COCO server reports).
+# ---------------------------------------------------------------------------
+
+
+def _caption_ngrams(tokens: List[str], n: int):
+    from collections import Counter
+
+    return Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
+
+
+def _ref_lists(truths: Dict[str, object]) -> Dict[str, List[str]]:
+    return {
+        qid: ([refs] if isinstance(refs, str) else list(refs))
+        for qid, refs in truths.items()
+    }
+
+
+def score_bleu4(answers: Dict[str, str], truths: Dict[str, List[str]]) -> float:
+    """Corpus-level BLEU-4: clipped n-gram precision (n=1..4, uniform
+    weights), geometric mean, brevity penalty against the closest reference
+    length.  ``truths[qid]`` is a list of reference captions (or one str)."""
+    import math
+    from collections import Counter
+
+    hits = [0] * 4
+    totals = [0] * 4
+    c_len = r_len = 0
+    for qid, ans in answers.items():
+        refs = _ref_lists(truths).get(qid) if qid in truths else None
+        if not refs:
+            continue
+        cand = _norm(ans).split()
+        rtoks = [_norm(r).split() for r in refs]
+        c_len += len(cand)
+        # closest reference length (ties break toward the shorter reference)
+        r_len += min((abs(len(r) - len(cand)), len(r)) for r in rtoks)[1]
+        for n in range(1, 5):
+            cng = _caption_ngrams(cand, n)
+            if not cng:
+                continue
+            max_ref: Counter = Counter()
+            for r in rtoks:
+                for g, c in _caption_ngrams(r, n).items():
+                    max_ref[g] = max(max_ref[g], c)
+            hits[n - 1] += sum(min(c, max_ref.get(g, 0)) for g, c in cng.items())
+            totals[n - 1] += sum(cng.values())
+    if any(t == 0 for t in totals) or any(h == 0 for h in hits):
+        return 0.0
+    log_p = sum(math.log(hits[i] / totals[i]) for i in range(4)) / 4
+    bp = 1.0 if c_len > r_len else math.exp(1.0 - r_len / max(c_len, 1))
+    return bp * math.exp(log_p)
+
+
+def score_cider_d(
+    answers: Dict[str, str], truths: Dict[str, List[str]], *, sigma: float = 6.0
+) -> float:
+    """CIDEr-D: tf-idf n-gram cosine (n=1..4) with count clipping and a
+    Gaussian length penalty, averaged over references and n, ×10 — the COCO
+    caption server's headline metric.  Document frequency of an n-gram = the
+    number of images whose reference set contains it."""
+    import math
+    from collections import Counter, defaultdict
+
+    refs_by_qid = {qid: v for qid, v in _ref_lists(truths).items() if v}
+    qids = [qid for qid in answers if qid in refs_by_qid]
+    if not qids:
+        return 0.0
+    # document frequency over the FULL reference corpus (all images in
+    # ``truths``), so idf stays meaningful when only a subset is answered
+    df: Dict[tuple, int] = defaultdict(int)
+    ref_tok = {
+        qid: [_norm(r).split() for r in refs] for qid, refs in refs_by_qid.items()
+    }
+    for refs in ref_tok.values():
+        seen = set()
+        for r in refs:
+            for n in range(1, 5):
+                seen.update(_caption_ngrams(r, n))
+        for g in seen:
+            df[g] += 1
+    log_n_images = math.log(max(len(ref_tok), 1))
+
+    def tfidf_vec(tokens):
+        vecs = [Counter() for _ in range(4)]
+        norms = [0.0] * 4
+        for n in range(1, 5):
+            for g, tf in _caption_ngrams(tokens, n).items():
+                w = tf * (log_n_images - math.log(max(1.0, df[g])))
+                vecs[n - 1][g] = w
+                norms[n - 1] += w * w
+        return vecs, [math.sqrt(x) for x in norms], len(tokens)
+
+    total = 0.0
+    for qid in qids:
+        c_vec, c_norm, c_len = tfidf_vec(_norm(answers[qid]).split())
+        per_n = [0.0] * 4
+        for r in ref_tok[qid]:
+            r_vec, r_norm, r_len = tfidf_vec(r)
+            penalty = math.exp(-((c_len - r_len) ** 2) / (2 * sigma**2))
+            for n in range(4):
+                if c_norm[n] == 0.0 or r_norm[n] == 0.0:
+                    continue
+                num = sum(
+                    min(w, r_vec[n].get(g, 0.0)) * r_vec[n].get(g, 0.0)
+                    for g, w in c_vec[n].items()
+                )
+                per_n[n] += penalty * num / (c_norm[n] * r_norm[n])
+        m = len(ref_tok[qid])
+        total += 10.0 * sum(per_n) / 4.0 / m
+    return total / len(qids)
+
+
+def score_coco_captions(
+    answers: Dict[str, str], truths: Dict[str, List[str]]
+) -> Dict[str, float]:
+    """COCO caption protocol: {"CIDEr-D", "BLEU-4"} over
+    ``truths[qid] -> [reference captions]``."""
+    return {
+        "CIDEr-D": score_cider_d(answers, truths),
+        "BLEU-4": score_bleu4(answers, truths),
+    }
+
+
 SCORERS: Dict[str, Callable] = {
     "scienceqa": score_multiple_choice,
     "seed_bench": score_multiple_choice,
@@ -426,6 +579,7 @@ SCORERS: Dict[str, Callable] = {
     "okvqa": score_vqa,
     "mantis": score_mantis,
     "mmbench_video": score_mmbench_video,
+    "coco_caption": score_coco_captions,
 }
 
 

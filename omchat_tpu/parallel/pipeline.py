@@ -35,17 +35,22 @@ def pipeline_forward(
     mesh: Mesh,
     *,
     axis: str = "stage",
+    static=None,
 ):
     """Run ``x -> stage_fn(params_s, x)`` through S pipelined stages.
 
     Args:
-      stage_fn: pure function (stage_params, x) -> x, same shape in/out.
-        ``x`` may be a pytree (e.g. ``(hidden, cos, sin)`` so per-microbatch
-        RoPE tables / segment ids ride the pipeline with the activation).
+      stage_fn: pure function (stage_params, x) -> x, same shape in/out —
+        or (stage_params, x, s) -> x when ``static`` is given.  ``x`` may be
+        a pytree; only ``x`` rides the ppermute ring between stages.
       stage_params: pytree whose leaves have a leading stage axis [S, ...];
         sharded one stage per device along ``axis``.
       microbatches: pytree whose leaves are [M, ...] microbatches (replicated).
       mesh: mesh with an ``axis`` dimension of size S.
+      static: optional pytree of [M, ...] leaves that every stage already
+        holds replicated (RoPE cos/sin tables, packing segment ids).  Stage s
+        reads its microbatch locally at index t - s instead of paying ICI to
+        ship values it has — only the hidden activation crosses stages.
 
     Returns [M, ...]-leaved outputs (replicated), bit-equal to applying the
     stages sequentially to each microbatch.
@@ -54,7 +59,7 @@ def pipeline_forward(
     m = jax.tree.leaves(microbatches)[0].shape[0]
     perm_fwd = [(i, i + 1) for i in range(n_stages - 1)]
 
-    def local(params, micro):
+    def local(params, micro, stat):
         # params: stage-local [1, ...] slice; micro: [M, ...] leaves (replicated)
         params = jax.tree.map(lambda a: a[0], params)
         sid = jax.lax.axis_index(axis)
@@ -68,7 +73,14 @@ def pipeline_forward(
                 lambda mb, ib: jnp.where(sid == 0, mb[jnp.minimum(t, m - 1)], ib),
                 micro, inbuf,
             )
-            y = stage_fn(params, x_in)
+            if stat is None:
+                y = stage_fn(params, x_in)
+            else:
+                # stage s works on microbatch t - s at tick t; replicated
+                # leaves index locally instead of riding the ring (clamped —
+                # fill/drain ticks compute garbage that is never stored)
+                mb_idx = jnp.clip(t - sid, 0, m - 1)
+                y = stage_fn(params, x_in, jax.tree.map(lambda a: a[mb_idx], stat))
             # the last stage finished microbatch t - (S-1) at tick t
             done_idx = t - (n_stages - 1)
             outs = jax.tree.map(
@@ -100,10 +112,10 @@ def pipeline_forward(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(pspec, P()),
+        in_specs=(pspec, P(), P()),
         out_specs=P(),
         check_vma=False,
-    )(stage_params, microbatches)
+    )(stage_params, microbatches, static)
 
 
 def pipeline_train_step(
@@ -115,6 +127,7 @@ def pipeline_train_step(
     mesh: Mesh,
     *,
     axis: str = "stage",
+    static=None,
 ):
     """One GPipe training step: loss and stage-sharded gradients.
 
@@ -128,7 +141,7 @@ def pipeline_train_step(
     """
 
     def total_loss(sp):
-        outs = pipeline_forward(stage_fn, sp, microbatches, mesh, axis=axis)
+        outs = pipeline_forward(stage_fn, sp, microbatches, mesh, axis=axis, static=static)
         return loss_fn(outs, targets)
 
     return jax.value_and_grad(total_loss)(stage_params)

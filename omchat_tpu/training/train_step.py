@@ -243,11 +243,14 @@ def make_pp_train_step(
             return a.reshape(m, b_total // m, *a.shape[1:])
 
         seg = batch.get("segment_ids")
-        micro = (mb(embeds), mb(cos), mb(sin)) + ((mb(seg),) if seg is not None else ())
+        # only the hidden activation rides the ppermute ring; RoPE tables and
+        # segment ids are replicated on every stage, so they enter as `static`
+        # leaves read locally per (stage, tick) instead of paying ICI
+        static = (mb(cos), mb(sin)) + ((mb(seg),) if seg is not None else ())
 
-        def stage_fn(stage_layers, x):
-            h, cs, sn = x[0], x[1], x[2]
-            sg = x[3] if len(x) == 4 else None
+        def stage_fn(stage_layers, h, s):
+            cs, sn = s[0], s[1]
+            sg = s[2] if len(s) == 3 else None
 
             def body(carry, layer):
                 carry2, _ = _layer_forward(
@@ -260,12 +263,13 @@ def make_pp_train_step(
             (h2, *_), _ = jax.lax.scan(
                 body, (h, cs, sn, jnp.int32(0), None), stage_layers
             )
-            return (h2,) + tuple(x[1:])
+            return h2
 
         outs = pipeline_forward(
-            stage_fn, params["language_model"]["layers"], micro, mesh, axis="stage"
+            stage_fn, params["language_model"]["layers"], mb(embeds), mesh,
+            axis="stage", static=static,
         )
-        hidden = outs[0].reshape(b_total, seq, dim)
+        hidden = outs.reshape(b_total, seq, dim)
         hidden = rms_norm(hidden, params["language_model"]["norm"]["scale"], tc.rms_norm_eps)
         logits = lm_head(params["language_model"], tc, hidden)
         shifted_labels = jnp.concatenate(

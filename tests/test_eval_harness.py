@@ -291,3 +291,131 @@ def test_perplexity_matches_manual(rng):
     manual_ppl = float(np.exp(total / count))
     assert out["tokens"] == count
     np.testing.assert_allclose(out["perplexity"], manual_ppl, rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# COCO caption metrics (BLEU-4 / CIDEr-D)
+# ---------------------------------------------------------------------------
+
+
+def test_bleu4_exact_match():
+    from omchat_tpu.eval.harness import score_bleu4
+
+    answers = {"1": "a dog runs across the green field"}
+    truths = {"1": ["a dog runs across the green field"]}
+    assert abs(score_bleu4(answers, truths) - 1.0) < 1e-9
+
+
+def test_bleu4_hand_computed():
+    """Single-pair corpus, worked by hand:
+    cand 'the cat sat on the mat' vs ref 'the cat sat on a mat'
+    p1=5/6, p2=3/5, p3=2/4, p4=1/3, BP=1 (equal lengths)
+    BLEU-4 = (5/6 * 3/5 * 1/2 * 1/3)^(1/4) ≈ 0.53728."""
+    from omchat_tpu.eval.harness import score_bleu4
+
+    got = score_bleu4({"1": "the cat sat on the mat"}, {"1": ["the cat sat on a mat"]})
+    assert abs(got - (5 / 6 * 3 / 5 * 0.5 * (1 / 3)) ** 0.25) < 1e-9
+
+
+def test_bleu4_zero_when_no_4gram_overlap():
+    from omchat_tpu.eval.harness import score_bleu4
+
+    assert score_bleu4({"1": "red blue green"}, {"1": ["a dog runs fast today"]}) == 0.0
+
+
+def test_cider_d_perfect_and_disjoint():
+    from omchat_tpu.eval.harness import score_cider_d
+
+    truths = {
+        "1": ["a brown dog chases the ball"],
+        "2": ["two children ride red bicycles downhill"],
+        "3": ["an old boat floats near the rocky shore"],
+        "4": ["fresh bread cools on the wooden table"],
+    }
+    # candidate == reference per image → tf-idf cosine 1 at every n, zero
+    # length delta → the metric's ceiling of 10.0 exactly
+    perfect = {qid: refs[0] for qid, refs in truths.items()}
+    assert abs(score_cider_d(perfect, truths) - 10.0) < 1e-9
+    # disjoint vocabulary → zero numerator everywhere
+    wrong = {qid: "purple elephants juggle quietly" for qid in truths}
+    assert score_cider_d(wrong, truths) < 1e-9
+
+
+def test_cider_d_idf_downweights_corpus_common_ngrams():
+    """An n-gram shared by every image's references carries zero idf, so a
+    candidate matching only that phrase scores ~0 while a candidate matching
+    the image's distinctive phrase scores high."""
+    from omchat_tpu.eval.harness import score_cider_d
+
+    truths = {
+        "1": ["in the park a brown dog barks"],
+        "2": ["in the park children fly kites"],
+        "3": ["in the park an old man reads"],
+    }
+    common = score_cider_d({"1": "in the park"}, truths)
+    distinctive = score_cider_d({"1": "a brown dog barks"}, truths)
+    assert distinctive > common * 5
+
+
+def test_score_coco_captions_registered():
+    from omchat_tpu.eval.harness import SCORERS, score_coco_captions
+
+    assert SCORERS["coco_caption"] is score_coco_captions
+    out = score_coco_captions({"1": "a cat"}, {"1": ["a cat"]})
+    assert set(out) == {"CIDEr-D", "BLEU-4"}
+
+
+# ---------------------------------------------------------------------------
+# MMBench-Video heuristic judge: agreement vs a hand-labeled fixture
+# ---------------------------------------------------------------------------
+
+# (model answer, ground truth, human 0-3 label) — labeled by hand following
+# the MMBench-Video judge rubric (3 = fully correct/equivalent, 2 = mostly
+# correct with minor omission, 1 = partially relevant, 0 = wrong).  The
+# fixture is the validation set for judge_answer_heuristic; scores it emits
+# are NOT comparable to GPT-judge numbers (README 1.34) — the agreement
+# stats below quantify how far off the offline stand-in is.
+JUDGE_FIXTURE = [
+    ("The man is riding a bicycle.", "riding a bicycle", 3),
+    ("He rides a red bicycle down the street.", "riding a bicycle", 3),
+    ("A bicycle.", "riding a bicycle", 1),
+    ("He is walking his dog.", "riding a bicycle", 0),
+    ("Yes.", "yes", 3),
+    ("No, it does not.", "yes", 0),
+    ("The woman pours coffee into a white mug.", "pouring coffee", 3),
+    ("She is drinking tea.", "pouring coffee", 0),
+    ("There are three people in the video.", "three people", 3),
+    ("I can see several people.", "three people", 1),
+    ("Two people.", "three people", 0),
+    ("The car is blue.", "blue", 3),
+    ("It looks dark blue or maybe navy.", "blue", 2),
+    ("The car is red.", "blue", 0),
+    ("A chef chopping vegetables in a kitchen.", "chopping vegetables", 3),
+    ("Someone is cooking.", "chopping vegetables", 1),
+    ("The dog catches the frisbee in mid-air.", "the dog catches a frisbee", 3),
+    ("The dog jumps.", "the dog catches a frisbee", 1),
+    ("A cat sleeps on the sofa.", "the dog catches a frisbee", 0),
+    ("They are playing basketball on an outdoor court.", "playing basketball", 3),
+    ("They are playing a sport.", "playing basketball", 1),
+    ("They play football.", "playing basketball", 1),
+    ("The video shows a sunset over the ocean.", "sunset over the ocean", 3),
+    ("It shows the ocean during the day.", "sunset over the ocean", 1),
+]
+
+
+def test_judge_heuristic_agreement_vs_hand_labels():
+    """Pin the offline judge's measured agreement with human labels
+    (measured: exact 18/24 = 0.75, within-±1 24/24 = 1.00; every miss is a
+    rubric-boundary full-recall paraphrase scored 2 vs human 3).  If a judge
+    change trips this, re-validate against the fixture rather than loosening
+    the bound."""
+    from omchat_tpu.eval.harness import judge_answer_heuristic
+
+    exact = within1 = 0
+    for ans, truth, human in JUDGE_FIXTURE:
+        got = judge_answer_heuristic(ans, truth)
+        exact += got == human
+        within1 += abs(got - human) <= 1
+    n = len(JUDGE_FIXTURE)
+    assert exact / n >= 0.70, f"exact agreement {exact}/{n}"
+    assert within1 / n >= 0.95, f"±1 agreement {within1}/{n}"
