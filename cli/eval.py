@@ -27,8 +27,19 @@ def main():
     parser.add_argument("--num-frames", type=int, default=32,
                         help="frames sampled per video (mmbench_video; reference runs 32)")
     parser.add_argument("--scores-file", default=None,
-                        help="JSON {question_id: 0-3 score} from an external GPT judge "
-                        "(mmbench_video; defaults to the offline heuristic judge)")
+                        help="JSON mapping question_id -> 0-3 score from the official external "
+                        "GPT judge, e.g. {\"42\": 3, \"43\": 1} (mmbench_video).  Without it "
+                        "the offline heuristic judge scores answers — validated at exact 0.75 / "
+                        "±1 1.00 agreement on a hand-labeled fixture (test_eval_harness.py), "
+                        "NOT comparable to published GPT-judge numbers")
+    parser.add_argument("--concurrency", type=int, default=1,
+                        help="N>1 runs greedy generation with N requests in flight through "
+                        "the continuous-batching PagedBatchEngine (identical answers to "
+                        "serial; incompatible with --guided-mc, whose per-prefix token "
+                        "masks are host-side)")
+    parser.add_argument("--max-len", type=int, default=8192,
+                        help="per-request prompt+generation cap for --concurrency "
+                        "(raise for video workloads beyond 8k tokens)")
     parser.add_argument("--answers-file", default=None)
     parser.add_argument("--truths-file", default=None, help="JSON {question_id: answer(s)}")
     parser.add_argument("--max-new-tokens", type=int, default=128)
@@ -40,6 +51,9 @@ def main():
 
     if args.perplexity is None and not (args.benchmark and args.question_file and args.answers_file):
         parser.error("pass --perplexity TEXT_FILE, or --benchmark + --question-file + --answers-file")
+
+    if args.concurrency > 1 and args.guided_mc:
+        parser.error("--concurrency is greedy-only; --guided-mc runs serial by design")
 
     guided = list("ABCDE") if args.guided_mc else None
     model = load_pretrained_model(args.model_path, quantize_int8=args.int8, w8a8=args.w8a8)
@@ -56,8 +70,15 @@ def main():
         from omchat_tpu.eval.harness import read_answers_file, read_mantis_file, run_eval_mantis, score_mantis
 
         samples = read_mantis_file(args.question_file, args.image_folder)
-        run_eval_mantis(model, samples, args.answers_file,
-                        max_new_tokens=args.max_new_tokens, guided_mc=args.guided_mc)
+        if args.concurrency > 1:
+            from omchat_tpu.eval.harness import run_eval_concurrent
+
+            run_eval_concurrent(model, samples, args.answers_file, mode="mantis",
+                                max_new_tokens=args.max_new_tokens,
+                                concurrency=args.concurrency, max_len=args.max_len)
+        else:
+            run_eval_mantis(model, samples, args.answers_file,
+                            max_new_tokens=args.max_new_tokens, guided_mc=args.guided_mc)
         truths = {s.question_id: {"answer": s.answer, **(s.extra or {})} for s in samples}
         if args.truths_file:
             with open(args.truths_file) as f:
@@ -76,8 +97,16 @@ def main():
         )
 
         samples = read_video_question_file(args.question_file, args.video_folder)
-        run_eval_video(model, samples, args.answers_file,
-                       num_frames=args.num_frames, max_new_tokens=args.max_new_tokens)
+        if args.concurrency > 1:
+            from omchat_tpu.eval.harness import run_eval_concurrent
+
+            run_eval_concurrent(model, samples, args.answers_file, mode="video",
+                                num_frames=args.num_frames,
+                                max_new_tokens=args.max_new_tokens,
+                                concurrency=args.concurrency, max_len=args.max_len)
+        else:
+            run_eval_video(model, samples, args.answers_file,
+                           num_frames=args.num_frames, max_new_tokens=args.max_new_tokens)
         scores = None
         if args.scores_file:
             with open(args.scores_file) as f:
@@ -87,8 +116,15 @@ def main():
         return
 
     samples = read_question_file(args.question_file, args.image_folder)
-    run_eval(model, samples, args.answers_file, max_new_tokens=args.max_new_tokens,
-             guided_choices=guided)
+    if args.concurrency > 1:
+        from omchat_tpu.eval.harness import run_eval_concurrent
+
+        run_eval_concurrent(model, samples, args.answers_file,
+                            max_new_tokens=args.max_new_tokens,
+                            concurrency=args.concurrency, max_len=args.max_len)
+    else:
+        run_eval(model, samples, args.answers_file, max_new_tokens=args.max_new_tokens,
+                 guided_choices=guided)
 
     if args.truths_file:
         with open(args.truths_file) as f:

@@ -284,6 +284,12 @@ def main():
                         help="context parallelism: shard the sequence axis over a 'context' "
                         "mesh axis with ring attention (long-context training; requires "
                         "merged seq len %% cp == 0; incompatible with --tp/--sequence-parallel)")
+    parser.add_argument("--ulysses", type=int, default=1, metavar="P",
+                        help="Ulysses sequence parallelism: shard the sequence axis over a "
+                        "'context' mesh axis; attention re-shards head-wise via all-to-all "
+                        "so each device runs full-sequence attention on H/P heads "
+                        "(requires merged seq len %% P == 0 and attention heads %% P == 0; "
+                        "incompatible with --tp/--cp/--sequence-parallel)")
     parser.add_argument("--pp", type=int, default=1,
                         help="GPipe pipeline parallelism: split the decoder trunk into N "
                         "contiguous layer stages (params one stage per device over a "
@@ -357,8 +363,9 @@ def main():
         parser.error(f"--warmup {args.warmup} must be < total steps {total}")
 
     if args.lora_rank > 0:
-        if args.tp != 1 or args.fsdp or args.sequence_parallel or args.pp > 1 or args.cp > 1:
-            parser.error("--lora-rank trains single-device adapters; drop --tp/--fsdp/--cp/--pp/--sequence-parallel")
+        if (args.tp != 1 or args.fsdp or args.sequence_parallel or args.pp > 1
+                or args.cp > 1 or args.ulysses > 1):
+            parser.error("--lora-rank trains single-device adapters; drop --tp/--fsdp/--cp/--pp/--ulysses/--sequence-parallel")
         if not args.data and not args.synthetic:
             parser.error("pass --data (JSONL dataset) or --synthetic N (smoke mode)")
         _train_lora(args, cfg, params, total, logger)
@@ -367,8 +374,8 @@ def main():
         parser.error("--qlora requires --lora-rank")
 
     if args.pp > 1:
-        if args.tp != 1 or args.sequence_parallel or args.fsdp or args.cp > 1:
-            parser.error("--pp is incompatible with --tp/--fsdp/--cp/--sequence-parallel")
+        if args.tp != 1 or args.sequence_parallel or args.fsdp or args.cp > 1 or args.ulysses > 1:
+            parser.error("--pp is incompatible with --tp/--fsdp/--cp/--ulysses/--sequence-parallel")
         if args.tune_mm_mlp_adapter:
             parser.error("--pp does not support --tune-mm-mlp-adapter (stage-1 trains only the projector; PP splits the trunk)")
         if cfg.text.num_hidden_layers % args.pp != 0:
@@ -380,13 +387,18 @@ def main():
             parser.error(f"--pp-microbatches {pp_micro} must divide --batch-size {args.batch_size}")
         mesh = Mesh(np.asarray(jax.devices()[: args.pp]), axis_names=("stage",))
         specs = None
-    elif args.cp > 1:
-        if args.tp != 1 or args.sequence_parallel:
-            parser.error("--cp is incompatible with --tp/--sequence-parallel")
+    elif args.cp > 1 or args.ulysses > 1:
+        if args.tp != 1 or args.sequence_parallel or (args.cp > 1 and args.ulysses > 1):
+            parser.error("--cp/--ulysses are incompatible with --tp/--sequence-parallel and each other")
+        if args.ulysses > 1 and cfg.text.num_attention_heads % args.ulysses != 0:
+            parser.error(
+                f"--ulysses {args.ulysses} must divide the attention head count "
+                f"{cfg.text.num_attention_heads}"
+            )
         from omchat_tpu.parallel.mesh import create_cp_mesh
         from omchat_tpu.parallel.sharding import specs_without_axis
 
-        mesh = create_cp_mesh(cp=args.cp)
+        mesh = create_cp_mesh(cp=max(args.cp, args.ulysses))
         specs = specs_without_axis(
             omchat_param_specs(cfg, params, fsdp=args.fsdp), "model"
         )
@@ -434,7 +446,7 @@ def main():
     else:
         step_fn, batch_shardings, _ = make_sharded_train_step(
             cfg, mesh, specs, optimizer, sequence_parallel=args.sequence_parallel,
-            context_parallel=args.cp > 1,
+            context_parallel=args.cp > 1, ulysses=args.ulysses > 1,
         )
         params = shard_params(params, mesh, specs)
     state = init_train_state(params, optimizer)

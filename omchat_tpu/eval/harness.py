@@ -80,6 +80,111 @@ def run_eval(
                 print(f"[eval] {i} done", flush=True)
 
 
+def run_eval_concurrent(
+    model,
+    samples: Iterable[EvalSample],
+    answers_file: str,
+    *,
+    max_new_tokens: int = 128,
+    concurrency: int = 8,
+    progress: bool = True,
+    mode: str = "default",
+    num_frames: int = 32,
+    max_len: int = 8192,
+    page_size: int = 128,
+    decode_roll: int = 8,
+) -> None:
+    """Greedy eval with ``concurrency`` requests in flight through the
+    continuous-batching :class:`~omchat_tpu.runtime.paged_engine
+    .PagedBatchEngine` — the serving engine the serial ``model.chat`` loops
+    (run_eval/run_eval_mantis/run_eval_video) leave idle.  Answers are
+    identical to the serial loop (greedy argmax through the same kernels;
+    pinned in tests/test_eval_harness.py); throughput scales with slot
+    occupancy because decode steps amortize the weight stream across
+    requests (BENCH.md).  Guided/constrained protocols stay serial by
+    design: their token masks are host functions of each growing prefix.
+
+    ``mode``: "default" (text + optional single image), "mantis"
+    (multi-image interleave), "video" (``num_frames`` uniform samples per
+    video).  ``max_len`` bounds prompt+generation per request — raise it
+    (and accept the larger page pool) for video workloads beyond 8k tokens.
+    """
+    from omchat_tpu.config import GenerationConfig
+    from omchat_tpu.runtime.paged_engine import PagedBatchEngine
+
+    gen = GenerationConfig(max_new_tokens=max_new_tokens)
+    engine = PagedBatchEngine(
+        model.config,
+        model.engine.params,
+        max_slots=concurrency,
+        num_pages=concurrency * (max_len // page_size) + 8,
+        page_size=page_size,
+        max_len=max_len,
+        attn_impl=model.engine.attn_impl,
+        decode_roll=decode_roll,
+        prefill_chunk=4096 if max_len >= 4096 else max(512, page_size),
+    )
+
+    def build(s: EvalSample):
+        if mode == "video":
+            from omchat_tpu.processing.chat import make_context
+            from omchat_tpu.processing.video import (
+                load_video_frames,
+                process_video_frames,
+                video_prompt,
+            )
+
+            frames = load_video_frames(s.video_path, num_samples=num_frames)
+            pixels = process_video_frames(
+                frames, tile_size=model.config.vision.image_size, num_samples=num_frames
+            )
+            prompt = video_prompt(s.text, pixels.shape[0])
+            _, ids = make_context(
+                model.tokenizer, prompt, None, "You are a helpful assistant."
+            )
+            return ids, pixels
+        if mode == "mantis":
+            images = [Image.open(p).convert("RGB") for p in (s.image_paths or [])]
+            inputs = model.processor(s.text, images=images or None)
+        else:
+            image = Image.open(s.image_path).convert("RGB") if s.image_path else None
+            inputs = model.processor(s.text, images=image)
+        return inputs["input_ids"][0].tolist(), inputs.get("images")
+
+    samples = list(samples)
+    results: Dict[str, str] = {}
+    inflight: Dict[int, EvalSample] = {}
+    it = iter(samples)
+    exhausted = False
+    while len(results) < len(samples):
+        while not exhausted and len(inflight) < concurrency:
+            s = next(it, None)
+            if s is None:
+                exhausted = True
+                break
+            ids, imgs = build(s)
+            rid = engine.submit(
+                list(ids), imgs, max_new_tokens=max_new_tokens,
+                eos_token_id=gen.eos_token_id,
+            )
+            inflight[rid] = s
+        engine.step()
+        for rid in [r for r in list(inflight) if engine.finished(r)]:
+            toks, _ = engine.pop_result(rid)
+            s = inflight.pop(rid)
+            results[s.question_id] = model.tokenizer.decode(toks, skip_special_tokens=True)
+            if progress and len(results) % 20 == 0:
+                print(f"[eval x{concurrency}] {len(results)}/{len(samples)} done", flush=True)
+
+    os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
+    with open(answers_file, "w") as out:
+        for s in samples:
+            rec = {"question_id": s.question_id, "text": results[s.question_id]}
+            if mode == "mantis":
+                rec["question_type"] = (s.extra or {}).get("question_type", "multi-choice")
+            out.write(json.dumps(rec) + "\n")
+
+
 def perplexity(model, text: str, *, window: int = 2048) -> dict:
     """Teacher-forced perplexity of ``text`` under the loaded model.
 

@@ -89,6 +89,31 @@ def attention(
                 q, k, v, mesh, axis=ring_axis, causal=causal, batch_axis=batch_axis
             )
         impl = "xla"
+    if isinstance(impl, tuple) and impl[0] == "ulysses":
+        # Ulysses sequence parallelism: q/k/v sequence-sharded over a mesh
+        # axis; one all-to-all re-shards head-wise so each device runs
+        # full-sequence attention on H/P heads, a second all-to-all restores
+        # sequence sharding (parallel/ulysses.py).  Differentiable — this is
+        # the --ulysses training path.  Decode/cache/packed shapes and
+        # non-divisible heads/seq fall back to XLA.
+        mesh, seq_axis = impl[1], impl[2]
+        p = mesh.shape[seq_axis]
+        if (
+            segment_ids is None
+            and q_offset is None
+            and kv_len is None
+            and kv_format == "btnd"
+            and q.shape[1] == k.shape[1]
+            and q.shape[2] % p == 0
+            and q.shape[1] % p == 0
+        ):
+            from omchat_tpu.parallel.ulysses import ulysses_attention
+
+            batch_axis = "data" if "data" in mesh.axis_names else None
+            return ulysses_attention(
+                q, k, v, mesh, axis=seq_axis, causal=causal, batch_axis=batch_axis
+            )
+        impl = "xla"
     if isinstance(impl, tuple) and impl[0] == "pallas_tp":
         # Tensor-parallel Pallas: the kernel runs per shard under shard_map
         # (heads Megatron-sharded over the mesh's model axis).  The tuple

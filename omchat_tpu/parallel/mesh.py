@@ -68,6 +68,7 @@ def create_multislice_mesh(
     tp: int = 1,
     num_slices: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
+    slice_of=None,
 ) -> Mesh:
     """Multi-slice mesh: data parallel over DCN (across slices), tensor
     parallel over ICI (within a slice) — the TPU-pod analogue of the
@@ -75,15 +76,27 @@ def create_multislice_mesh(
 
     With one slice this degrades to :func:`create_mesh`.  On multi-slice
     deployments, devices are grouped by ``device.slice_index`` so the `data`
-    axis crosses DCN and `model` stays on ICI.
+    axis crosses DCN and `model` stays on ICI.  ``slice_of`` overrides the
+    grouping (device -> slice id) — single-slice/CPU validation runs use it
+    to synthesize a multi-slice topology (virtual devices all report slice 0).
     """
     devices = list(devices if devices is not None else jax.devices())
     if num_slices <= 1:
         return create_mesh(tp=tp, devices=devices)
+    if len(devices) % num_slices != 0:
+        raise ValueError(f"{len(devices)} devices do not split into {num_slices} slices")
     per_slice = len(devices) // num_slices
-    groups = {}
+    if per_slice % tp != 0:
+        raise ValueError(f"tp={tp} does not divide the per-slice device count {per_slice}")
+    slice_of = slice_of or (lambda d: getattr(d, "slice_index", 0))
+    groups: dict = {}
     for d in devices:
-        groups.setdefault(getattr(d, "slice_index", 0), []).append(d)
+        groups.setdefault(slice_of(d), []).append(d)
+    if len(groups) != num_slices or any(len(g) != per_slice for g in groups.values()):
+        raise ValueError(
+            f"device slice grouping {sorted((k, len(g)) for k, g in groups.items())} "
+            f"does not form {num_slices} equal slices of {per_slice}"
+        )
     ordered = [d for idx in sorted(groups) for d in groups[idx]]
     arr = np.asarray(ordered).reshape(num_slices * (per_slice // tp), tp)
     return Mesh(arr, axis_names=("data", "model"))

@@ -34,10 +34,13 @@ def ulysses_attention(
     *,
     axis: str = "model",
     causal: bool = True,
+    batch_axis: Optional[str] = None,
 ) -> jax.Array:
     """q: [B, S, H, D]; k/v: [B, S, KVH, D] (full arrays; sequence axis is
-    sharded over ``axis`` by the returned computation).  Returns [B, S, H, D]
-    sharded like q."""
+    sharded over ``axis`` by the returned computation).  ``batch_axis``
+    additionally shards B (the data axis of a (data, context) training mesh)
+    so the shard_map doesn't gather the batch.  Returns [B, S, H, D] sharded
+    like q."""
     h = q.shape[2]
     p = mesh.shape[axis]
     if h % p != 0 or q.shape[1] % p != 0:
@@ -54,5 +57,5 @@ def ulysses_attention(
         # [B, S, H/P, D] → [B, S/P, H, D]
         return jax.lax.all_to_all(o, axis, split_axis=1, concat_axis=2, tiled=True)
 
-    spec = P(None, axis, None, None)
+    spec = P(batch_axis, axis, None, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)(q, k, v)

@@ -310,6 +310,7 @@ def make_sharded_train_step(
     remat: bool = True,
     sequence_parallel: bool = False,
     context_parallel: bool = False,
+    ulysses: bool = False,
 ):
     """jit the train step with explicit in/out shardings over the mesh.
 
@@ -324,12 +325,23 @@ def make_sharded_train_step(
     and attention runs the ppermute KV ring (parallel/ring_attention.py) —
     no device materializes the full sequence.  Requires a mesh with a
     ``context`` axis (``create_cp_mesh``) and seq_len % cp == 0.
+
+    ``ulysses=True`` is the alternative sequence parallelism over the same
+    (data, context) mesh (SURVEY.md §2.3 "Ulysses"): activations stay
+    sequence-sharded, attention re-shards head-wise with one all-to-all so
+    each device sees the FULL sequence for H/P heads, and a second all-to-all
+    restores sequence sharding (parallel/ulysses.py) — 2 all-to-alls/layer vs
+    the ring's P-step kv rotation.  Additionally requires heads % P == 0.
     """
-    if sequence_parallel and context_parallel:
-        raise ValueError("sequence_parallel and context_parallel are mutually exclusive")
-    if context_parallel and "context" not in mesh.axis_names:
-        raise ValueError("context_parallel needs a mesh with a 'context' axis (create_cp_mesh)")
-    seq_spec = P("data", "context") if context_parallel else P("data")
+    if sum([sequence_parallel, context_parallel, ulysses]) > 1:
+        raise ValueError(
+            "sequence_parallel, context_parallel, and ulysses are mutually exclusive"
+        )
+    if (context_parallel or ulysses) and "context" not in mesh.axis_names:
+        raise ValueError(
+            "context_parallel/ulysses need a mesh with a 'context' axis (create_cp_mesh)"
+        )
+    seq_spec = P("data", "context") if (context_parallel or ulysses) else P("data")
     batch_spec = {
         "token_ids": seq_spec,
         "is_image": seq_spec,
@@ -355,13 +367,15 @@ def make_sharded_train_step(
     # planned multi-chip fast path.
     if context_parallel:
         attn_impl = ("ring", mesh, "context")
+    elif ulysses:
+        attn_impl = ("ulysses", mesh, "context")
     elif attn_impl is None:
         platform = next(iter(mesh.devices.flat)).platform
         attn_impl = "pallas_vjp" if platform == "tpu" and mesh.size == 1 else "xla"
 
     if sequence_parallel:
         act_sharding = NamedSharding(mesh, P("data", "model", None))
-    elif context_parallel:
+    elif context_parallel or ulysses:
         act_sharding = NamedSharding(mesh, P("data", "context", None))
     else:
         act_sharding = None

@@ -419,3 +419,80 @@ def test_judge_heuristic_agreement_vs_hand_labels():
     n = len(JUDGE_FIXTURE)
     assert exact / n >= 0.70, f"exact agreement {exact}/{n}"
     assert within1 / n >= 0.95, f"±1 agreement {within1}/{n}"
+
+
+# ---------------------------------------------------------------------------
+# Concurrent eval through the paged engine: answers identical to serial
+# ---------------------------------------------------------------------------
+
+
+def test_run_eval_concurrent_matches_serial(tmp_path):
+    """run_eval_concurrent (PagedBatchEngine, 3 slots) produces byte-identical
+    answer files to the serial run_eval loop — greedy argmax through the same
+    kernels, so batching may not change a single token."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from omchat_tpu.eval.harness import (
+        EvalSample,
+        run_eval,
+        run_eval_concurrent,
+    )
+
+    rng = np.random.default_rng(3)
+    img = tmp_path / "x.png"
+    PILImage.fromarray(rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)).save(img)
+    samples = [
+        EvalSample(question_id="1", text="what is shown?", image_path=str(img)),
+        EvalSample(question_id="2", text="describe the weather today"),
+        EvalSample(question_id="3", text="is this a photo?", image_path=str(img)),
+        EvalSample(question_id="4", text="count the objects please"),
+        EvalSample(question_id="5", text="name one color"),
+    ]
+    model = _tiny_model()
+    serial = str(tmp_path / "serial.jsonl")
+    conc = str(tmp_path / "conc.jsonl")
+    run_eval(model, samples, serial, max_new_tokens=6, progress=False)
+    run_eval_concurrent(
+        model, samples, conc, max_new_tokens=6, progress=False,
+        concurrency=3, max_len=512, page_size=64,
+    )
+    assert open(serial).read() == open(conc).read()
+
+
+def test_run_eval_concurrent_mantis_matches_serial(tmp_path):
+    """Multi-image interleave rides the concurrent path too (mode="mantis")."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from omchat_tpu.eval.harness import (
+        read_answers_file,
+        read_mantis_file,
+        run_eval_concurrent,
+        run_eval_mantis,
+    )
+
+    rng = np.random.default_rng(0)
+    for name in ("a.png", "b.png", "c.png"):
+        PILImage.fromarray(rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)).save(
+            tmp_path / name
+        )
+    q = tmp_path / "q.jsonl"
+    q.write_text(
+        json.dumps({"id": "m1", "question": "Which image is brighter?",
+                    "images": ["a.png", "b.png"], "question_type": "multi-choice",
+                    "options": ["left", "right"], "answer": "A"}) + "\n"
+        + json.dumps({"id": "m2", "question": "<image> What is shown?",
+                      "images": ["c.png"], "question_type": "short-answer",
+                      "answer": "noise"}) + "\n"
+    )
+    model = _tiny_model()
+    samples = read_mantis_file(str(q), image_root=str(tmp_path))
+    serial = str(tmp_path / "serial.jsonl")
+    conc = str(tmp_path / "conc.jsonl")
+    run_eval_mantis(model, samples, serial, max_new_tokens=4, progress=False)
+    run_eval_concurrent(
+        model, samples, conc, max_new_tokens=4, progress=False,
+        mode="mantis", concurrency=2, max_len=512, page_size=64,
+    )
+    assert read_answers_file(serial) == read_answers_file(conc)

@@ -295,3 +295,94 @@ def test_pp_train_step_packed_segments(rng):
     b = {k: jax.device_put(v, batch_shardings[k]) for k, v in batch.items()}
     _, loss = step_fn(state, cfg, b)
     np.testing.assert_allclose(float(loss), float(loss_ref), rtol=2e-5)
+
+
+def test_ulysses_train_step_matches_single_device(rng):
+    """--ulysses training: two steps on a (data=2, context=4) mesh produce
+    the same losses as the unsharded step — step 2 equality certifies the
+    all-to-all path's gradients, not just its forward."""
+    from omchat_tpu.config import OmChatConfig
+    from omchat_tpu.models.omchat import plan_multimodal_merge
+    from omchat_tpu.parallel.mesh import create_cp_mesh
+    from omchat_tpu.parallel.sharding import (
+        omchat_param_specs,
+        shard_params,
+        specs_without_axis,
+    )
+    from omchat_tpu.training.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_sharded_train_step,
+        train_step,
+    )
+    from tests.test_sharding import _tiny_params
+
+    cfg = OmChatConfig.tiny()
+    params = _tiny_params(cfg)
+    optimizer = make_optimizer(lr=1e-2)  # large lr amplifies any grad mismatch
+
+    # merged len = 16 (tile) + 7 text = 23 → bucket 24 (% P == 0); heads 4 % 4 == 0
+    ids = [5, -200, 7, 8, 9, 10, 11]
+    plan = plan_multimodal_merge([ids] * 4, cfg.image_seq_len, bucket=24)
+    labels = np.where(plan.is_image, -100, plan.token_ids)
+    pixels = np.asarray(rng.standard_normal((4, 3, 56, 56)), np.float32)
+    batch_np = {
+        "token_ids": plan.token_ids,
+        "is_image": plan.is_image,
+        "image_index": plan.image_index,
+        "positions": plan.positions,
+        "labels": labels,
+        "pixel_values": pixels,
+    }
+
+    state = init_train_state(params, optimizer)
+    ref_losses = []
+    for _ in range(2):
+        state, loss = train_step(
+            state, cfg, {k: jnp.asarray(v) for k, v in batch_np.items()},
+            optimizer, attn_impl="xla", remat=False,
+        )
+        ref_losses.append(float(loss))
+
+    mesh = create_cp_mesh(cp=4, dp=2)
+    specs = specs_without_axis(omchat_param_specs(cfg, params), "model")
+    step_fn, batch_shardings, _ = make_sharded_train_step(
+        cfg, mesh, specs, optimizer, remat=False, ulysses=True
+    )
+    sharded = shard_params(params, mesh, specs)
+    state = init_train_state(sharded, optimizer)
+    batch = {k: jax.device_put(jnp.asarray(v), batch_shardings[k]) for k, v in batch_np.items()}
+    uly_losses = []
+    for _ in range(2):
+        state, loss = step_fn(state, cfg, batch)
+        uly_losses.append(float(loss))
+    np.testing.assert_allclose(uly_losses, ref_losses, rtol=2e-5)
+
+
+def test_multislice_mesh_groups_by_slice():
+    """create_multislice_mesh orders the data axis by slice id (DCN-outer):
+    with a synthesized 2-slice grouping over 8 CPU devices, each mesh row
+    stays within one slice and slice 0's rows come first."""
+    from omchat_tpu.parallel.mesh import create_multislice_mesh
+
+    devices = jax.devices()[:8]
+    mesh = create_multislice_mesh(
+        tp=2, num_slices=2, devices=devices,
+        slice_of=lambda d: 0 if devices.index(d) < 4 else 1,
+    )
+    assert mesh.axis_names == ("data", "model")
+    arr = mesh.devices
+    assert arr.shape == (4, 2)
+    ids = [[devices.index(d) for d in row] for row in arr]
+    # rows 0-1 from slice 0 (devices 0-3), rows 2-3 from slice 1 (devices 4-7)
+    assert all(i < 4 for row in ids[:2] for i in row)
+    assert all(i >= 4 for row in ids[2:] for i in row)
+
+    # uneven grouping is rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        create_multislice_mesh(
+            tp=2, num_slices=2, devices=devices,
+            slice_of=lambda d: 0 if devices.index(d) < 3 else 1,
+        )
