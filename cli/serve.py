@@ -391,6 +391,12 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                     send_piece(piece)
 
             if batch_engine is not None:
+                # streaming=True engages the adaptive roll (paged engine):
+                # rolls shrink to --streaming-roll while this request decodes
+                stream_kw = (
+                    {"streaming": True}
+                    if hasattr(batch_engine, "streaming_roll") else {}
+                )
                 with lock:
                     rid = batch_engine.submit(
                         inputs["input_ids"][0].tolist(),
@@ -399,6 +405,7 @@ def make_handler(model, logger, batch_engine=None, speculative=False):
                         eos_token_id=gen.eos_token_id,
                         generation=gen,
                         image_cache_key=image_key,
+                        **stream_kw,
                     )
                 deadline = time.time() + 60 + 0.5 * gen.max_new_tokens
                 sent = 0
@@ -810,6 +817,11 @@ def main():
     parser.add_argument("--page-size", type=int, default=128)
     parser.add_argument("--decode-roll", type=int, default=1,
                         help="paged engine: decode steps per dispatch (throughput mode; >1 amortizes host round trips, adds up to roll-1 tokens of admission latency)")
+    parser.add_argument("--streaming-roll", type=int, default=None, metavar="N",
+                        help="paged engine: adaptive roll — shrink the decode roll to N while "
+                        "any SSE stream is attached so clients see tokens every N steps "
+                        "instead of every decode-roll (e.g. --decode-roll 16 "
+                        "--streaming-roll 4); batch traffic keeps the full roll")
     parser.add_argument("--prefill-chunk", type=int, default=1024,
                         help="paged engine: prompts longer than this stream through fixed-shape paged chunks, decode rolls interleaved between chunks")
     parser.add_argument("--prefix-cache", action="store_true",
@@ -821,7 +833,16 @@ def main():
     parser.add_argument("--decode-kernel", choices=["auto", "manual"], default="auto",
                         help="paged engine: 'manual' streams KV pages through an in-kernel async-copy ring instead of the auto-pipelined per-page grid (TPU only)")
     parser.add_argument("--speculative", action="store_true",
-                        help="prompt-lookup speculative decoding on the single-request engine path (greedy requests only; identical tokens, fewer device steps)")
+                        help="prompt-lookup speculative decoding: with --paged, greedy slots of "
+                        "the continuous batch advance up to draft-len+1 tokens per batched "
+                        "verify dispatch (identical tokens; sampled/logprobs ticks fall back "
+                        "to the roll); without a batch engine, the single-request path")
+    parser.add_argument("--draft-len", type=int, default=4,
+                        help="speculative draft length per verify dispatch (paged engine)")
+    parser.add_argument("--pipeline-rolls", action="store_true",
+                        help="paged engine: dispatch the next decode roll from device-side "
+                        "tokens before reading the previous one back (hides the per-roll "
+                        "host gap; +1 roll admission latency when traffic resumes)")
     parser.add_argument("--lora", type=str, default=None,
                         help="LoRA adapter directory to merge into the base weights at load")
     parser.add_argument("--no-warmup", dest="warmup", action="store_false",
@@ -851,11 +872,15 @@ def main():
                 attn_impl=model.engine.attn_impl,
                 mesh=model.engine.mesh,
                 decode_roll=args.decode_roll,
+                streaming_roll=args.streaming_roll,
                 prefill_chunk=args.prefill_chunk,
                 prefix_cache=args.prefix_cache,
                 cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
                 decode_kernel=args.decode_kernel,
                 image_cache_size=args.image_cache,
+                speculative=args.speculative,
+                draft_len=args.draft_len,
+                pipeline_rolls=args.pipeline_rolls,
             )
         else:
             from omchat_tpu.runtime.batch_engine import BatchEngine

@@ -52,6 +52,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prefill-chunk", type=int, default=4096)
     ap.add_argument("--decode-roll", type=int, default=8)
+    ap.add_argument("--streaming-roll", type=int, default=None,
+                    help="adaptive roll width used while any decoding request is "
+                    "streaming (pair with --mark-streaming to measure the "
+                    "streams-attached inter-token distribution)")
+    ap.add_argument("--mark-streaming", action="store_true",
+                    help="submit every request with streaming=True (SSE consumers "
+                    "attached) so the adaptive roll engages")
+    ap.add_argument("--speculative", choices=["off", "lookup", "oracle"], default="off",
+                    help="speculative verify inside the continuous batch: 'lookup' = "
+                    "prompt-lookup drafts (honest number; near-tie synthetic logits "
+                    "accept ~nothing — BENCH.md), 'oracle' = drafts from a recorded "
+                    "baseline pass (the machinery ceiling at full acceptance)")
+    ap.add_argument("--draft-len", type=int, default=4)
+    ap.add_argument("--pipeline-rolls", action="store_true",
+                    help="async roll scheduling: dispatch roll N+1 from device tokens "
+                    "before reading roll N back (hides the per-roll host gap)")
     ap.add_argument("--max-slots", type=int, default=16)
     ap.add_argument("--num-pages", type=int, default=192)
     ap.add_argument("--page-size", type=int, default=128)
@@ -100,6 +116,20 @@ def main():
             run_args.decode_kernel = kw.get("decode_kernel", args.decode_kernel)
             run_args.kv_cache_dtype = kw.get("kv_cache_dtype", args.kv_cache_dtype)
             run_args.prefill_priority = bool(int(kw.get("prefill_priority", args.prefill_priority)))
+            if "streaming_roll" in kw:
+                run_args.streaming_roll = int(kw["streaming_roll"])
+            if "mark_streaming" in kw:
+                run_args.mark_streaming = bool(int(kw["mark_streaming"]))
+            if "arrival_rate" in kw:
+                run_args.arrival_rate = float(kw["arrival_rate"])
+            if "n_requests" in kw:
+                run_args.n_requests = int(kw["n_requests"])
+            if "speculative" in kw:
+                run_args.speculative = kw["speculative"]
+            if "draft_len" in kw:
+                run_args.draft_len = int(kw["draft_len"])
+            if "pipeline_rolls" in kw:
+                run_args.pipeline_rolls = bool(int(kw["pipeline_rolls"]))
             bench._log(f"sweep config: {spec}")
             # fresh fixed-seed generator per config: every config measures the
             # SAME workload (the shared outer rng would drift per run)
@@ -111,7 +141,7 @@ def main():
     run_one(args, cfg, params, rng)
 
 
-def run_arrivals(engine, reqs, images, rate, seed=7, tick_log=None):
+def run_arrivals(engine, reqs, images, rate, seed=7, tick_log=None, streaming=False):
     """Submit the workload on a fixed Poisson schedule (seeded — warmup and
     measurement replay the same arrivals), ticking the engine in between.
     ``tick_log`` (list) collects (t_start, duration, slots_busy, queue)."""
@@ -123,7 +153,8 @@ def run_arrivals(engine, reqs, images, rate, seed=7, tick_log=None):
         now = time.perf_counter() - t0
         while nxt < len(reqs) and arrivals[nxt] <= now:
             ids.append(engine.submit(list(reqs[nxt]), images[nxt],
-                                     max_new_tokens=MAX_NEW, eos_token_id=-1))
+                                     max_new_tokens=MAX_NEW, eos_token_id=-1,
+                                     streaming=streaming))
             nxt += 1
         if engine.has_work():
             ts = time.perf_counter()
@@ -148,10 +179,14 @@ def run_one(args, cfg, params, rng):
         prefix_cache=args.prefix_cache,
         max_len=4096,
         decode_roll=args.decode_roll,
+        streaming_roll=args.streaming_roll,
         prefill_chunk=args.prefill_chunk,
         cache_dtype=jnp.float8_e4m3fn if args.kv_cache_dtype == "fp8" else None,
         decode_kernel=args.decode_kernel,
         prefill_priority=args.prefill_priority,
+        speculative=args.speculative != "off",
+        draft_len=args.draft_len,
+        pipeline_rolls=args.pipeline_rolls,
     )
 
     n_requests = args.n_requests or (48 if args.arrival_rate else N_REQUESTS)
@@ -163,7 +198,8 @@ def run_one(args, cfg, params, rng):
     # width, the ViT encode, the page-commit scatter, and the decode step),
     # independent of slot count and admission pattern.
     wids = [
-        engine.submit(list(ids), img, max_new_tokens=4, eos_token_id=-1)
+        engine.submit(list(ids), img, max_new_tokens=4, eos_token_id=-1,
+                      streaming=args.mark_streaming)
         for ids, img in zip(reqs, images)
     ]
     engine.run_to_completion()
@@ -190,12 +226,45 @@ def run_one(args, cfg, params, rng):
         # distribution.  precompile() covers the fixed menu; a dress
         # rehearsal of the exact measured schedule covers the per-prompt
         # multimodal chunk widths.
-        engine.precompile()
+        engine.precompile(variants=((False, False),))  # greedy-only workload
         bench._log("precompile done")
-        wids = run_arrivals(engine, reqs, images, args.arrival_rate)
+        wids = run_arrivals(engine, reqs, images, args.arrival_rate,
+                            streaming=args.mark_streaming)
         for wid in wids:
             engine.pop_result(wid)
+    elif args.streaming_roll:
+        # adaptive-roll runs walk BOTH roll widths across the fill-dependent
+        # table-width buckets; one mid-measurement compile (20-200 s over the
+        # tunnel) would swamp the inter-token distribution being measured
+        engine.precompile(variants=((False, False),))
+        bench._log("precompile done")
+    if args.speculative == "oracle":
+        # Record a baseline (non-speculative) pass of the EXACT measured
+        # workload, then serve its continuations back as drafts — every draft
+        # accepts, so this measures the paged verify machinery's ceiling.
+        engine.speculative = False
+        wids = [engine.submit(list(ids), img, max_new_tokens=MAX_NEW, eos_token_id=-1)
+                for ids, img in zip(reqs, images)]
+        engine.run_to_completion()
+        base_map = {}
+        for wid, ids in zip(wids, reqs):
+            toks, _ = engine.pop_result(wid)
+            true_ids = [t for t in ids if t >= 0]
+            base_map[tuple(true_ids[:48])] = (len(true_ids), toks)
+
+        def oracle(ctx):
+            ent = base_map.get(tuple(ctx[:48]))
+            if ent is None:
+                return []
+            plen, toks = ent
+            done = len(ctx) - plen
+            return toks[done : done + args.draft_len]
+
+        engine.draft_fn = oracle
+        engine.speculative = True
+        bench._log("oracle baseline recorded")
     bench._log("warmup/compile done")
+    engine.spec_dispatches = engine.spec_tokens = 0
     engine.reset_latency_stats()  # drop compile-time TTFTs from the windows
 
     prof = {"submit_s": 0.0, "prefill_s": 0.0, "decode_s": 0.0, "prefill_ticks": 0, "decode_ticks": 0}
@@ -252,13 +321,15 @@ def run_one(args, cfg, params, rng):
         # newcomers admit while earlier requests decode (the steady-state
         # continuous-batching regime, not the all-at-t0 burst).
         ticks = []
-        ids = run_arrivals(engine, reqs, images, args.arrival_rate, tick_log=ticks)
+        ids = run_arrivals(engine, reqs, images, args.arrival_rate, tick_log=ticks,
+                           streaming=args.mark_streaming)
         slow = sorted(ticks, key=lambda t: -t[1])[:8]
         bench._log(f"slowest ticks (t, dur, busy, queue): {slow}")
     else:
         for r, img in zip(reqs, images):
             ts = time.perf_counter()
-            ids.append(engine.submit(r, img, max_new_tokens=MAX_NEW, eos_token_id=-1))
+            ids.append(engine.submit(r, img, max_new_tokens=MAX_NEW, eos_token_id=-1,
+                                     streaming=args.mark_streaming))
             prof["submit_s"] += time.perf_counter() - ts
         engine.run_to_completion()
     dt = time.perf_counter() - t0
@@ -288,10 +359,19 @@ def run_one(args, cfg, params, rng):
                     "max_new_tokens": MAX_NEW,
                     "shared_prefix_tokens": args.shared_prefix,
                     "prefix_cache_stats": engine.prefix_cache.stats() if engine.prefix_cache else None,
+                    "speculative": None if args.speculative == "off" else {
+                        "mode": args.speculative,
+                        "draft_len": args.draft_len,
+                        "verify_dispatches": engine.spec_dispatches,
+                        "spec_tokens": engine.spec_tokens,
+                        "tokens_per_dispatch": round(
+                            engine.spec_tokens / max(engine.spec_dispatches, 1), 2
+                        ),
+                    },
                     "wall_s": round(dt, 2),
                     "latency": latency,
                     "requests_per_min": round(n_requests / dt * 60, 1),
-                    "engine": f"PagedBatchEngine slots={args.max_slots} pages={args.num_pages}x{args.page_size} decode_roll={args.decode_roll} prefill_chunk={args.prefill_chunk} prefix_cache={args.prefix_cache}",
+                    "engine": f"PagedBatchEngine slots={args.max_slots} pages={args.num_pages}x{args.page_size} decode_roll={args.decode_roll} streaming_roll={args.streaming_roll} mark_streaming={args.mark_streaming} pipeline_rolls={args.pipeline_rolls} prefill_chunk={args.prefill_chunk} prefix_cache={args.prefix_cache}",
                 },
             }
         ),

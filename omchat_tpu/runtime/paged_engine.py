@@ -322,6 +322,92 @@ def _paged_decode_roll_jit(
     static_argnames=("cfg", "page_size", "attn_impl", "moe_impl"),
     donate_argnames=("k_pool", "v_pool"),
 )
+def _paged_verify_jit(
+    params,
+    cfg: OmChatConfig,
+    tokens,  # [S, T] int32: [last_token, draft_0 .. draft_{T-2}] per slot
+    lengths,  # [S] valid tokens already in pages
+    active,  # [S] bool
+    tables,  # [S, W] int32 (parked rows for inactive slots)
+    k_pool,
+    v_pool,
+    page_size: int,
+    attn_impl=None,
+    moe_impl: str = "dense",
+):
+    """Speculative verify step: T candidate tokens per slot in ONE dispatch
+    against the page pool, returning the greedy continuation at every
+    position ([S, T] int32).
+
+    This is the continuous-batching counterpart of
+    runtime/speculative._verify_step_jit (single-request engine): each slot's
+    chunk rows write K/V at positions ``lengths .. lengths+T-1`` (row-level
+    scatter — starts are NOT page-aligned, unlike the prefill chunk's
+    whole-page commits) and attention runs the chunked paged-prefill kernel
+    with per-row ``q_offset=lengths`` / ``kv_len=lengths+T``.  Rejected
+    candidates leave stale rows beyond the accepted length; the next
+    dispatch's writes overlap exactly those positions and attention masks at
+    the host-advanced length, so they are never read (same cache discipline
+    as speculative.py:11-15).  Decode-step economics: the dispatch pays the
+    weight stream once for T positions, so at acceptance a the per-token cost
+    divides by (1+a) (BENCH.md "machinery ceiling").
+    """
+    tc = cfg.text
+    s, t = tokens.shape
+    hd = tc.attn_head_dim
+    max_pages = tables.shape[1]
+    parked = k_pool.shape[1] - 1
+
+    x = embed_tokens(params["language_model"], tokens)  # [S, T, D]
+    positions = lengths[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(
+        positions, hd, theta=tc.rope_theta, scaling=tc.rope_scaling,
+        max_position_embeddings=tc.max_position_embeddings, dtype=x.dtype,
+    )
+    idx = positions // page_size
+    page_rows = jnp.where(
+        idx < max_pages,
+        jnp.take_along_axis(tables, jnp.minimum(idx, max_pages - 1), axis=1),
+        parked,
+    )  # [S, T]
+    offs = positions % page_size
+    kv_len = jnp.where(active, lengths + t, 0)
+    q_off = jnp.where(active, lengths, 0)
+    mlp_fn = _mlp_fn(tc, moe_impl)
+
+    def attend(q, k, v, pools):
+        kp, vp = pools
+        # row scatter: [S, T] (page, offset) pairs, duplicates only on the
+        # parking page (inactive slots) where the undefined pick is harmless
+        kp = kp.at[page_rows, :, offs].set(k.astype(kp.dtype))
+        vp = vp.at[page_rows, :, offs].set(v.astype(vp.dtype))
+        from omchat_tpu.ops.paged_attention import paged_prefill_attention
+
+        out = paged_prefill_attention(q, kp, vp, kv_len, tables, q_off, impl=attn_impl)
+        return out, (kp, vp)
+
+    def layer(carry, xs):
+        xx = carry
+        lp, kp, vp = xs
+        xx, (kp, vp) = decoder_layer(
+            tc, xx, lp, cos, sin, attend, mlp_fn, (kp, vp),
+            quant_glue=quant_glue_ok(attn_impl),
+        )
+        return xx, (kp, vp)
+
+    xf, (k_pool, v_pool) = jax.lax.scan(
+        layer, x, (params["language_model"]["layers"], k_pool, v_pool)
+    )
+    xf = rms_norm(xf, params["language_model"]["norm"]["scale"], tc.rms_norm_eps)
+    logits = lm_head(params["language_model"], tc, xf)  # [S, T, V]
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), k_pool, v_pool
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "page_size", "attn_impl", "moe_impl"),
+    donate_argnames=("k_pool", "v_pool"),
+)
 def _paged_prefill_chunk_jit(
     params,
     cfg: OmChatConfig,
@@ -448,6 +534,8 @@ class _PagedRequest:
     top_logprobs: int = 0  # 0..LOGPROBS_K alternatives per token
     lp_list: List[float] = field(default_factory=list)  # aligned with generated
     top_list: List[list] = field(default_factory=list)  # [(token_id, lp), ...] per token
+    streaming: bool = False  # SSE consumer attached → adaptive (small) rolls
+    lookup_base: List[int] = field(default_factory=list)  # true prompt ids for prompt-lookup drafts
 
     @property
     def samples(self) -> bool:
@@ -483,6 +571,12 @@ class PagedBatchEngine:
         prefill_batch_tokens: int = 8192,
         image_cache_size: int = 8,
         prefill_priority: bool = False,
+        streaming_roll: Optional[int] = None,
+        speculative: bool = False,
+        draft_len: int = 4,
+        draft_ngram: int = 2,
+        draft_fn=None,
+        pipeline_rolls: bool = False,
     ):
         """``max_len`` caps one request's prompt+generation (it sets the page
         TABLE width, so per-step attention cost scales with the request cap,
@@ -518,7 +612,36 @@ class PagedBatchEngine:
         whatever the occupancy, so rolls issued while stragglers prefill run
         at partial occupancy and the laggards' tokens re-pay the stream later
         — batching all starts together trades a small TTFT/inter-token bump
-        for aggregate throughput (throughput mode)."""
+        for aggregate throughput (throughput mode).
+
+        ``streaming_roll``: adaptive roll width — while any decoding request
+        was submitted with ``streaming=True`` (an SSE consumer is attached),
+        rolls shrink to this width so tokens surface every streaming_roll
+        steps instead of every decode_roll; with no streams attached the full
+        decode_roll amortizes host round trips.  A roll is one dispatch, so
+        the observation granularity (inter-token p99 a streaming client sees)
+        is roll × step-time.
+
+        ``speculative``: prompt-lookup speculative decoding INSIDE the
+        continuous batch (greedy slots only): each tick where any decoding
+        slot's tail n-gram matches earlier content, a batched verify dispatch
+        scores ``draft_len`` candidates per slot in one forward — accepted
+        tokens cost one weight stream for up to draft_len+1 positions.
+        Greedy tokens are bit-identical to the non-speculative engine
+        (tests/test_paged_engine.py).  Ticks with no draft anywhere, or with
+        any sampled/logprobs member, fall back to the normal decode roll.
+        ``draft_fn(context) -> List[int]`` overrides the proposer (oracle
+        drafts in dev/bench_speculative.py).
+
+        ``pipeline_rolls``: async roll scheduling — while the scheduler has
+        nothing that would change the decoding set (no queued admissions, no
+        mid-prefill slot), the next roll dispatches from the in-flight roll's
+        DEVICE-side final tokens before its results are read back, so the
+        per-roll host gap (tunnel readback + bookkeeping, measured ~4 ms)
+        overlaps device work instead of idling the chip.  Costs: up to one
+        extra roll of discarded positions per finished request (allocation
+        headroom is doubled accordingly) and one roll of added admission
+        latency when traffic resumes.  Tokens are identical."""
         assert prompt_bucket % page_size == 0, "prompt buckets must align to pages"
         assert prefill_chunk % page_size == 0, "prefill chunks must align to pages"
         self.prefill_chunk = prefill_chunk
@@ -560,6 +683,22 @@ class PagedBatchEngine:
             attn_impl = "pallas_manual"
         self.attn_impl = attn_impl
         self.decode_roll = max(1, int(decode_roll))
+        self.streaming_roll = max(1, int(streaming_roll)) if streaming_roll else None
+        self.speculative = bool(speculative)
+        self.draft_len = max(1, int(draft_len))
+        self.draft_ngram = max(1, int(draft_ngram))
+        self.draft_fn = draft_fn
+        self.pipeline_rolls = bool(pipeline_rolls)
+        self._inflight = None  # dispatched-but-unprocessed roll (pipeline_rolls)
+        # allocation/table headroom must cover whichever roll width runs —
+        # or the verify chunk (draft_len + 1 positions per dispatch); with
+        # pipelined rolls a finished request can over-decode up to one MORE
+        # roll before the host learns it finished
+        self._max_roll = max(
+            self.decode_roll,
+            self.streaming_roll or 1,
+            (self.draft_len + 1) if self.speculative else 1,
+        ) * (2 if self.pipeline_rolls else 1)
         self.moe_impl = moe_impl
 
         from omchat_tpu.runtime.generate import OmChatEngine
@@ -601,7 +740,7 @@ class PagedBatchEngine:
         # per-step attention spans max_len, not the whole pool.  The table is
         # widened by the roll headroom so decode_roll does not shrink the
         # documented prompt+generation capacity.
-        self.max_pages = -(-(max_len + self.decode_roll - 1) // page_size)
+        self.max_pages = -(-(max_len + self._max_roll - 1) // page_size)
 
         self._ids = itertools.count()
         self.queue: List[_PagedRequest] = []
@@ -614,6 +753,10 @@ class PagedBatchEngine:
         self._gaps: "deque[float]" = deque(maxlen=8192)
         self._tokens = np.zeros(max_slots, np.int32)
         self._lengths = np.zeros(max_slots, np.int32)
+        # speculative accounting (stats() / bench): dispatches and the tokens
+        # they produced — tokens/dispatch is the realized acceptance rate + 1
+        self.spec_dispatches = 0
+        self.spec_tokens = 0
         self._tables = np.full((max_slots, self.max_pages), self._parking, np.int32)
         self._key = jax.random.PRNGKey(rng_seed)
 
@@ -667,27 +810,41 @@ class PagedBatchEngine:
             top_k=jnp.zeros((self.max_slots,), jnp.int32),
             top_p=jnp.ones((self.max_slots,), jnp.float32),
         )
+        rolls = sorted({self.decode_roll, self.streaming_roll or self.decode_roll})
         for w in roll_widths:
             if w > self.max_pages:
                 continue
             tables = jnp.full((self.max_slots, w), self._parking, jnp.int32)
-            for any_sampled, logprobs in variants:
-                sample_args = neutral_sample_args if any_sampled else {}
-                if self.decode_roll == 1:
-                    out, self.k_pool, self.v_pool = _paged_decode_step_jit(
-                        self.params, self.cfg, tokens, lengths, active, tables,
-                        self.k_pool, self.v_pool, self.page_size, self.attn_impl,
-                        self.moe_impl, any_sampled=any_sampled,
-                        logprobs=logprobs, **sample_args,
-                    )
-                else:
-                    out, self.k_pool, self.v_pool = _paged_decode_roll_jit(
-                        self.params, self.cfg, tokens, lengths, active, tables,
-                        self.k_pool, self.v_pool, self.page_size, self.attn_impl,
-                        self.decode_roll, self.moe_impl, any_sampled=any_sampled,
-                        logprobs=logprobs, **sample_args,
-                    )
-                jax.block_until_ready(out[0] if logprobs else out)
+            for roll in rolls:
+                for any_sampled, logprobs in variants:
+                    sample_args = neutral_sample_args if any_sampled else {}
+                    if roll == 1:
+                        out, self.k_pool, self.v_pool = _paged_decode_step_jit(
+                            self.params, self.cfg, tokens, lengths, active, tables,
+                            self.k_pool, self.v_pool, self.page_size, self.attn_impl,
+                            self.moe_impl, any_sampled=any_sampled,
+                            logprobs=logprobs, **sample_args,
+                        )
+                    else:
+                        out, self.k_pool, self.v_pool = _paged_decode_roll_jit(
+                            self.params, self.cfg, tokens, lengths, active, tables,
+                            self.k_pool, self.v_pool, self.page_size, self.attn_impl,
+                            roll, self.moe_impl, any_sampled=any_sampled,
+                            logprobs=logprobs, **sample_args,
+                        )
+                    jax.block_until_ready(out[0] if logprobs else out)
+        if self.speculative:
+            toks_v = jnp.zeros((self.max_slots, self.draft_len + 1), jnp.int32)
+            for w in roll_widths:
+                if w > self.max_pages:
+                    continue
+                tables = jnp.full((self.max_slots, w), self._parking, jnp.int32)
+                out, self.k_pool, self.v_pool = _paged_verify_jit(
+                    self.params, self.cfg, toks_v, lengths, active, tables,
+                    self.k_pool, self.v_pool, self.page_size, self.attn_impl,
+                    self.moe_impl,
+                )
+                jax.block_until_ready(out)
 
     # -- client API ---------------------------------------------------------
 
@@ -701,17 +858,22 @@ class PagedBatchEngine:
         image_cache_key: Optional[str] = None,
         logprobs: bool = False,
         top_logprobs: int = 0,
+        streaming: bool = False,
     ) -> int:
         req = _PagedRequest(next(self._ids), list(input_ids), None, max_new_tokens, eos_token_id, generation)
         req.logprobs = logprobs or top_logprobs > 0
         req.top_logprobs = max(0, min(int(top_logprobs), LOGPROBS_K))
+        req.streaming = streaming
+        if self.speculative:
+            # prompt-lookup context = true (unexpanded) prompt ids + generated
+            req.lookup_base = [t for t in input_ids if t >= 0]
         req.submit_t = time.perf_counter()
         # plan + feasibility first (both need only input_ids): reject requests
         # no allocation could ever satisfy before paying the ViT encode.
-        # decode_roll - 1 extra positions of headroom absorb mid-roll writes
+        # roll - 1 extra positions of headroom absorb mid-roll writes
         # past a finished request's budget.
         req.plan = self._prefiller.plan([req.input_ids])
-        need = self._n_pages_for(int(req.plan.lengths[0]) + max_new_tokens + self.decode_roll - 1)
+        need = self._n_pages_for(int(req.plan.lengths[0]) + max_new_tokens + self._max_roll - 1)
         if need > min(self.max_pages, self.allocator.num_pages):
             raise ValueError(
                 f"request needs {need} pages (> cap {self.max_pages} / pool {self.allocator.num_pages}); "
@@ -874,7 +1036,11 @@ class PagedBatchEngine:
             self.queue = [r for r in self.queue if not r.cancelled]
 
     def has_work(self) -> bool:
-        return bool(self.queue) or any(r is not None for r in self.slots)
+        return (
+            bool(self.queue)
+            or any(r is not None for r in self.slots)
+            or self._inflight is not None
+        )
 
     def stats(self) -> dict:
         """Scheduler gauges for observability surfaces (serve.py /metrics)."""
@@ -885,6 +1051,9 @@ class PagedBatchEngine:
             "pages_free": self.allocator.available,
             "pages_total": self.allocator.num_pages,
         }
+        if self.speculative:
+            out["spec_dispatches"] = self.spec_dispatches
+            out["spec_tokens"] = self.spec_tokens
         if self.prefix_cache is not None:
             out.update({f"prefix_cache_{k}": v for k, v in self.prefix_cache.stats().items()})
         if self._prefiller.image_cache is not None:
@@ -1362,6 +1531,18 @@ class PagedBatchEngine:
         for req, logits in finished_prefills:
             self._finish_prefill(req, logits)
 
+        if self._inflight is not None:
+            # Pipelined rolls: dispatch the successor from device-side tokens
+            # BEFORE reading this roll back (keeps the chip busy through the
+            # readback + bookkeeping below), unless the scheduler state
+            # changed (new admissions, cancels) — then just drain.
+            h, self._inflight = self._inflight, None
+            nxt = None
+            if self._can_extend(h["decoding"]) and all(not r.done for r in h["decoding"]):
+                nxt = self._extend_roll(h)
+            self._process_roll(h)
+            self._inflight = nxt
+            return
         decoding = [r for r in self.slots if r is not None and r.prefilled and r.last_token is not None]
         if not decoding:
             return
@@ -1372,6 +1553,12 @@ class PagedBatchEngine:
             r is not None and not r.prefilled for r in self.slots
         ):
             return
+        # speculative verify (greedy-only): when any slot's prompt-lookup
+        # proposes a draft, one batched verify dispatch advances slots by up
+        # to draft_len+1 tokens; draft-less ticks run the normal roll
+        if self.speculative and not any(r.samples or r.logprobs for r in decoding):
+            if self._speculative_tick(decoding):
+                return
         active = np.zeros(self.max_slots, bool)
         for r in decoding:
             self._tokens[r.slot] = r.last_token
@@ -1381,19 +1568,61 @@ class PagedBatchEngine:
         # admission) — pass it parked, or the roll would scribble K/V over the
         # chunks already committed.
         tables_dec = np.where(active[:, None], self._tables, self._parking)
+        # Adaptive roll: shrink to streaming_roll while any decoding request
+        # has a streaming consumer attached (tokens surface per roll), else
+        # run the full throughput roll.
+        roll = (
+            self.streaming_roll
+            if self.streaming_roll and any(r.streaming for r in decoding)
+            else self.decode_roll
+        )
         # Slice the table width to the pages reachable THIS dispatch: the
         # decode kernel's grid is (S, table_width) per layer, so at low fill
         # a full-width table is mostly dead grid steps (a 4096-cap table is
         # 32 pages while a fresh request sits at 2-5).  Width is bucketed
-        # (powers of two) so compiles stay bounded; +decode_roll covers the
+        # (powers of two) so compiles stay bounded; +roll covers the
         # tokens written during the dispatch.
-        max_need = int(max(self._lengths[r.slot] for r in decoding)) + self.decode_roll
+        max_need = int(max(self._lengths[r.slot] for r in decoding)) + roll
         need_pages = -(-max_need // self.page_size)
         width = 4
         while width < need_pages:
             width *= 2
         width = min(width, tables_dec.shape[1])
         tables_dec = tables_dec[:, :width]
+        # Multi-step roll every tick: long prompts advance one chunk per tick
+        # (above), so a roll between chunks is exactly the prefill/decode
+        # interleave — decoding slots never stall behind a whole prompt, and a
+        # waiting request's admission is delayed by at most one chunk + one
+        # roll (the documented throughput/latency trade).
+        handle = self._dispatch_roll(
+            decoding, roll, active, tables_dec,
+            jnp.asarray(self._tokens), np.array(self._lengths),
+        )
+        if self.pipeline_rolls and self._can_extend(decoding):
+            # pipelined rolls: leave this dispatch in flight; the NEXT tick
+            # dispatches its successor from device-side tokens BEFORE reading
+            # these results, so the readback/bookkeeping gap overlaps device
+            # work instead of idling the chip
+            self._inflight = handle
+            return
+        self._process_roll(handle)
+
+    def _can_extend(self, decoding) -> bool:
+        """A roll may stay in flight (and its successor dispatch from device
+        tokens) only while the scheduler has nothing that would change the
+        decoding set: no queued admissions, no mid-prefill slot, no
+        cancellations, and no speculative drafts wanting host context."""
+        return (
+            not self.queue
+            and not any(r is not None and not r.prefilled for r in self.slots)
+            and not any(r.cancelled for r in decoding)
+            and not self.speculative
+        )
+
+    def _dispatch_roll(self, decoding, roll, active, tables_dec, tokens_dev, lengths_np):
+        """Issue one decode roll WITHOUT reading results back.  Returns the
+        in-flight handle consumed by :meth:`_process_roll` (or extended by
+        :meth:`_extend_roll`)."""
         any_sampled = any(r.samples for r in decoding)
         sample_args = {}
         if any_sampled:
@@ -1415,82 +1644,94 @@ class PagedBatchEngine:
                 top_k=jnp.asarray(top_k),
                 top_p=jnp.asarray(top_p),
             )
-        # Multi-step roll every tick: long prompts advance one chunk per tick
-        # (above), so a roll between chunks is exactly the prefill/decode
-        # interleave — decoding slots never stall behind a whole prompt, and a
-        # waiting request's admission is delayed by at most one chunk + one
-        # roll (the documented throughput/latency trade).
-        roll = self.decode_roll
         any_lp = any(r.logprobs for r in decoding)
-        lp_np = tl_np = ti_np = None
         if roll == 1:
             out, self.k_pool, self.v_pool = _paged_decode_step_jit(
-                self.params,
-                self.cfg,
-                jnp.asarray(self._tokens),
-                jnp.asarray(self._lengths),
-                jnp.asarray(active),
-                jnp.asarray(tables_dec),
-                self.k_pool,
-                self.v_pool,
-                self.page_size,
-                self.attn_impl,
-                self.moe_impl,
-                any_sampled=any_sampled,
-                logprobs=any_lp,
+                self.params, self.cfg, tokens_dev,
+                jnp.asarray(lengths_np), jnp.asarray(active), jnp.asarray(tables_dec),
+                self.k_pool, self.v_pool, self.page_size, self.attn_impl,
+                self.moe_impl, any_sampled=any_sampled, logprobs=any_lp,
                 **sample_args,
             )
-            if any_lp:
-                next_tokens, chosen, top_v, top_i = out
-                lp_np = np.asarray(chosen)[None]
-                tl_np = np.asarray(top_v)[None]
-                ti_np = np.asarray(top_i)[None]
-            else:
-                next_tokens = out
-            toks_np = np.asarray(next_tokens)[None]  # [1, S]
+            toks_dev = (out[0] if any_lp else out)[None]  # [1, S]
+            lp_dev = (out[1][None], out[2][None], out[3][None]) if any_lp else None
         else:
             toks, self.k_pool, self.v_pool = _paged_decode_roll_jit(
-                self.params,
-                self.cfg,
-                jnp.asarray(self._tokens),
-                jnp.asarray(self._lengths),
-                jnp.asarray(active),
-                jnp.asarray(tables_dec),
-                self.k_pool,
-                self.v_pool,
-                self.page_size,
-                self.attn_impl,
-                roll,
-                self.moe_impl,
-                any_sampled=any_sampled,
-                logprobs=any_lp,
+                self.params, self.cfg, tokens_dev,
+                jnp.asarray(lengths_np), jnp.asarray(active), jnp.asarray(tables_dec),
+                self.k_pool, self.v_pool, self.page_size, self.attn_impl,
+                roll, self.moe_impl, any_sampled=any_sampled, logprobs=any_lp,
                 **sample_args,
             )
             if any_lp:
                 toks, chosen, top_v, top_i = toks
-                lp_np = np.asarray(chosen)  # [roll, S]
-                tl_np = np.asarray(top_v)  # [roll, S, K]
-                ti_np = np.asarray(top_i)
-            toks_np = np.asarray(toks)  # [roll, S]
+                lp_dev = (chosen, top_v, top_i)
+            else:
+                lp_dev = None
+            toks_dev = toks  # [roll, S]
+        return {
+            "decoding": list(decoding),
+            "slots": [r.slot for r in decoding],
+            "roll": roll,
+            "active": active,
+            "tables_full": None,  # filled by step() when extending
+            "toks_dev": toks_dev,
+            "lp_dev": lp_dev,
+            "lengths_next": lengths_np + roll * active.astype(np.int32),
+        }
+
+    def _extend_roll(self, h):
+        """Dispatch the successor of an in-flight roll from its device-side
+        final tokens (no host round trip), using lengths advanced by the full
+        roll for every active slot — finished requests keep decoding into
+        their allocated headroom and the surplus is discarded at processing."""
+        roll = h["roll"]
+        lengths_np = h["lengths_next"]
+        decoding = h["decoding"]
+        # table width may need the next power-of-two bucket as fills grow
+        active = h["active"]
+        tables_full = np.where(active[:, None], self._tables, self._parking)
+        max_need = int(max(lengths_np[s] for s in h["slots"])) + roll
+        need_pages = -(-max_need // self.page_size)
+        width = 4
+        while width < need_pages:
+            width *= 2
+        width = min(width, tables_full.shape[1])
+        return self._dispatch_roll(
+            decoding, roll, active, tables_full[:, :width],
+            h["toks_dev"][-1], lengths_np,
+        )
+
+    def _process_roll(self, h):
+        """Read an in-flight roll's tokens back and run the per-request
+        bookkeeping (EOS/budget releases, latency windows, logprobs)."""
+        toks_np = np.asarray(h["toks_dev"])  # [roll, S]
+        lp_np = tl_np = ti_np = None
+        if h["lp_dev"] is not None:
+            lp_np = np.asarray(h["lp_dev"][0])
+            tl_np = np.asarray(h["lp_dev"][1])
+            ti_np = np.asarray(h["lp_dev"][2])
         tick_now = time.perf_counter()  # tokens in a roll arrive together
-        for r in decoding:
+        for r, slot in zip(h["decoding"], h["slots"]):
+            if r.done:
+                continue  # released while this roll was in flight (cancel)
             for i in range(toks_np.shape[0]):
-                tok = int(toks_np[i, r.slot])
+                tok = int(toks_np[i, slot])
                 # device-side lengths advanced by the full roll for active
                 # slots; continuing requests consume every step, finished ones
                 # are released (pages freed), so host lengths stay in sync
-                self._lengths[r.slot] += 1
+                self._lengths[slot] += 1
                 r.last_token = tok
                 if tok == r.eos_token_id:
                     self._release(r)
                     break
                 r.generated.append(tok)
                 if r.logprobs and lp_np is not None:
-                    r.lp_list.append(float(lp_np[i, r.slot]))
+                    r.lp_list.append(float(lp_np[i, slot]))
                     r.top_list.append(
                         [
                             (int(t), float(v))
-                            for t, v in zip(ti_np[i, r.slot], tl_np[i, r.slot])
+                            for t, v in zip(ti_np[i, slot], tl_np[i, slot])
                         ]
                     )
                 if r.token_times and tick_now > r.token_times[-1]:
@@ -1499,6 +1740,78 @@ class PagedBatchEngine:
                 if len(r.generated) >= r.max_new_tokens:
                     self._release(r)
                     break
+
+    def _speculative_tick(self, decoding) -> bool:
+        """One batched verify dispatch for the decoding slots; returns False
+        (caller falls back to the roll) when no slot proposes a draft."""
+        from omchat_tpu.runtime.speculative import propose_draft
+
+        t_chunk = self.draft_len + 1
+        propose = self.draft_fn or (
+            lambda ctx: propose_draft(ctx, ngram=self.draft_ngram, k=self.draft_len)
+        )
+        drafts: Dict[int, List[int]] = {}
+        any_draft = False
+        for r in decoding:
+            d = [int(x) for x in propose(r.lookup_base + r.generated)[: self.draft_len]]
+            drafts[r.slot] = d
+            any_draft = any_draft or bool(d)
+        if not any_draft:
+            return False
+        toks = np.zeros((self.max_slots, t_chunk), np.int32)
+        active = np.zeros(self.max_slots, bool)
+        for r in decoding:
+            toks[r.slot, 0] = r.last_token
+            d = drafts[r.slot]
+            if d:
+                toks[r.slot, 1 : 1 + len(d)] = d
+            active[r.slot] = True
+        tables_full = np.where(active[:, None], self._tables, self._parking)
+        max_need = int(max(self._lengths[r.slot] for r in decoding)) + t_chunk
+        need_pages = -(-max_need // self.page_size)
+        width = 4
+        while width < need_pages:
+            width *= 2
+        width = min(width, tables_full.shape[1])
+        out, self.k_pool, self.v_pool = _paged_verify_jit(
+            self.params,
+            self.cfg,
+            jnp.asarray(toks),
+            jnp.asarray(self._lengths),
+            jnp.asarray(active),
+            jnp.asarray(tables_full[:, :width]),
+            self.k_pool,
+            self.v_pool,
+            self.page_size,
+            self.attn_impl,
+            self.moe_impl,
+        )
+        out_np = np.asarray(out)  # [S, T] greedy continuation per position
+        tick_now = time.perf_counter()
+        self.spec_dispatches += 1
+        for r in decoding:
+            g = out_np[r.slot]
+            d = drafts[r.slot]
+            n_acc = 0
+            while n_acc < len(d) and d[n_acc] == int(g[n_acc]):
+                n_acc += 1
+            # accepted draft prefix + the model's own token at the first
+            # disagreement (the "bonus" token on full acceptance)
+            for tok in d[:n_acc] + [int(g[n_acc])]:
+                self.spec_tokens += 1
+                self._lengths[r.slot] += 1
+                r.last_token = tok
+                if tok == r.eos_token_id:
+                    self._release(r)
+                    break
+                r.generated.append(tok)
+                if r.token_times and tick_now > r.token_times[-1]:
+                    self._gaps.append(tick_now - r.token_times[-1])
+                r.token_times.append(tick_now)
+                if len(r.generated) >= r.max_new_tokens:
+                    self._release(r)
+                    break
+        return True
 
     def run_to_completion(self, max_ticks: int = 100000):
         ticks = 0

@@ -503,3 +503,166 @@ def test_paged_logprobs_match_single_engine(setup):
         assert [g[0] for g in got_t] == [w[0] for w in want_t[:3]]
     assert engine.request_logprobs(rid2) == (None, None)
     engine.pop_result(rid2)
+
+
+def test_streaming_roll_adaptive_and_exact(setup, rng):
+    """Adaptive roll: with streaming_roll=2 and one streaming request in the
+    batch, rolls shrink to 2 steps while it decodes and revert to the full
+    decode_roll after it finishes — with identical greedy tokens either way."""
+    cfg, params = setup
+    max_new = 9
+    reqs = [
+        ([5, 6, 7, 8, 9, 10], None),
+        ([11, 12, 13], None),
+        ([5, 6, IMAGE_TOKEN_INDEX, 7], rng.standard_normal((1, 3, 56, 56)).astype(np.float32)),
+    ]
+    expected = _expected(cfg, params, reqs, max_new)
+
+    be = PagedBatchEngine(
+        cfg, params, max_slots=3, num_pages=20, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=96, decode_roll=4, streaming_roll=2,
+    )
+    rolls = []
+    # record the roll width of each decode dispatch
+    import omchat_tpu.runtime.paged_engine as pe
+
+    orig_roll_jit = pe._paged_decode_roll_jit
+
+    def spy(*a, **kw):
+        rolls.append(a[10])  # steps arg position
+        return orig_roll_jit(*a, **kw)
+
+    pe._paged_decode_roll_jit = spy
+    try:
+        # request 1 streams for 4 tokens; the others are batch
+        rids = [
+            be.submit(ids, images, max_new_tokens=(4 if i == 1 else max_new),
+                      eos_token_id=-1, streaming=(i == 1))
+            for i, (ids, images) in enumerate(reqs)
+        ]
+        be.run_to_completion(max_ticks=500)
+    finally:
+        pe._paged_decode_roll_jit = orig_roll_jit
+    assert be.result(rids[0]) == expected[0]
+    assert be.result(rids[1]) == expected[1][:4]
+    assert be.result(rids[2]) == expected[2]
+    assert 2 in rolls and 4 in rolls, rolls  # shrank while streaming, reverted after
+    assert rolls and rolls[0] == 2  # the streaming request was present at the start
+
+
+def test_speculative_paged_matches_plain(setup, rng):
+    """Speculative verify inside the continuous batch: greedy tokens are
+    bit-identical to the non-speculative paged engine (and the
+    single-request engine), with fewer decode dispatches on echo-heavy
+    prompts."""
+    cfg, params = setup
+    max_new = 12
+    rep = [31, 32, 33, 34, 35, 36]
+    reqs = [
+        (rep * 4 + rep[:2], None),  # echo-heavy: the tail bigram recurs
+        ([11, 12, 13, 14], None),  # no structure
+        ([5, 6, IMAGE_TOKEN_INDEX, 7] + rep * 2 + rep[:2],
+         rng.standard_normal((1, 3, 56, 56)).astype(np.float32)),
+    ]
+    expected = _expected(cfg, params, reqs, max_new)
+
+    be = PagedBatchEngine(
+        cfg, params, max_slots=3, num_pages=32, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=128, decode_roll=4,
+        speculative=True, draft_len=4,
+    )
+    verify_calls = []
+    orig = be._speculative_tick
+
+    def spy(decoding):
+        ran = orig(decoding)
+        verify_calls.append(ran)
+        return ran
+
+    be._speculative_tick = spy
+    rids = [be.submit(ids, images, max_new_tokens=max_new, eos_token_id=-1)
+            for ids, images in reqs]
+    ticks = be.run_to_completion(max_ticks=500)
+    assert ticks < 500
+    for rid, exp in zip(rids, expected):
+        assert be.result(rid) == exp
+    assert any(verify_calls), "echo prompts must trigger the verify path"
+    assert be.allocator.available == 32
+
+
+def test_speculative_oracle_draft_full_acceptance(setup):
+    """With an oracle draft_fn (the baseline's own continuation) every draft
+    accepts, so the whole generation completes in ~max_new/(draft_len+1)
+    verify dispatches."""
+    cfg, params = setup
+    max_new = 12
+    ids = [41, 42, 43, 44, 45]
+    base = _expected(cfg, params, [(ids, None)], max_new)[0]
+
+    cont = {tuple(ids + base[:i]): base[i:] for i in range(len(base))}
+
+    def oracle(ctx):
+        return list(cont.get(tuple(ctx[1:] if ctx and ctx[0] < 0 else ctx), []))[:4]
+
+    be = PagedBatchEngine(
+        cfg, params, max_slots=1, num_pages=16, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=96, decode_roll=4,
+        speculative=True, draft_len=4, draft_fn=oracle,
+    )
+    dispatches = []
+    orig = be._speculative_tick
+    be._speculative_tick = lambda d: (dispatches.append(1), orig(d))[1]
+    rid = be.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1)
+    be.run_to_completion(max_ticks=200)
+    assert be.result(rid) == base
+    # first token from prefill; 11 remaining at 5/dispatch → 3 dispatches
+    assert len(dispatches) <= 4, dispatches
+
+
+def test_pipeline_rolls_matches_plain(setup, rng):
+    """pipeline_rolls=True (roll N+1 dispatched from device tokens before
+    roll N is read back) produces identical greedy tokens across mid-roll
+    budget releases and a second admission wave riding freed slots/pages."""
+    cfg, params = setup
+    max_new = 9  # not a multiple of the roll → budget hits mid-roll
+    reqs = [
+        ([5, 6, 7, 8, 9, 10], None),
+        ([11, 12, 13], None),
+        ([5, 6, IMAGE_TOKEN_INDEX, 7], rng.standard_normal((1, 3, 56, 56)).astype(np.float32)),
+        ([21, 22, 23, 24], None),
+        ([31, 32, 33], None),
+    ]
+    expected = _expected(cfg, params, reqs, max_new)
+
+    be = PagedBatchEngine(
+        cfg, params, max_slots=2, num_pages=24, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=96, decode_roll=4, pipeline_rolls=True,
+    )
+    rids = [be.submit(ids, images, max_new_tokens=max_new, eos_token_id=-1)
+            for ids, images in reqs]
+    ticks = be.run_to_completion(max_ticks=800)
+    assert ticks < 800
+    for rid, exp in zip(rids, expected):
+        assert be.result(rid) == exp
+    assert be._inflight is None
+    assert be.allocator.available == 24
+
+
+def test_pipeline_rolls_cancel_mid_flight(setup):
+    """Cancelling a request while its roll is in flight releases it cleanly:
+    the in-flight roll's surplus tokens are discarded, pages return."""
+    cfg, params = setup
+    be = PagedBatchEngine(
+        cfg, params, max_slots=2, num_pages=16, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=96, decode_roll=4, pipeline_rolls=True,
+    )
+    r1 = be.submit([5, 6, 7], None, max_new_tokens=40, eos_token_id=-1)
+    r2 = be.submit([8, 9, 10], None, max_new_tokens=6, eos_token_id=-1)
+    for _ in range(4):
+        be.step()
+    be.cancel(r1)
+    be.run_to_completion(max_ticks=300)
+    assert be.finished(r1) and be.finished(r2)
+    assert len(be.result(r2)) == 6
+    assert be._inflight is None
+    assert be.allocator.available == 16
