@@ -340,23 +340,30 @@ def _paged_verify_jit(
     position ([S, T] int32).
 
     This is the continuous-batching counterpart of
-    runtime/speculative._verify_step_jit (single-request engine): each slot's
-    chunk rows write K/V at positions ``lengths .. lengths+T-1`` (row-level
-    scatter — starts are NOT page-aligned, unlike the prefill chunk's
-    whole-page commits) and attention runs the chunked paged-prefill kernel
-    with per-row ``q_offset=lengths`` / ``kv_len=lengths+T``.  Rejected
-    candidates leave stale rows beyond the accepted length; the next
-    dispatch's writes overlap exactly those positions and attention masks at
-    the host-advanced length, so they are never read (same cache discipline
-    as speculative.py:11-15).  Decode-step economics: the dispatch pays the
-    weight stream once for T positions, so at acceptance a the per-token cost
-    divides by (1+a) (BENCH.md "machinery ceiling").
+    runtime/speculative._verify_step_jit (single-request engine), built on
+    the DECODE step's memory structure, not the prefill chunk's: the pools
+    stay READ-ONLY and loop-invariant through the layer scan (scanning them
+    as xs/ys needs a second pool-sized buffer to stack the ys — measured
+    ResourceExhausted at the 13B serving footprint), each layer gathers the
+    slot's live pages to a small contiguous [S, KVH, W*ps, D] block, attends
+    over [cached ; causal self-chunk] with an explicit mask (T is tiny, so
+    plain einsum attention costs ~nothing next to the weight stream), emits
+    its T K/V rows as scan outputs, and ONE aliased ``commit_rows`` call
+    writes all L*S*T rows after the scan.  Rejected candidates leave stale
+    rows beyond the accepted length; the next dispatch's writes overlap
+    exactly those positions and attention masks at the host-advanced length,
+    so they are never read (same cache discipline as speculative.py:11-15).
+    Decode-step economics: the dispatch pays the weight stream once for T
+    positions, so at acceptance a the per-token cost divides by (1+a)
+    (BENCH.md "machinery ceiling").
     """
     tc = cfg.text
     s, t = tokens.shape
     hd = tc.attn_head_dim
+    kvh = tc.num_key_value_heads
     max_pages = tables.shape[1]
-    parked = k_pool.shape[1] - 1
+    n_layers, n_slots = k_pool.shape[0], k_pool.shape[1]
+    parked = n_slots - 1
 
     x = embed_tokens(params["language_model"], tokens)  # [S, T, D]
     positions = lengths[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
@@ -371,33 +378,75 @@ def _paged_verify_jit(
         parked,
     )  # [S, T]
     offs = positions % page_size
-    kv_len = jnp.where(active, lengths + t, 0)
-    q_off = jnp.where(active, lengths, 0)
     mlp_fn = _mlp_fn(tc, moe_impl)
 
-    def attend(q, k, v, pools):
-        kp, vp = pools
-        # row scatter: [S, T] (page, offset) pairs, duplicates only on the
-        # parking page (inactive slots) where the undefined pick is harmless
-        kp = kp.at[page_rows, :, offs].set(k.astype(kp.dtype))
-        vp = vp.at[page_rows, :, offs].set(v.astype(vp.dtype))
-        from omchat_tpu.ops.paged_attention import paged_prefill_attention
+    pool_shape = k_pool.shape
+    kflat = k_pool.reshape(n_layers * n_slots, *pool_shape[2:])
+    vflat = v_pool.reshape(n_layers * n_slots, *pool_shape[2:])
+    kv_cols = max_pages * page_size
+    col = jnp.arange(kv_cols, dtype=jnp.int32)
+    # [S, T, kv_cols+T] mask: cached part valid below lengths; self-chunk causal
+    cache_ok = jnp.broadcast_to(
+        (col[None, :] < jnp.where(active, lengths, 0)[:, None])[:, None, :],
+        (s, t, kv_cols),
+    )
+    self_ok = jnp.broadcast_to(
+        jnp.tril(jnp.ones((t, t), bool))[None], (s, t, t)
+    ) & active[:, None, None]
+    allowed = jnp.concatenate([cache_ok, self_ok], axis=-1)
+    sm_scale = hd ** -0.5
 
-        out = paged_prefill_attention(q, kp, vp, kv_len, tables, q_off, impl=attn_impl)
-        return out, (kp, vp)
+    def attend(q, k, v, st):
+        # q: [S, T, H, D]; k/v: [S, T, KVH, D]; pools read-only, layer at st
+        kg = jnp.take(kflat, tables + st, axis=0)  # [S, W, KVH, ps, D]
+        vg = jnp.take(vflat, tables + st, axis=0)
+        kg = kg.transpose(0, 2, 1, 3, 4).reshape(s, kvh, kv_cols, hd)
+        vg = vg.transpose(0, 2, 1, 3, 4).reshape(s, kvh, kv_cols, hd)
+        kall = jnp.concatenate([kg.astype(q.dtype), k.transpose(0, 2, 1, 3)], axis=2)
+        vall = jnp.concatenate([vg.astype(q.dtype), v.transpose(0, 2, 1, 3)], axis=2)
+        g = q.shape[2] // kvh
+        qh = q.transpose(0, 2, 1, 3).reshape(s, kvh, g, t, hd)
+        scores = jnp.einsum(
+            "bhgtd,bhkd->bhgtk", qh, kall, preferred_element_type=jnp.float32
+        ) * sm_scale
+        scores = jnp.where(allowed[:, None, None], scores, -1e30)
+        p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhgtk,bhkd->bhgtd", p, vall)
+        out = out.reshape(s, kvh * g, t, hd).transpose(0, 2, 1, 3)  # [S, T, H, D]
+        return out, (st, k, v)
 
     def layer(carry, xs):
         xx = carry
-        lp, kp, vp = xs
-        xx, (kp, vp) = decoder_layer(
-            tc, xx, lp, cos, sin, attend, mlp_fn, (kp, vp),
+        li, lp = xs
+        xx, (_, k_rows, v_rows) = decoder_layer(
+            tc, xx, lp, cos, sin, attend, mlp_fn, li * n_slots,
             quant_glue=quant_glue_ok(attn_impl),
         )
-        return xx, (kp, vp)
+        return xx, (k_rows, v_rows)
 
-    xf, (k_pool, v_pool) = jax.lax.scan(
-        layer, x, (params["language_model"]["layers"], k_pool, v_pool)
-    )
+    xf, (k_rows, v_rows) = jax.lax.scan(
+        layer, x,
+        (jnp.arange(n_layers, dtype=jnp.int32), params["language_model"]["layers"]),
+    )  # k_rows: [L, S, T, KVH, D]
+    flat_pages = (
+        jnp.arange(n_layers, dtype=jnp.int32)[:, None, None] * n_slots + page_rows[None]
+    )  # [L, S, T]
+    off_all = jnp.broadcast_to(offs[None], flat_pages.shape).reshape(-1)
+    kr = k_rows.reshape(n_layers * s * t, kvh, hd)
+    vr = v_rows.reshape(n_layers * s * t, kvh, hd)
+    if (
+        attn_impl in (None, "pallas", "pallas_manual")
+        and jax.default_backend() == "tpu"
+    ):
+        from omchat_tpu.ops.paged_attention import commit_rows
+
+        kflat, vflat = commit_rows(kflat, vflat, flat_pages.reshape(-1), off_all, kr, vr)
+    else:  # portable row scatter (CPU / sharded paths)
+        fp = flat_pages.reshape(-1)
+        kflat = kflat.at[fp, :, off_all].set(kr.astype(kflat.dtype))
+        vflat = vflat.at[fp, :, off_all].set(vr.astype(vflat.dtype))
+    k_pool = kflat.reshape(pool_shape)
+    v_pool = vflat.reshape(pool_shape)
     xf = rms_norm(xf, params["language_model"]["norm"]["scale"], tc.rms_norm_eps)
     logits = lm_head(params["language_model"], tc, xf)  # [S, T, V]
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), k_pool, v_pool
@@ -1538,7 +1587,18 @@ class PagedBatchEngine:
             # changed (new admissions, cancels) — then just drain.
             h, self._inflight = self._inflight, None
             nxt = None
-            if self._can_extend(h["decoding"]) and all(not r.done for r in h["decoding"]):
+            if (
+                self._can_extend(h["decoding"])
+                and all(not r.done for r in h["decoding"])
+                # the in-flight roll advances each request by up to its roll;
+                # extending when every member will already be at budget after
+                # it would burn a full roll of pure garbage (measured ~5% of
+                # the burst workload's wall when all requests finish together)
+                and any(
+                    len(r.generated) + h["roll"] < r.max_new_tokens
+                    for r in h["decoding"]
+                )
+            ):
                 nxt = self._extend_roll(h)
             self._process_roll(h)
             self._inflight = nxt
