@@ -383,36 +383,29 @@ def _paged_verify_jit(
     pool_shape = k_pool.shape
     kflat = k_pool.reshape(n_layers * n_slots, *pool_shape[2:])
     vflat = v_pool.reshape(n_layers * n_slots, *pool_shape[2:])
-    kv_cols = max_pages * page_size
-    col = jnp.arange(kv_cols, dtype=jnp.int32)
-    # [S, T, kv_cols+T] mask: cached part valid below lengths; self-chunk causal
-    cache_ok = jnp.broadcast_to(
-        (col[None, :] < jnp.where(active, lengths, 0)[:, None])[:, None, :],
-        (s, t, kv_cols),
-    )
-    self_ok = jnp.broadcast_to(
-        jnp.tril(jnp.ones((t, t), bool))[None], (s, t, t)
-    ) & active[:, None, None]
-    allowed = jnp.concatenate([cache_ok, self_ok], axis=-1)
-    sm_scale = hd ** -0.5
+    kv_len = jnp.where(active, lengths + t, 0)
+    q_off = jnp.where(active, lengths, 0)
+    b_idx = jnp.arange(s, dtype=jnp.int32)[:, None]
+    attn_route = "pallas" if attn_impl == "pallas_manual" else attn_impl
 
     def attend(q, k, v, st):
-        # q: [S, T, H, D]; k/v: [S, T, KVH, D]; pools read-only, layer at st
-        kg = jnp.take(kflat, tables + st, axis=0)  # [S, W, KVH, ps, D]
-        vg = jnp.take(vflat, tables + st, axis=0)
-        kg = kg.transpose(0, 2, 1, 3, 4).reshape(s, kvh, kv_cols, hd)
-        vg = vg.transpose(0, 2, 1, 3, 4).reshape(s, kvh, kv_cols, hd)
-        kall = jnp.concatenate([kg.astype(q.dtype), k.transpose(0, 2, 1, 3)], axis=2)
-        vall = jnp.concatenate([vg.astype(q.dtype), v.transpose(0, 2, 1, 3)], axis=2)
-        g = q.shape[2] // kvh
-        qh = q.transpose(0, 2, 1, 3).reshape(s, kvh, g, t, hd)
-        scores = jnp.einsum(
-            "bhgtd,bhkd->bhgtk", qh, kall, preferred_element_type=jnp.float32
-        ) * sm_scale
-        scores = jnp.where(allowed[:, None, None], scores, -1e30)
-        p = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhgtk,bhkd->bhgtd", p, vall)
-        out = out.reshape(s, kvh * g, t, hd).transpose(0, 2, 1, 3)  # [S, T, H, D]
+        from omchat_tpu.ops.attention import attention
+        from omchat_tpu.ops.paged_attention import _gather_pages
+
+        # q: [S, T, H, D]; k/v: [S, T, KVH, D]; pools read-only, layer at st.
+        # Gather the slot's live pages to a contiguous [S, KVH, W*ps, D]
+        # block, splice the in-flight chunk rows at their absolute positions
+        # (tiny: [S, T] rows into a few-MB block), and run the tuned causal
+        # flash path (same gather+flash trade the chunked prefill makes —
+        # BENCH.md; a hand-written einsum attention here measured ~10x the
+        # whole step's budget).
+        kg, vg = _gather_pages(kflat, vflat, tables + st)
+        kg = kg.astype(q.dtype).at[b_idx, :, positions].set(k)
+        vg = vg.astype(q.dtype).at[b_idx, :, positions].set(v)
+        out = attention(
+            q, kg, vg, causal=True, q_offset=q_off, kv_len=kv_len,
+            impl=attn_route, kv_format="bntd",
+        )
         return out, (st, k, v)
 
     def layer(carry, xs):
@@ -806,6 +799,13 @@ class PagedBatchEngine:
         # they produced — tokens/dispatch is the realized acceptance rate + 1
         self.spec_dispatches = 0
         self.spec_tokens = 0
+        # acceptance EMA gate: a verify dispatch costs ~1.3 decode steps but
+        # supplants a decode_roll-step roll, so it only pays while drafts
+        # actually accept.  Start optimistic; when the realized mean accepted
+        # tokens/slot falls below ~0.5 the engine reverts to rolls and
+        # re-probes every 32nd draft-bearing tick (workloads drift).
+        self._spec_ema = float(self.draft_len)
+        self._spec_probe = 0
         self._tables = np.full((max_slots, self.max_pages), self._parking, np.int32)
         self._key = jax.random.PRNGKey(rng_seed)
 
@@ -1818,6 +1818,9 @@ class PagedBatchEngine:
             any_draft = any_draft or bool(d)
         if not any_draft:
             return False
+        self._spec_probe += 1
+        if self._spec_ema < 0.5 and self._spec_probe % 32 != 0:
+            return False  # drafts aren't accepting; keep the throughput roll
         toks = np.zeros((self.max_slots, t_chunk), np.int32)
         active = np.zeros(self.max_slots, bool)
         for r in decoding:
@@ -1849,6 +1852,7 @@ class PagedBatchEngine:
         out_np = np.asarray(out)  # [S, T] greedy continuation per position
         tick_now = time.perf_counter()
         self.spec_dispatches += 1
+        delivered_before = self.spec_tokens
         for r in decoding:
             g = out_np[r.slot]
             d = drafts[r.slot]
@@ -1871,6 +1875,8 @@ class PagedBatchEngine:
                 if len(r.generated) >= r.max_new_tokens:
                     self._release(r)
                     break
+        a_mean = (self.spec_tokens - delivered_before) / max(len(decoding), 1) - 1.0
+        self._spec_ema = 0.7 * self._spec_ema + 0.3 * a_mean
         return True
 
     def run_to_completion(self, max_ticks: int = 100000):
