@@ -265,9 +265,15 @@ def run_one(args, cfg, params, rng):
         bench._log("oracle baseline recorded")
     bench._log("warmup/compile done")
     engine.spec_dispatches = engine.spec_tokens = 0
+    if args.speculative != "off":
+        # warmup ran prompt-lookup drafts (oracle installs after); don't let
+        # their acceptance poison the measured window's EMA gate
+        engine._spec_ema = float(engine.draft_len)
+        engine._spec_probe = 0
     engine.reset_latency_stats()  # drop compile-time TTFTs from the windows
 
-    prof = {"submit_s": 0.0, "prefill_s": 0.0, "decode_s": 0.0, "prefill_ticks": 0, "decode_ticks": 0}
+    prof = {"submit_s": 0.0, "prefill_s": 0.0, "decode_s": 0.0, "prefill_ticks": 0,
+            "decode_ticks": 0, "busy_sum": 0}
     if args.profile:
         orig_prefill, orig_step = engine._prefill_tick, engine.step
 
@@ -306,11 +312,13 @@ def run_one(args, cfg, params, rng):
         engine._prefill_chunk_group = timed_group
 
         def timed_step():
+            busy = sum(1 for r in engine.slots if r is not None and r.prefilled)
             t = time.perf_counter()
             orig_step()
             dt_ = time.perf_counter() - t
             prof["decode_s"] += dt_
             prof["decode_ticks"] += 1
+            prof["busy_sum"] += busy
 
         engine.step = timed_step
 
@@ -335,6 +343,7 @@ def run_one(args, cfg, params, rng):
     dt = time.perf_counter() - t0
     if args.profile:
         prof["decode_s"] -= prof["prefill_s"]  # step() includes prefill ticks
+        prof["mean_decoding_occupancy"] = prof.pop("busy_sum") / max(prof["decode_ticks"], 1)
         prof = {k: round(v, 3) for k, v in prof.items()}
         print(json.dumps({"profile": prof}), flush=True)
     latency = {k: round(v, 4) if isinstance(v, float) else v

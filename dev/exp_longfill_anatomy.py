@@ -67,7 +67,7 @@ def step(params, cfg, tokens, kv_len, cache, mode="full", attn_impl=None):
     n_layers = params["language_model"]["layers"]["input_layernorm"]["scale"].shape[0]
     kvl = kv_len + 1  # includes the in-flight token (self-column)
 
-    if mode in ("full", "fp8"):
+    if mode in ("full", "fp8", "full_kernel"):
         attend = functools.partial(cache_attend_stacked, tc, attn_impl, kvl, cache.k, cache.v)
     else:  # attention stubbed to identity; rows still emitted for the commit
 
@@ -91,7 +91,12 @@ def step(params, cfg, tokens, kv_len, cache, mode="full", attn_impl=None):
         # keep the rows alive without touching the cache
         xf = xf + 0 * (jnp.sum(k_rows) + jnp.sum(v_rows)).astype(xf.dtype)
     else:
-        cache = commit_decode_rows(cache, kv_len, k_rows, v_rows)
+        # *_kernel modes A/B the aliased Pallas row-commit against the jnp
+        # scatter (whose cost grows with the cache length)
+        cache = commit_decode_rows(
+            cache, kv_len, k_rows, v_rows,
+            use_kernel=mode.endswith("_kernel") and jax.default_backend() == "tpu",
+        )
     xf = rms_norm(xf, params["language_model"]["norm"]["scale"], tc.rms_norm_eps)
     logits = lm_head(params["language_model"], tc, xf)[:, 0]
     return jnp.argmax(logits, -1).astype(jnp.int32), cache
@@ -119,10 +124,18 @@ def time_step(params, cfg, fill, mode, rng, b=1, dtype=jnp.bfloat16, reps=REPS):
     return (time.perf_counter() - t0) / reps * 1000.0
 
 
-def time_kernel(params, cfg, fill, rng, b=1, dtype=jnp.bfloat16, reps=REPS):
-    """Standalone stacked flash-decode kernel at the step's exact shapes."""
+@jax.jit
+def _kernel_call(q, k_cache, v_cache, kv_len, li, krow):
     from omchat_tpu.ops.attention import decode_attention
 
+    return decode_attention(q, k_cache, v_cache, kv_len, layer=li, k_new=krow, v_new=krow)
+
+
+def time_kernel(params, cfg, fill, rng, b=1, dtype=jnp.bfloat16, reps=REPS):
+    """Standalone stacked flash-decode kernel at the step's exact shapes.
+    The cache rides as an ARGUMENT (a closed-over array would pin each
+    fill's multi-GB cache in the jit cache as a constant — HBM accumulates
+    across fills until the chip thrashes)."""
     tc = cfg.text
     cache = make_cache(tc, b, fill + 128, rng, dtype)
     q = jnp.asarray(
@@ -133,17 +146,12 @@ def time_kernel(params, cfg, fill, rng, b=1, dtype=jnp.bfloat16, reps=REPS):
     )
     kv_len = jnp.asarray(np.full((b,), fill), jnp.int32)
 
-    @jax.jit
-    def call(q, kv_len, li):
-        # one layer's attention; multiply by L for the per-step estimate
-        return decode_attention(q, cache.k, cache.v, kv_len, layer=li, k_new=krow, v_new=krow)
-
     li = jnp.int32(0)
-    out = call(q, kv_len, li)
+    out = _kernel_call(q, cache.k, cache.v, kv_len, li, krow)
     bench._sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = call(q, kv_len, li)
+        out = _kernel_call(q, cache.k, cache.v, kv_len, li, krow)
     bench._sync(out)
     per_layer = (time.perf_counter() - t0) / reps * 1000.0
     del cache
@@ -153,7 +161,9 @@ def time_kernel(params, cfg, fill, rng, b=1, dtype=jnp.bfloat16, reps=REPS):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fills", type=int, nargs="*", default=[2048, 8192, 16384, 32768])
-    ap.add_argument("--modes", nargs="*", default=["weights", "commit", "full", "kernel", "fp8"])
+    ap.add_argument("--modes", nargs="*",
+                    default=["weights", "commit", "commit_kernel", "full",
+                             "full_kernel", "kernel", "fp8"])
     ap.add_argument("--reps", type=int, default=REPS)
     args = ap.parse_args()
 

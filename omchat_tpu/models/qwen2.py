@@ -221,10 +221,19 @@ def cache_attend(cfg, attn_impl, write_pos, kv_len, q, k, v, cache_state, *, seg
     return out, (k_cache, v_cache)
 
 
-def commit_decode_rows(cache: "KVCache", write_pos, k_rows, v_rows) -> "KVCache":
+def commit_decode_rows(cache: "KVCache", write_pos, k_rows, v_rows,
+                       use_kernel: bool = False) -> "KVCache":
     """Commit the decode layer scan's staged K/V rows ([L, B, KVH, D]) into
     the stacked cache at ``write_pos`` — the one write of the read-only-cache
-    decode step (see :func:`qwen2_forward`)."""
+    decode step (see :func:`qwen2_forward`).
+
+    ``use_kernel`` routes through the aliased Pallas row-commit
+    (ops/paged_attention.commit_rows, each (layer, batch) cache row treated
+    as one "page" of width T): the jnp scatter's cost GROWS with cache
+    length — XLA rematerializes the operand — measured +0.4 ms/step at a 2k
+    fill but +2.8 ms at 8k and worse beyond (dev/exp_longfill_anatomy.py);
+    the aliased kernel writes only the touched 8-row windows at any fill.
+    TPU single-device paths only (the opaque pallas_call would not shard)."""
     n_layers, b = k_rows.shape[0], k_rows.shape[1]
     wp = jnp.broadcast_to(jnp.asarray(write_pos, jnp.int32), (b,))
     rows = (
@@ -235,8 +244,17 @@ def commit_decode_rows(cache: "KVCache", write_pos, k_rows, v_rows) -> "KVCache"
     cshape = cache.k.shape
     kf = cache.k.reshape(n_layers * b, *cshape[2:])
     vf = cache.v.reshape(n_layers * b, *cshape[2:])
-    kf = kf.at[rows, :, wp_b].set(k_rows.astype(kf.dtype))
-    vf = vf.at[rows, :, wp_b].set(v_rows.astype(vf.dtype))
+    if use_kernel and cshape[3] % 8 == 0:
+        from omchat_tpu.ops.paged_attention import commit_rows
+
+        kf, vf = commit_rows(
+            kf, vf, rows.reshape(-1), wp_b.reshape(-1),
+            k_rows.reshape(n_layers * b, *k_rows.shape[2:]),
+            v_rows.reshape(n_layers * b, *v_rows.shape[2:]),
+        )
+    else:
+        kf = kf.at[rows, :, wp_b].set(k_rows.astype(kf.dtype))
+        vf = vf.at[rows, :, wp_b].set(v_rows.astype(vf.dtype))
     return KVCache(k=kf.reshape(cshape), v=vf.reshape(cshape))
 
 
@@ -291,7 +309,8 @@ def decode_scan(cfg, attn_impl, params, inputs_embeds, cos, sin, cache, kv_len,
         (inputs_embeds, cos, sin),
         (jnp.arange(n_layers, dtype=jnp.int32), params["layers"], lora_xs),
     )  # k_rows: [L, B, KVH, D]
-    return x, commit_decode_rows(cache, write_pos, k_rows, v_rows)
+    use_kernel = quant_glue_ok(attn_impl) and jax.default_backend() == "tpu"
+    return x, commit_decode_rows(cache, write_pos, k_rows, v_rows, use_kernel=use_kernel)
 
 
 def _dense_mlp(y, p, a8, lora=None, adapter_ids=None):

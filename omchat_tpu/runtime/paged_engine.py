@@ -1734,7 +1734,6 @@ class PagedBatchEngine:
             "slots": [r.slot for r in decoding],
             "roll": roll,
             "active": active,
-            "tables_full": None,  # filled by step() when extending
             "toks_dev": toks_dev,
             "lp_dev": lp_dev,
             "lengths_next": lengths_np + roll * active.astype(np.int32),
