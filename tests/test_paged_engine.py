@@ -666,3 +666,25 @@ def test_pipeline_rolls_cancel_mid_flight(setup):
     assert len(be.result(r2)) == 6
     assert be._inflight is None
     assert be.allocator.available == 16
+
+
+def test_speculative_fp8_pool_matches_nonspec_fp8(setup):
+    """Speculative verify over an fp8 page pool: gather dequantizes on load
+    and the commit quantizes on write, so tokens match the non-speculative
+    fp8 engine exactly."""
+    import jax.numpy as jnp
+
+    cfg, params = setup
+    max_new = 8
+    rep = [51, 52, 53, 54]
+    ids = rep * 5 + rep[:2]
+    common = dict(max_slots=1, num_pages=16, page_size=8, attn_impl="xla",
+                  prompt_bucket=16, max_len=96, cache_dtype=jnp.float8_e4m3fn)
+    base = PagedBatchEngine(cfg, params, **common)
+    r0 = base.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1)
+    base.run_to_completion(max_ticks=300)
+
+    spec = PagedBatchEngine(cfg, params, speculative=True, draft_len=4, **common)
+    r1 = spec.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1)
+    spec.run_to_completion(max_ticks=300)
+    assert spec.result(r1) == base.result(r0)
