@@ -688,3 +688,24 @@ def test_speculative_fp8_pool_matches_nonspec_fp8(setup):
     r1 = spec.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1)
     spec.run_to_completion(max_ticks=300)
     assert spec.result(r1) == base.result(r0)
+
+
+def test_pipeline_rolls_logprobs(setup):
+    """Native logprobs ride pipelined rolls: chosen/top lists stay aligned
+    with the generated tokens when readback is deferred one roll."""
+    cfg, params = setup
+    be = PagedBatchEngine(
+        cfg, params, max_slots=2, num_pages=16, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=96, decode_roll=2, pipeline_rolls=True,
+    )
+    rid = be.submit([5, 6, 7, 8], None, max_new_tokens=7, eos_token_id=-1,
+                    logprobs=True, top_logprobs=3)
+    be.run_to_completion(max_ticks=300)
+    toks = be.result(rid)
+    lps, tops = be.request_logprobs(rid)
+    assert len(toks) == 7
+    assert len(lps) == 7 and len(tops) == 7
+    for t, top in zip(toks, tops):
+        assert len(top) == 3
+        # the chosen (greedy) token is the top-1 alternative
+        assert top[0][0] == t
