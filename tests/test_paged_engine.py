@@ -709,3 +709,39 @@ def test_pipeline_rolls_logprobs(setup):
         assert len(top) == 3
         # the chosen (greedy) token is the top-1 alternative
         assert top[0][0] == t
+
+
+def test_randomized_soak_pipeline_and_speculative(setup, rng):
+    """The randomized soak again, with pipelined rolls AND speculation on:
+    mixed waves, budgets, cancels mid-stream — outputs still match the
+    single-request engine and the pool drains clean."""
+    cfg, params = setup
+    reqs = []
+    for i in range(9):
+        n = int(rng.integers(2, 14))
+        ids = [int(t) for t in rng.integers(5, 60, n)]
+        if i % 3 == 0:  # some echo structure so drafts fire occasionally
+            ids = ids + ids[:4]
+        reqs.append((ids, int(rng.integers(1, 10))))
+
+    be = PagedBatchEngine(
+        cfg, params, max_slots=3, num_pages=14, page_size=8, attn_impl="xla",
+        prompt_bucket=16, max_len=48, decode_roll=3,
+        pipeline_rolls=True, speculative=True, draft_len=3,
+    )
+    rids = []
+    for j, (ids, max_new) in enumerate(reqs):
+        rids.append(be.submit(ids, None, max_new_tokens=max_new, eos_token_id=-1))
+        if j % 3 == 2:
+            for _ in range(2):
+                be.step()
+    be.run_to_completion(max_ticks=2000)
+
+    engine = OmChatEngine(cfg, params, attn_impl="xla", prompt_bucket=16)
+    for rid, (ids, max_new) in zip(rids, reqs):
+        exp = engine.generate(
+            [ids], None, GenerationConfig(max_new_tokens=max_new, eos_token_id=-1)
+        ).token_ids[0]
+        assert be.result(rid) == exp, f"request {rid}"
+    assert be.allocator.available == 14
+    assert be._inflight is None
