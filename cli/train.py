@@ -355,7 +355,17 @@ def main():
     if args.pretrain_mm_mlp_adapter:
         from omchat_tpu.checkpoint.loader import load_mm_projector
 
-        params["projector"] = load_mm_projector(args.pretrain_mm_mlp_adapter, jnp.bfloat16)
+        loaded = load_mm_projector(args.pretrain_mm_mlp_adapter, jnp.bfloat16)
+        if cfg.projector.mlp_smoe and "experts" not in loaded:
+            # the reference loads the SAME stage-1 adapter into every expert
+            # (omchat_llama.py:79-82); the fresh router keeps routing learnable
+            from omchat_tpu.models.smoe import replicate_expert_params
+
+            loaded = {
+                "router": params["projector"]["router"],
+                "experts": replicate_expert_params(loaded, cfg.projector.num_experts),
+            }
+        params["projector"] = loaded
         logger.info(f"projector warm-started from {args.pretrain_mm_mlp_adapter}")
 
     total = args.synthetic or args.steps

@@ -324,6 +324,7 @@ def run_one(args, cfg, params, rng):
 
     t0 = time.perf_counter()
     ids = []
+    arrival_stats = None
     if args.arrival_rate:
         # Poisson arrivals: submissions interleave with scheduler ticks, so
         # newcomers admit while earlier requests decode (the steady-state
@@ -333,6 +334,18 @@ def run_one(args, cfg, params, rng):
                            streaming=args.mark_streaming)
         slow = sorted(ticks, key=lambda t: -t[1])[:8]
         bench._log(f"slowest ticks (t, dur, busy, queue): {slow}")
+        if ticks:
+            queues = [t[3] for t in ticks]
+            busys = [t[2] for t in ticks]
+            arrival_stats = {
+                "queue_depth_mean": round(float(np.mean(queues)), 2),
+                "queue_depth_max": int(max(queues)),
+                "slots_busy_mean": round(float(np.mean(busys)), 2),
+                "ticks": len(ticks),
+                # offered decode load at this rate (tokens/s the clients ask for);
+                # served < offered - epsilon => past the saturation knee
+                "offered_load_tok_s": round(args.arrival_rate * MAX_NEW, 1),
+            }
     else:
         for r, img in zip(reqs, images):
             ts = time.perf_counter()
@@ -363,6 +376,7 @@ def run_one(args, cfg, params, rng):
                 "extra": {
                     "requests": n_requests,
                     "arrival_rate_req_s": args.arrival_rate,
+                    "arrival": arrival_stats,
                     "multimodal_requests": sum(1 for i in images if i is not None),
                     "prompt_tokens_min_max": [min(lengths), max(lengths)],
                     "max_new_tokens": MAX_NEW,

@@ -102,10 +102,22 @@ def step(params, cfg, tokens, kv_len, cache, mode="full", attn_impl=None):
     return jnp.argmax(logits, -1).astype(jnp.int32), cache
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "dtype"))
+def _device_fill(salt, shape, dtype):
+    """Pseudo-random cache fill generated ON DEVICE — a [L, B, KVH, 32k, D]
+    cache is ~1 GB; host RNG + tunnel upload per mode call is minutes of
+    wall (and has hung the axon tunnel mid-transfer)."""
+    h = jnp.uint32(2166136261) * jnp.uint32(salt)
+    for axis in range(len(shape)):
+        h = h ^ (jax.lax.broadcasted_iota(jnp.uint32, shape, axis) * jnp.uint32(16777619 + axis * 101))
+        h = h * jnp.uint32(2654435761)
+    return ((h % jnp.uint32(2048)).astype(jnp.float32) / 1024.0 - 1.0).astype(dtype)
+
+
 def make_cache(tc, b, max_len, rng, dtype=jnp.bfloat16):
     shape = (tc.num_hidden_layers, b, tc.num_key_value_heads, max_len, tc.attn_head_dim)
-    k = jnp.asarray(rng.standard_normal(shape), dtype)
-    v = jnp.asarray(rng.standard_normal(shape), dtype)
+    k = _device_fill(int(rng.integers(1, 1 << 30)), shape, dtype)
+    v = _device_fill(int(rng.integers(1, 1 << 30)), shape, dtype)
     return KVCache(k=k, v=v)
 
 
@@ -129,6 +141,46 @@ def _kernel_call(q, k_cache, v_cache, kv_len, li, krow):
     from omchat_tpu.ops.attention import decode_attention
 
     return decode_attention(q, k_cache, v_cache, kv_len, layer=li, k_new=krow, v_new=krow)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k",))
+def _kernel_call_bk(q, k_cache, v_cache, kv_len, li, krow, block_k):
+    from omchat_tpu.ops.decode_attention import flash_decode_stacked
+
+    return flash_decode_stacked(q, k_cache, v_cache, kv_len, li, krow, krow,
+                                block_k=block_k)
+
+
+def time_kernel_blocks(params, cfg, fill, rng, blocks, b=1, reps=REPS):
+    """Sweep the stacked decode kernel's KV block width at one fill — the
+    grid is (B, KVH, T/block_k); at 32k fill the default 512 runs 64
+    sequential tiles per (b, kv-head) and the per-tile fetch overhead
+    dominates (same issue-bound failure mode as the paged kernel's small
+    pages, BENCH.md round-3 decode table)."""
+    tc = cfg.text
+    cache = make_cache(tc, b, fill + 128, rng)
+    q = jnp.asarray(
+        rng.standard_normal((b, 1, tc.num_attention_heads, tc.attn_head_dim)), jnp.bfloat16
+    )
+    krow = jnp.asarray(
+        rng.standard_normal((b, tc.num_key_value_heads, tc.attn_head_dim)), jnp.bfloat16
+    )
+    kv_len = jnp.asarray(np.full((b,), fill), jnp.int32)
+    li = jnp.int32(0)
+    out = {}
+    for bk in blocks:
+        if bk > fill + 128:
+            continue
+        o = _kernel_call_bk(q, cache.k, cache.v, kv_len, li, krow, bk)
+        bench._sync(o)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = _kernel_call_bk(q, cache.k, cache.v, kv_len, li, krow, bk)
+        bench._sync(o)
+        out[bk] = round((time.perf_counter() - t0) / reps * 1000.0, 4)
+        bench._log(f"fill={fill} block_k={bk}: {out[bk]} ms/layer")
+    del cache
+    return out
 
 
 def time_kernel(params, cfg, fill, rng, b=1, dtype=jnp.bfloat16, reps=REPS):
@@ -180,7 +232,11 @@ def main():
     for fill in args.fills:
         row = {}
         for mode in args.modes:
-            if mode == "kernel":
+            if mode == "kernel_blocks":
+                row["kernel_blocks"] = time_kernel_blocks(
+                    params, cfg, fill, rng, blocks=(512, 1024, 2048, 4096),
+                    reps=args.reps)
+            elif mode == "kernel":
                 per_layer = time_kernel(params, cfg, fill, rng, reps=args.reps)
                 row["kernel_ms_per_layer"] = round(per_layer, 4)
                 row["kernel_ms_step_est"] = round(per_layer * cfg.text.num_hidden_layers, 2)

@@ -188,14 +188,28 @@ class ProjectorConfig:
     n_query: int = 144  # cabstract only
     depth: int = 3  # cabstract RegStage depth
     mlp_depth: int = 2  # derived from mlpNx_gelu
+    # MoE-LLaVA sparse projector (legacy v1 knobs, omchat_llama.py:58-63):
+    # mlpNx_gelu becomes a top-k routed bank of num_experts expert MLPs
+    mlp_smoe: bool = False
+    num_experts: int = 4
+    num_selected: int = 2
 
     @staticmethod
-    def from_type(projector_type: str, n_query: int = 144) -> "ProjectorConfig":
+    def from_type(
+        projector_type: str,
+        n_query: int = 144,
+        mlp_smoe: bool = False,
+        num_experts: int = 4,
+        num_selected: int = 2,
+    ) -> "ProjectorConfig":
         import re
 
         m = re.match(r"^mlp(\d+)x_gelu$", projector_type)
         mlp_depth = int(m.group(1)) if m else 1
-        return ProjectorConfig(projector_type=projector_type, n_query=n_query, mlp_depth=mlp_depth)
+        return ProjectorConfig(
+            projector_type=projector_type, n_query=n_query, mlp_depth=mlp_depth,
+            mlp_smoe=mlp_smoe, num_experts=num_experts, num_selected=num_selected,
+        )
 
 
 @dataclass(frozen=True)
@@ -241,6 +255,10 @@ class OmChatConfig:
         proj = ProjectorConfig.from_type(
             d.get("mm_projector_type", "mlp2x_gelu"),
             n_query=d.get("mm_projector_n_query") or 144,  # builder.py:45-48
+            # legacy v1 MoE-LLaVA knobs (omchat_llama.py:58-63) — flat keys
+            mlp_smoe=bool(d.get("mlp_smoe", False)),
+            num_experts=d.get("num_experts") or 4,
+            num_selected=d.get("num_selected") or 2,
         )
         pin = d.get("image_grid_pinpoints")
         pinpoints = tuple(tuple(p) for p in pin) if pin else OmChatConfig.image_grid_pinpoints
@@ -295,6 +313,10 @@ class OmChatConfig:
         }
         if self.mm_patch_merge_type != "flat":
             d["mm_patch_merge_type"] = self.mm_patch_merge_type
+        if self.projector.mlp_smoe:
+            d["mlp_smoe"] = True
+            d["num_experts"] = self.projector.num_experts
+            d["num_selected"] = self.projector.num_selected
         if self.tokenizer_model_max_length is not None:
             d["tokenizer_model_max_length"] = self.tokenizer_model_max_length
         return d

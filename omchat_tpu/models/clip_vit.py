@@ -41,6 +41,11 @@ class ClipVisionConfig:
     hidden_act: str = "quick_gelu"  # siglip: "gelu_pytorch_tanh"
     use_class_token: bool = True  # siglip: False
     post_layernorm: bool = False  # siglip applies final LN to hidden states
+    # CLIP-SMoE (legacy v1 clip_smoe knob, omchat_llama.py:62-63,104-111):
+    # each layer's MLP becomes a top-k routed bank of num_experts MLPs
+    clip_smoe: bool = False
+    num_experts: int = 4
+    num_selected: int = 2
 
     @property
     def head_dim(self) -> int:
@@ -88,8 +93,17 @@ def _layer(cfg: ClipVisionConfig, x: jax.Array, p: dict, attn_impl: Optional[str
     x = x + dense(o, p["attn"]["out_proj"])
 
     y = layer_norm(x, p["layer_norm2"]["scale"], p["layer_norm2"]["bias"], cfg.layer_norm_eps)
-    y = _act(dense(y, p["mlp"]["fc1"]), cfg.hidden_act)
-    x = x + dense(y, p["mlp"]["fc2"])
+    if cfg.clip_smoe:
+        from omchat_tpu.models.smoe import expert_bank, smoe_route
+
+        combine, _ = smoe_route(p["router"], y, cfg.num_selected)
+        x = x + expert_bank(
+            p["experts"], y, combine,
+            lambda ep, xx: dense(_act(dense(xx, ep["fc1"]), cfg.hidden_act), ep["fc2"]),
+        )
+    else:
+        y = _act(dense(y, p["mlp"]["fc1"]), cfg.hidden_act)
+        x = x + dense(y, p["mlp"]["fc2"])
     return x
 
 
@@ -194,6 +208,44 @@ def convert_hf_clip_vision(state: dict, cfg: ClipVisionConfig, dtype=jnp.bfloat1
         params["patch_embedding"]["bias"] = jnp.asarray(g("embeddings.patch_embedding.bias"), dtype)
     if cfg.use_class_token:
         params["class_embedding"] = jnp.asarray(g("embeddings.class_embedding").reshape(-1), dtype)
+    if cfg.clip_smoe:
+        # CLIP-SMoE expert keys (the reference rewrites
+        # ``...layers.{i}.experts.{e}.fc*`` from the dense ``mlp.fc*``,
+        # omchat_llama.py:104-111).  Missing experts replicate the dense MLP
+        # (the reference's init); a missing router starts uniform (zeros).
+        e_n, d = cfg.num_experts, cfg.hidden_size
+
+        def expert_proj(name):
+            def one(i, e):
+                k = f"encoder.layers.{i}.experts.{e}.{name}.weight"
+                if prefix + k in state:
+                    return _np(state[prefix + k]).T, _np(
+                        state[prefix + f"encoder.layers.{i}.experts.{e}.{name}.bias"]
+                    )
+                return (
+                    g(f"encoder.layers.{i}.mlp.{name}.weight").T,
+                    g(f"encoder.layers.{i}.mlp.{name}.bias"),
+                )
+
+            ws, bs = zip(*[tuple(zip(*[one(i, e) for e in range(e_n)])) for i in range(l)])
+            return {
+                "kernel": jnp.asarray(np.stack([np.stack(w) for w in ws]), dtype),
+                "bias": jnp.asarray(np.stack([np.stack(b) for b in bs]), dtype),
+            }
+
+        params["layers"]["experts"] = {"fc1": expert_proj("fc1"), "fc2": expert_proj("fc2")}
+        rk = prefix + "encoder.layers.0.router.weight"
+        if rk in state:
+            params["layers"]["router"] = {
+                "kernel": stack("encoder.layers.{}.router.weight", T),
+                "bias": stack("encoder.layers.{}.router.bias"),
+            }
+        else:
+            params["layers"]["router"] = {
+                "kernel": jnp.zeros((l, d, e_n), dtype),
+                "bias": jnp.zeros((l, e_n), dtype),
+            }
+        del params["layers"]["mlp"]
     if prefix + "pre_layrnorm.weight" in state:  # HF CLIP's spelling
         params["pre_layernorm"] = {
             "scale": jnp.asarray(g("pre_layrnorm.weight"), dtype),

@@ -31,8 +31,23 @@ class VisionTower:
         return self.config.hidden_size
 
 
-def build_vision_tower(mm_vision_tower: str, config: Optional[object] = None) -> VisionTower:
-    """Dispatch by tower name, reference-compatible (substring matching)."""
+def build_vision_tower(
+    mm_vision_tower: str,
+    config: Optional[object] = None,
+    *,
+    clip_smoe: bool = False,
+    num_experts: int = 4,
+    num_selected: int = 2,
+) -> VisionTower:
+    """Dispatch by tower name, reference-compatible (substring matching).
+
+    ``clip_smoe``/``num_experts``/``num_selected`` are the legacy v1
+    CLIP-SMoE knobs (omchat_llama.py:62-63,104-111): they turn the CLIP /
+    SigLIP branch's layer MLPs into top-k routed expert banks
+    (models/smoe.py).  InternViT towers ignore them, like the reference
+    (clip_smoe only ever touched the CLIP tower's state dict)."""
+    import dataclasses
+
     from omchat_tpu.checkpoint.loader import convert_vision_tower
 
     name = mm_vision_tower.lower()
@@ -42,9 +57,12 @@ def build_vision_tower(mm_vision_tower: str, config: Optional[object] = None) ->
     if "internvit" in name or "intern_vit" in name:
         cfg = config or VisionConfig.internvit_6b()
         return VisionTower(name, cfg, intern_vit_forward, convert_vision_tower)
-    if "siglip" in name:
-        cfg = config or ClipVisionConfig.siglip_so400m()
-        return VisionTower(name, cfg, clip_vit_forward, convert_hf_clip_vision)
+    cfg = config or (
+        ClipVisionConfig.siglip_so400m() if "siglip" in name else ClipVisionConfig()
+    )
     # reference falls through to CLIP for any other name (builder.py:15-16)
-    cfg = config or ClipVisionConfig()
+    if clip_smoe and not cfg.clip_smoe:
+        cfg = dataclasses.replace(
+            cfg, clip_smoe=True, num_experts=num_experts, num_selected=num_selected
+        )
     return VisionTower(name, cfg, clip_vit_forward, convert_hf_clip_vision)
