@@ -109,11 +109,29 @@ def main():
     prof = {k: [0.0, 0] for k in (
         "vit_encode", "shorts_prefill", "chunk_prefill", "chunk_group",
         "roll_dispatch", "roll_process", "first_token",
+        # sub-components (counted INSIDE the rows above, not additive):
+        "sub_prefill_core", "sub_page_commit", "sub_chunk_core",
     )}
     rolls = []  # (occupancy, roll_width)
 
     def sync_pool(_out):
         jax.block_until_ready(engine.k_pool)
+
+    # fine-grained: the contiguous prefill dispatch vs the page commit vs the
+    # paged chunk program (each synced, so the parents attribute cleanly)
+    import omchat_tpu.runtime.paged_engine as pe
+
+    engine._prefiller.prefill = _timed(
+        prof, "sub_prefill_core", engine._prefiller.prefill,
+        lambda out: jax.block_until_ready(out[1].k))
+    orig_commit = pe._commit_pages_jit
+    pe._commit_pages_jit = _timed(
+        prof, "sub_page_commit", orig_commit,
+        lambda out: jax.block_until_ready(out[0]))
+    orig_chunk = pe._paged_prefill_chunk_jit
+    pe._paged_prefill_chunk_jit = _timed(
+        prof, "sub_chunk_core", orig_chunk,
+        lambda out: jax.block_until_ready(out[0]))
 
     engine._encode_pending = _timed(prof, "vit_encode", engine._encode_pending, sync_pool)
     engine._prefill_shorts = _timed(prof, "shorts_prefill", engine._prefill_shorts, sync_pool)
