@@ -685,6 +685,73 @@ def commit_rows(
     return ko, vo
 
 
+def _commit_pages_kernel(pages_ref, kc_ref, vc_ref, kin_ref, vin_ref, ko_ref, vo_ref):
+    # whole-page overwrite: no window merge needed (the full block is new)
+    ko_ref[...] = kc_ref[...]
+    vo_ref[...] = vc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnames=("k_pool", "v_pool"))
+def commit_pages(
+    k_pool: jax.Array,  # [P_flat, KVH, ps, D] (flat page-major pool)
+    v_pool: jax.Array,
+    pages: jax.Array,  # [M] int32 flat destination page per chunk
+    k_chunks: jax.Array,  # [M, KVH, ps, D]
+    v_chunks: jax.Array,
+    *,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Write M whole pages into the pool IN PLACE — the prefill page commit.
+
+    The jnp whole-page scatter (``pool.at[:, pages].set(chunks)``) measured
+    ~35 ms per batched-prefill commit at the serving pool size
+    (dev/exp_tick_anatomy.py round 5 — the same operand rematerialization
+    the row commit hit in round 4); here each grid step's output block IS
+    one destination page, ``input_output_aliases`` pins the pool, so the
+    commit moves only the committed pages' bytes.
+
+    Duplicate page ids (parking-page spill) write garbage over garbage in
+    grid order — same contract as the scatter's undefined duplicate
+    resolution."""
+    m = pages.shape[0]
+    kvh, ps, d = k_pool.shape[1:]
+    pages = jnp.asarray(pages, jnp.int32)
+
+    def chunk_index(i, pages_):
+        return (i, 0, 0, 0)
+
+    def pool_index(i, pages_):
+        return (pages_[i], 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m,),
+        in_specs=[
+            pl.BlockSpec((None, kvh, ps, d), chunk_index),
+            pl.BlockSpec((None, kvh, ps, d), chunk_index),
+            pl.BlockSpec((None, kvh, ps, d), pool_index),
+            pl.BlockSpec((None, kvh, ps, d), pool_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, kvh, ps, d), pool_index),
+            pl.BlockSpec((None, kvh, ps, d), pool_index),
+        ],
+    )
+    # input order: [pages (prefetch), kc, vc, k_pool, v_pool]
+    ko, vo = pl.pallas_call(
+        _commit_pages_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ],
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(pages, k_chunks.astype(k_pool.dtype), v_chunks.astype(v_pool.dtype), k_pool, v_pool)
+    return ko, vo
+
+
 class PageAllocator:
     """Host-side free-list allocator for the shared page pool."""
 

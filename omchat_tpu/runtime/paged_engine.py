@@ -62,15 +62,23 @@ def _mlp_fn(tc, moe_impl: str):
     return _dense_mlp
 
 
-@functools.partial(jax.jit, static_argnames=("page_size",), donate_argnames=("k_pool", "v_pool"))
-def _commit_pages_jit(slot_k, slot_v, k_pool, v_pool, tables, n_pages, page_size: int):
+@functools.partial(
+    jax.jit, static_argnames=("page_size", "use_kernel"), donate_argnames=("k_pool", "v_pool")
+)
+def _commit_pages_jit(slot_k, slot_v, k_pool, v_pool, tables, n_pages, page_size: int,
+                      use_kernel: bool = False):
     """Scatter B requests' contiguous K/V ([L, B, KVH, T, D]) into their pages
-    with one batched whole-page scatter.
+    with one batched whole-page commit.
 
     tables: [B, max_pages]; n_pages: [B].  T is a multiple of page_size
     (prompt buckets are).  Chunks beyond a request's valid page count land on
     the parking page (the pool's last index) — never attended, so the
     undefined duplicate-scatter resolution there is harmless.
+
+    ``use_kernel`` (TPU) routes through the aliased Pallas whole-page commit
+    (ops/paged_attention.commit_pages): the jnp scatter rematerializes the
+    pool operand — ~35 ms per batched-prefill commit, 10% of the standard
+    serving workload's wall (dev/exp_tick_anatomy.py round 5).
     """
     l, b, kvh, t, d = slot_k.shape
     c = t // page_size
@@ -96,6 +104,21 @@ def _commit_pages_jit(slot_k, slot_v, k_pool, v_pool, tables, n_pages, page_size
         ),
         parked,
     ).reshape(b * c)
+    if use_kernel:
+        from omchat_tpu.ops.paged_attention import commit_pages
+
+        p_total = k_pool.shape[1]
+        flat_pages = (
+            jnp.arange(l, dtype=jnp.int32)[:, None] * p_total + pages[None, :]
+        ).reshape(-1)
+        kf, vf = commit_pages(
+            k_pool.reshape(l * p_total, kvh, page_size, d),
+            v_pool.reshape(l * p_total, kvh, page_size, d),
+            flat_pages,
+            chunks_k.reshape(l * b * c, kvh, page_size, d),
+            chunks_v.reshape(l * b * c, kvh, page_size, d),
+        )
+        return kf.reshape(k_pool.shape), vf.reshape(v_pool.shape)
     k_pool = k_pool.at[:, pages].set(chunks_k.astype(k_pool.dtype))
     v_pool = v_pool.at[:, pages].set(chunks_v.astype(v_pool.dtype))
     return k_pool, v_pool
@@ -724,6 +747,12 @@ class PagedBatchEngine:
             # treat "pallas_manual" exactly like "pallas"
             attn_impl = "pallas_manual"
         self.attn_impl = attn_impl
+        # aliased whole-page prefill commit on single-device TPU (the jnp
+        # scatter rematerializes the pool; see _commit_pages_jit docstring)
+        self._page_commit_kernel = (
+            attn_impl in (None, "pallas", "pallas_manual")
+            and jax.default_backend() == "tpu"
+        )
         self.decode_roll = max(1, int(decode_roll))
         self.streaming_roll = max(1, int(streaming_roll)) if streaming_roll else None
         self.speculative = bool(speculative)
@@ -847,6 +876,7 @@ class PagedBatchEngine:
                 self.k_pool, self.v_pool = _commit_pages_jit(
                     cache.k, cache.v, self.k_pool, self.v_pool, tables,
                     jnp.zeros((b,), jnp.int32), self.page_size,
+                    use_kernel=self._page_commit_kernel,
                 )
                 jax.block_until_ready(logits)
         tokens = jnp.zeros((self.max_slots,), jnp.int32)
@@ -1222,6 +1252,7 @@ class PagedBatchEngine:
                 jnp.asarray(self._tables[req.slot])[None],
                 jnp.asarray([n_pages], jnp.int32),
                 self.page_size,
+                use_kernel=self._page_commit_kernel,
             )
             return logits
 
@@ -1439,6 +1470,7 @@ class PagedBatchEngine:
             jnp.asarray(tables),
             jnp.asarray(n_pages),
             self.page_size,
+            use_kernel=self._page_commit_kernel,
         )
         return logits
 

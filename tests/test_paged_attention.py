@@ -326,3 +326,66 @@ def test_self_column_fp8_pool():
     got = np.asarray(ko[pages_i[0], :, offs_i[0]].astype(jnp.float32))
     want = np.asarray(jnp.asarray(k_new[0]).astype(jnp.float8_e4m3fn).astype(jnp.float32))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_commit_pages_kernel_matches_scatter(rng):
+    """Aliased whole-page commit (interpret) == the jnp whole-page scatter:
+    committed pages carry the chunk bytes, untouched pages survive, parking
+    duplicates are allowed (content there is garbage by contract)."""
+    from omchat_tpu.ops.paged_attention import commit_pages
+
+    KVH, ps, D, P = 2, 16, 128, 12
+    kp = jnp.asarray(rng.standard_normal((P, KVH, ps, D)).astype(np.float32))
+    vp = jnp.asarray(rng.standard_normal((P, KVH, ps, D)).astype(np.float32))
+    kc = jnp.asarray(rng.standard_normal((5, KVH, ps, D)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((5, KVH, ps, D)).astype(np.float32))
+    parked = P - 1
+    pages = np.asarray([3, 7, parked, 0, parked], np.int32)  # incl. duplicates
+
+    ref_k, ref_v = np.asarray(kp).copy(), np.asarray(vp).copy()
+    ko, vo = commit_pages(kp, vp, jnp.asarray(pages), kc, vc, interpret=True)
+    for i, p in enumerate(pages):
+        if p != parked:
+            ref_k[p] = np.asarray(kc[i])
+            ref_v[p] = np.asarray(vc[i])
+    keep = [p for p in range(P) if p != parked]
+    np.testing.assert_allclose(np.asarray(ko)[keep], ref_k[keep], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vo)[keep], ref_v[keep], atol=1e-6)
+
+
+def test_commit_pages_jit_kernel_path_matches_scatter(rng):
+    """_commit_pages_jit(use_kernel=True) == the scatter path on the same
+    inputs (interpret-mode pallas under the hood on CPU is unavailable, so
+    this exercises the index/flattening math with the kernel monkeypatched
+    to its jnp equivalent)."""
+    import omchat_tpu.ops.paged_attention as pa
+    from omchat_tpu.runtime.paged_engine import _commit_pages_jit
+
+    L, B, KVH, T, D, ps, P = 3, 2, 2, 32, 8, 16, 6
+    slot_k = jnp.asarray(rng.standard_normal((L, B, KVH, T, D)).astype(np.float32))
+    slot_v = jnp.asarray(rng.standard_normal((L, B, KVH, T, D)).astype(np.float32))
+    kp_np = rng.standard_normal((L, P, KVH, ps, D)).astype(np.float32)
+    vp_np = rng.standard_normal((L, P, KVH, ps, D)).astype(np.float32)
+    tables = jnp.asarray(np.asarray([[0, 2, 4, 5], [1, 3, 5, 5]], np.int32))
+    n_pages = jnp.asarray(np.asarray([2, 1], np.int32))
+
+    want_k, want_v = _commit_pages_jit(
+        slot_k, slot_v, jnp.asarray(kp_np), jnp.asarray(vp_np), tables, n_pages, ps)
+
+    def fake_commit(k_pool, v_pool, pages, k_chunks, v_chunks, **kw):
+        return k_pool.at[pages].set(k_chunks), v_pool.at[pages].set(v_chunks)
+
+    orig = pa.commit_pages
+    pa.commit_pages = fake_commit
+    try:
+        got_k, got_v = _commit_pages_jit(
+            jnp.asarray(np.asarray(slot_k)), jnp.asarray(np.asarray(slot_v)),
+            jnp.asarray(kp_np), jnp.asarray(vp_np),
+            tables, n_pages, ps, use_kernel=True,
+        )
+    finally:
+        pa.commit_pages = orig
+    # parking page (P-1) content is garbage by contract on both paths
+    keep = [p for p in range(P) if p != P - 1]
+    np.testing.assert_allclose(np.asarray(got_k)[:, keep], np.asarray(want_k)[:, keep], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_v)[:, keep], np.asarray(want_v)[:, keep], atol=1e-6)
