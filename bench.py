@@ -335,20 +335,29 @@ def main():
             wids = run_arrivals(pengine, areqs, aimages, ARRIVAL_RATE_REQ_S)
             for w in wids:
                 pengine.pop_result(w)
-            pengine.reset_latency_stats()
-            ticks = []
-            t0 = time.perf_counter()
-            wids = run_arrivals(pengine, areqs, aimages, ARRIVAL_RATE_REQ_S, tick_log=ticks)
-            awall = time.perf_counter() - t0
-            a_gen = sum(len(pengine.pop_result(w)[0]) for w in wids)
-            alat = {k: round(v, 4) if isinstance(v, float) else v
-                    for k, v in pengine.latency_stats().items()}
+            # Two measured passes, both reported: the tunneled chip shows
+            # occasional one-off multi-second stalls (allocation/defrag —
+            # BENCH.md rate-sweep methodology note) that a single pass
+            # cannot distinguish from engine behavior.
+            runs = []
+            for _ in range(2):
+                pengine.reset_latency_stats()
+                ticks = []
+                t0 = time.perf_counter()
+                wids = run_arrivals(pengine, areqs, aimages, ARRIVAL_RATE_REQ_S, tick_log=ticks)
+                awall = time.perf_counter() - t0
+                a_gen = sum(len(pengine.pop_result(w)[0]) for w in wids)
+                alat = {k: round(v, 4) if isinstance(v, float) else v
+                        for k, v in pengine.latency_stats().items()}
+                runs.append({
+                    "sustained_tokens_per_sec": round(a_gen / awall, 2),
+                    "queue_depth_max": max((t[3] for t in ticks), default=0),
+                    **alat,
+                })
             serving_latency["arrival_mode"] = {
                 "rate_req_s": ARRIVAL_RATE_REQ_S,
-                "sustained_tokens_per_sec": round(a_gen / awall, 2),
                 "offered_load_tok_s": round(ARRIVAL_RATE_REQ_S * MAX_NEW, 1),
-                "queue_depth_max": max((t[3] for t in ticks), default=0),
-                **alat,
+                "runs": runs,
             }
             _log(f"arrival-mode: {serving_latency['arrival_mode']}")
         except Exception as e:

@@ -116,7 +116,10 @@ def vision_param_specs(cfg: VisionConfig, *, fsdp: bool = False) -> dict:
 
 def projector_specs(params: dict) -> dict:
     """mlpNx_gelu / linear projector: first linear column-parallel, the rest
-    row-parallel into replicated output."""
+    row-parallel into replicated output.  The smoe expert bank (stacked
+    [E, in, out], models/smoe.py) shards the same way along its trailing
+    matmul dims with the router replicated; any other projector structure
+    (cabstract convs) replicates — correct, if not bandwidth-optimal."""
     out = {}
     names = sorted(k for k in params if k.startswith("linear_"))
     for i, name in enumerate(names):
@@ -126,6 +129,20 @@ def projector_specs(params: dict) -> dict:
             out[name] = {"kernel": P(), "bias": P()}
         else:
             out[name] = {"kernel": P("model", None), "bias": P()}
+    if "experts" in params:
+        enames = sorted(params["experts"])
+        eout = {}
+        for i, name in enumerate(enames):
+            if i == 0 and len(enames) > 1:
+                eout[name] = {"kernel": P(None, None, "model"), "bias": P(None, "model")}
+            elif i == 0:
+                eout[name] = {"kernel": P(), "bias": P()}
+            else:
+                eout[name] = {"kernel": P(None, "model", None), "bias": P()}
+        out["experts"] = eout
+    for k in params:
+        if k not in out:
+            out[k] = jax.tree.map(lambda _: P(), params[k])
     return out
 
 

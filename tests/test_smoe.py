@@ -218,3 +218,38 @@ def test_smoe_projector_init_shapes():
     assert params["router"]["kernel"].shape == (D_IN, E)
     assert params["experts"]["linear_1"]["kernel"].shape == (E, D_IN, D_OUT)
     assert params["experts"]["linear_2"]["kernel"].shape == (E, D_OUT, D_OUT)
+
+
+def test_smoe_projector_shards_on_mesh(rng):
+    """projector_specs covers the smoe param tree (router replicated, expert
+    bank sharded over the model axis) and the sharded forward matches the
+    single-device output on the 8-device CPU mesh."""
+    from jax.sharding import Mesh
+
+    from omchat_tpu.parallel.sharding import projector_specs, shard_params
+
+    cfg = _smoe_cfg()
+    params = init_params(jax.random.PRNGKey(5), cfg, D_IN, 32)
+    specs = projector_specs(params)
+    assert specs["router"]["kernel"] == jax.sharding.PartitionSpec()
+    assert specs["experts"]["linear_1"]["kernel"][-1] == "model"
+    assert specs["experts"]["linear_2"]["kernel"][1] == "model"
+
+    x = jnp.asarray(rng.standard_normal((4, 6, D_IN)), jnp.float32)
+    want = projector_forward(params, cfg, x)
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    with Mesh(devs, ("data", "model")) as mesh:
+        sharded = shard_params(params, mesh, specs)
+        got = jax.jit(lambda p, xx: projector_forward(p, cfg, xx))(sharded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_projector_specs_unknown_structure_replicates():
+    """cabstract-style (non linear_N) params get replicated specs instead of
+    a mismatched tree."""
+    from omchat_tpu.parallel.sharding import projector_specs
+
+    params = {"pos_emb": jnp.zeros((1, 4, 8)), "net": {"w": jnp.zeros((3, 3))}}
+    specs = projector_specs(params)
+    assert specs["pos_emb"] == jax.sharding.PartitionSpec()
+    assert specs["net"]["w"] == jax.sharding.PartitionSpec()
