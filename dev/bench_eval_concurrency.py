@@ -18,7 +18,6 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
 
 import bench
 from omchat_tpu.api import OmChatModel
@@ -32,8 +31,9 @@ N_TEXT, N_IMAGE, MAX_NEW = 12, 4, 32
 
 
 def main():
-    from conftest import MockTokenizer
     from PIL import Image
+
+    from omchat_tpu.utils.testing import MockTokenizer
 
     rng = np.random.default_rng(0)
     cfg = OmChatConfig.omchat_v2_13b().with_w8a8()
