@@ -4,9 +4,10 @@ The eval drivers used to loop one request at a time through the
 single-request engine (VERDICT r4: a real MMBench-Video pass would be
 multi-day); `--concurrency N` routes greedy generation through the paged
 continuous-batching engine instead.  This measures questions/min both ways
-at the 13B w8a8 geometry on a 16-question mixed fixture (12 text + 4
-single-image questions, 32 generated tokens each — answers are identical by
-construction, pinned on CPU in tests/test_eval_harness.py).
+at the 13B w8a8 geometry on a 32-question mixed fixture (24 text + 8
+single-image questions, 128 generated tokens each — the decode share real
+evals have; answers are identical by construction, pinned on CPU in
+tests/test_eval_harness.py).
 
     python dev/bench_eval_concurrency.py
 """
@@ -27,7 +28,7 @@ from omchat_tpu.processing.image_processor import OmChatImageProcessor
 from omchat_tpu.processing.processor import OmChatProcessor
 from omchat_tpu.runtime.generate import OmChatEngine
 
-N_TEXT, N_IMAGE, MAX_NEW = 12, 4, 32
+N_TEXT, N_IMAGE, MAX_NEW = 24, 8, 128
 
 
 def main():
@@ -67,11 +68,22 @@ def main():
         samples[N_TEXT + i].image_path = p
         paths.append(p)
 
+    # ONE shared engine for warmup + measurement: a second pool can
+    # transiently coexist with the first (server-side reclaim lag) and OOM
+    # the 95%-full 13B chip.  max_len=4096 (not the 8192 default): the
+    # default 520-page pool (~3.8 GB) never fit beside the 13.6 GB weights.
+    from omchat_tpu.runtime.paged_engine import PagedBatchEngine
+
+    pengine = PagedBatchEngine(
+        cfg, params, max_slots=8, num_pages=8 * (4096 // 128) + 8,
+        page_size=128, max_len=4096, decode_roll=8, prefill_chunk=4096,
+    )
     # warmup both paths (compiles)
     run_eval(model, samples[:2] + samples[-1:], "/tmp/eval_warm.jsonl",
              max_new_tokens=4, progress=False)
     run_eval_concurrent(model, samples[:4] + samples[-2:], "/tmp/eval_warm2.jsonl",
-                        max_new_tokens=4, progress=False, concurrency=8)
+                        max_new_tokens=4, progress=False, concurrency=8,
+                        max_len=4096, engine=pengine)
     bench._log("warmup done")
 
     t0 = time.perf_counter()
@@ -81,7 +93,8 @@ def main():
 
     t0 = time.perf_counter()
     run_eval_concurrent(model, samples, "/tmp/eval_conc.jsonl",
-                        max_new_tokens=MAX_NEW, progress=False, concurrency=8)
+                        max_new_tokens=MAX_NEW, progress=False, concurrency=8,
+                        max_len=4096, engine=pengine)
     conc_s = time.perf_counter() - t0
     bench._log(f"concurrent: {conc_s:.2f}s")
 

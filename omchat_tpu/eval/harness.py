@@ -93,6 +93,7 @@ def run_eval_concurrent(
     max_len: int = 8192,
     page_size: int = 128,
     decode_roll: int = 8,
+    engine=None,
 ) -> None:
     """Greedy eval with ``concurrency`` requests in flight through the
     continuous-batching :class:`~omchat_tpu.runtime.paged_engine
@@ -113,17 +114,22 @@ def run_eval_concurrent(
     from omchat_tpu.runtime.paged_engine import PagedBatchEngine
 
     gen = GenerationConfig(max_new_tokens=max_new_tokens)
-    engine = PagedBatchEngine(
-        model.config,
-        model.engine.params,
-        max_slots=concurrency,
-        num_pages=concurrency * (max_len // page_size) + 8,
-        page_size=page_size,
-        max_len=max_len,
-        attn_impl=model.engine.attn_impl,
-        decode_roll=decode_roll,
-        prefill_chunk=4096 if max_len >= 4096 else max(512, page_size),
-    )
+    if engine is None:
+        # Callers running several eval passes should build one engine and
+        # pass it in: at the 13B w8a8 geometry the weights fill most of the
+        # chip, and a fresh pool here can transiently coexist with a
+        # previous call's not-yet-reclaimed pool (ResourceExhausted).
+        engine = PagedBatchEngine(
+            model.config,
+            model.engine.params,
+            max_slots=concurrency,
+            num_pages=concurrency * (max_len // page_size) + 8,
+            page_size=page_size,
+            max_len=max_len,
+            attn_impl=model.engine.attn_impl,
+            decode_roll=decode_roll,
+            prefill_chunk=4096 if max_len >= 4096 else max(512, page_size),
+        )
 
     def build(s: EvalSample):
         if mode == "video":
