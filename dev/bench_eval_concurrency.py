@@ -74,8 +74,11 @@ def main():
     # default 520-page pool (~3.8 GB) never fit beside the 13.6 GB weights.
     from omchat_tpu.runtime.paged_engine import PagedBatchEngine
 
+    # 200 pages (not slots*(max_len/ps)+8=264): the 13.6 GB weights leave
+    # <2 GB for the pool on a 16 GB chip; page-admission throttles the rare
+    # all-slots-at-max-length case instead of OOMing at construction
     pengine = PagedBatchEngine(
-        cfg, params, max_slots=8, num_pages=8 * (4096 // 128) + 8,
+        cfg, params, max_slots=8, num_pages=200,
         page_size=128, max_len=4096, decode_roll=8, prefill_chunk=4096,
     )
     # warmup both paths (compiles)
